@@ -1,0 +1,358 @@
+"""Emitter evaluation & sampling with masked type dispatch.
+
+TPU-native analog of the reference emitter plugins (src/emitters/*.cpp) and
+Scene::sample_emitter_direction (src/librender/scene.cpp:164-214): uniform
+emitter pick + per-type direction sampling toward a reference point, plus
+emission eval for rays that hit emissive geometry or escape to the
+environment, and emitter ray sampling for light tracing (photon/VRL pass).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core import math as m
+from ..core import warp
+from ..core.frame import Frame
+from ..core.ray import Ray
+from ..core.records import DirectionSample
+from ..scene.types import EMITTER_TYPES
+
+E_AREA = EMITTER_TYPES['area']
+E_POINT = EMITTER_TYPES['point']
+E_CONSTANT = EMITTER_TYPES['constant']
+E_DIRECTIONAL = EMITTER_TYPES['directional']
+E_SPOT = EMITTER_TYPES['spot']
+
+EMITTER_NPARAM = 12
+
+
+def pack_params(props: dict) -> Tuple[int, list]:
+    t = props['type']
+    p = [0.0] * EMITTER_NPARAM
+
+    def rgb(key, default):
+        v = props.get(key, default)
+        if isinstance(v, (int, float)):
+            return [float(v)] * 3
+        return [float(x) for x in v]
+
+    if t == 'area':
+        p[0:3] = rgb('radiance', 1.0)
+        return E_AREA, p
+    if t == 'point':
+        p[0:3] = [float(x) for x in props.get('position', (0, 0, 0))]
+        p[3:6] = rgb('intensity', 1.0)
+        return E_POINT, p
+    if t == 'constant':
+        p[0:3] = rgb('radiance', 1.0)
+        return E_CONSTANT, p
+    if t == 'directional':
+        p[0:3] = [float(x) for x in props.get('direction', (0, 0, 1))]
+        p[3:6] = rgb('irradiance', 1.0)
+        return E_DIRECTIONAL, p
+    if t == 'spot':
+        p[0:3] = [float(x) for x in props.get('position', (0, 0, 0))]
+        p[3:6] = [float(x) for x in props.get('direction', (0, 0, 1))]
+        p[6:9] = rgb('intensity', 1.0)
+        import numpy as np
+        cutoff = float(props.get('cutoff_angle', 20.0))
+        beam = float(props.get('beam_width', cutoff * 0.75))
+        p[9] = float(np.cos(np.deg2rad(cutoff)))
+        p[10] = float(np.cos(np.deg2rad(beam)))
+        return E_SPOT, p
+    raise NotImplementedError(f"emitter type {t}")
+
+
+def _segment_searchsorted(cdf, offset, count, u):
+    """Per-lane binary search of u in cdf[offset:offset+count] (normalized
+    within the segment). Fixed-iteration — jit friendly."""
+    n_total = cdf.shape[0]
+    lo = offset
+    hi = offset + count  # exclusive
+    steps = max(2, n_total.bit_length() + 1)
+
+    def body(_, lh):
+        lo, hi = lh
+        cont = lo < hi
+        mid = (lo + hi) // 2
+        go_right = cdf[jnp.clip(mid, 0, n_total - 1)] < u
+        lo = jnp.where(cont & go_right, mid + 1, lo)
+        hi = jnp.where(cont & ~go_right, mid, hi)
+        return lo, hi
+
+    lo, hi = jax.lax.fori_loop(0, steps, body, (lo, hi))
+    return jnp.clip(lo, offset, offset + count - 1)
+
+
+def eval_hit(scene, meta, si, active):
+    """Radiance emitted toward -ray.d at a surface hit (area emitters).
+
+    Mirrors AreaEmitter::eval (src/emitters/area.cpp:64): front side only.
+    """
+    if scene.emitters.type.shape[0] == 0:
+        return jnp.zeros(si.p.shape[:-1] + (3,), jnp.float32)
+    has = active & (si.emitter_idx >= 0)
+    e = jnp.maximum(si.emitter_idx, 0)
+    rad = scene.emitters.params[e, 0:3]
+    front = si.wi[:, 2] > 0  # local frame: emitter normal side
+    return jnp.where((has & front)[:, None], rad, 0.0)
+
+
+def eval_env(scene, meta, ray_d, active):
+    """Environment radiance for escaped rays (constant emitter)."""
+    out = jnp.zeros(ray_d.shape[:-1] + (3,), jnp.float32)
+    if E_CONSTANT not in meta.emitter_types:
+        return out
+    etypes = scene.emitters.type
+    is_const = etypes == E_CONSTANT
+    # at most one env emitter; sum masked rows
+    rad = jnp.sum(jnp.where(is_const[:, None], scene.emitters.params[:, 0:3], 0.0),
+                  axis=0)
+    return jnp.where(active[:, None], rad[None, :], out)
+
+
+def env_emitter_idx(scene, meta):
+    etypes = scene.emitters.type
+    is_const = etypes == E_CONSTANT
+    return jnp.argmax(is_const)  # only meaningful if present
+
+
+def sample_direction(scene, meta, ref_p, u_sel, u2, active
+                     ) -> Tuple[DirectionSample, jnp.ndarray]:
+    """Uniformly pick an emitter, sample a direction toward it.
+
+    Returns (DirectionSample with pdf including the 1/E selection factor,
+    spectral weight = radiance / pdf). Mirrors
+    Scene::sample_emitter_direction without the visibility test — occlusion
+    is the integrator's shadow ray.
+    """
+    E = scene.emitters.type.shape[0]
+    N = ref_p.shape[0]
+    if E == 0:
+        zeros3 = jnp.zeros((N, 3))
+        ds = DirectionSample(p=zeros3, n=zeros3, uv=jnp.zeros((N, 2)),
+                             d=zeros3, dist=jnp.zeros((N,)),
+                             pdf=jnp.zeros((N,)), delta=jnp.zeros((N,), bool),
+                             emitter_idx=jnp.full((N,), -1, jnp.int32))
+        return ds, zeros3
+
+    e_idx = jnp.minimum((u_sel * E).astype(jnp.int32), E - 1)
+    etype = scene.emitters.type[e_idx]
+    P = scene.emitters.params[e_idx]
+
+    p = jnp.zeros((N, 3))
+    n = jnp.zeros((N, 3))
+    pdf = jnp.zeros((N,))
+    delta = jnp.zeros((N,), bool)
+    spec = jnp.zeros((N, 3))
+
+    if E_AREA in meta.emitter_types:
+        # sample a triangle from the emitter's area distribution
+        off = scene.emitters.tri_offset[e_idx]
+        cnt = jnp.maximum(scene.emitters.tri_count[e_idx], 1)
+        pos = _segment_searchsorted(scene.emitters.em_tri_cdf, off, cnt,
+                                    u2[:, 0])
+        tri = scene.emitters.em_tri_idx[pos]
+        # remap u within the cdf cell for the barycentric sample
+        cdf_hi = scene.emitters.em_tri_cdf[pos]
+        cdf_lo = jnp.where(pos > off,
+                           scene.emitters.em_tri_cdf[jnp.maximum(pos - 1, 0)], 0.0)
+        u0 = jnp.clip(m.safe_div(u2[:, 0] - cdf_lo, cdf_hi - cdf_lo),
+                      0.0, m.OneMinusEpsilon)
+        bary = warp.square_to_uniform_triangle(
+            jnp.stack([u0, u2[:, 1]], axis=-1))
+        v0 = scene.geo.v0[tri]
+        e1 = scene.geo.e1[tri]
+        e2 = scene.geo.e2[tri]
+        p_a = v0 + bary[:, 0:1] * e1 + bary[:, 1:2] * e2
+        n_a = m.normalize(jnp.cross(e1, e2))
+        d_a = p_a - ref_p
+        dist2 = m.squared_norm(d_a)
+        dist_a = m.safe_sqrt(dist2)
+        d_a = d_a * m.safe_rcp(dist_a)[:, None]
+        cos_l = -m.dot(d_a, n_a)
+        area = jnp.maximum(scene.emitters.em_area[e_idx], 1e-20)
+        pdf_a = m.safe_div(dist2, cos_l * area)
+        ok = cos_l > 0
+        pdf_a = jnp.where(ok, pdf_a, 0.0)
+        rad_a = jnp.where(ok[:, None], P[:, 0:3], 0.0)
+        sel = etype == E_AREA
+        p = jnp.where(sel[:, None], p_a, p)
+        n = jnp.where(sel[:, None], n_a, n)
+        pdf = jnp.where(sel, pdf_a, pdf)
+        spec = jnp.where(sel[:, None], rad_a, spec)
+
+    if E_POINT in meta.emitter_types:
+        pos_p = P[:, 0:3]
+        d_p = pos_p - ref_p
+        dist2 = m.squared_norm(d_p)
+        inten = P[:, 3:6] * m.safe_rcp(dist2)[:, None]
+        sel = etype == E_POINT
+        p = jnp.where(sel[:, None], pos_p, p)
+        pdf = jnp.where(sel, 1.0, pdf)
+        delta = delta | sel
+        spec = jnp.where(sel[:, None], inten, spec)
+
+    if E_SPOT in meta.emitter_types:
+        pos_p = P[:, 0:3]
+        dir_p = m.normalize(P[:, 3:6])
+        d_p = pos_p - ref_p
+        dist2 = m.squared_norm(d_p)
+        dn = m.normalize(-d_p)  # emitter -> ref
+        cos_f = m.dot(dn, dir_p)
+        cos_cut, cos_beam = P[:, 9], P[:, 10]
+        falloff = jnp.clip(m.safe_div(cos_f - cos_cut, cos_beam - cos_cut),
+                           0.0, 1.0)
+        inside = cos_f > cos_cut
+        inten = P[:, 6:9] * (falloff * inside * m.safe_rcp(dist2))[:, None]
+        sel = etype == E_SPOT
+        p = jnp.where(sel[:, None], pos_p, p)
+        pdf = jnp.where(sel, 1.0, pdf)
+        delta = delta | sel
+        spec = jnp.where(sel[:, None], inten, spec)
+
+    if E_CONSTANT in meta.emitter_types:
+        d_c = warp.square_to_uniform_sphere(u2)
+        r_world = 2.0 * scene.bsphere_r
+        p_c = ref_p + d_c * r_world
+        sel = etype == E_CONSTANT
+        p = jnp.where(sel[:, None], p_c, p)
+        n = jnp.where(sel[:, None], -d_c, n)
+        pdf = jnp.where(sel, warp.square_to_uniform_sphere_pdf(d_c), pdf)
+        spec = jnp.where(sel[:, None], P[:, 0:3], spec)
+
+    if E_DIRECTIONAL in meta.emitter_types:
+        dir_p = m.normalize(P[:, 0:3])
+        r_world = 2.0 * scene.bsphere_r
+        p_d = ref_p - dir_p * r_world
+        sel = etype == E_DIRECTIONAL
+        p = jnp.where(sel[:, None], p_d, p)
+        pdf = jnp.where(sel, 1.0, pdf)
+        delta = delta | sel
+        spec = jnp.where(sel[:, None], P[:, 3:6], spec)
+
+    d = p - ref_p
+    dist = m.norm(d)
+    d = d * m.safe_rcp(dist)[:, None]
+    sel_pdf = pdf / E
+    weight = jnp.where((sel_pdf > 0)[:, None],
+                       spec * m.safe_rcp(sel_pdf)[:, None], 0.0)
+    weight = jnp.where(active[:, None], weight, 0.0)
+    ds = DirectionSample(p=p, n=n, uv=jnp.zeros((N, 2)), d=d, dist=dist,
+                         pdf=jnp.where(active, sel_pdf, 0.0), delta=delta,
+                         emitter_idx=jnp.where(active, e_idx, -1))
+    return ds, weight
+
+
+def pdf_direction(scene, meta, ref_p, si, active):
+    """Solid-angle pdf of having sampled the hit point ``si`` on its emitter
+    via sample_direction (for MIS). Includes the 1/E selection factor."""
+    if scene.emitters.type.shape[0] == 0:
+        return jnp.zeros(ref_p.shape[:-1], jnp.float32)
+    E = max(scene.emitters.type.shape[0], 1)
+    has = active & (si.emitter_idx >= 0)
+    e = jnp.maximum(si.emitter_idx, 0)
+    etype = scene.emitters.type[e]
+    pdf = jnp.zeros(ref_p.shape[:-1])
+
+    if E_AREA in meta.emitter_types:
+        d = si.p - ref_p
+        dist2 = m.squared_norm(d)
+        dist = m.safe_sqrt(dist2)
+        cos_l = jnp.abs(m.dot(d * m.safe_rcp(dist)[..., None], si.n))
+        area = jnp.maximum(scene.emitters.em_area[e], 1e-20)
+        pdf_a = m.safe_div(dist2, cos_l * area)
+        pdf = jnp.where(etype == E_AREA, pdf_a, pdf)
+
+    if E_CONSTANT in meta.emitter_types:
+        pdf = jnp.where(etype == E_CONSTANT, m.InvFourPi, pdf)
+
+    return jnp.where(has, pdf / E, 0.0)
+
+
+def pdf_env_direction(scene, meta, active):
+    """Solid-angle pdf for escaped rays hitting the env emitter."""
+    E = max(scene.emitters.type.shape[0], 1)
+    if E_CONSTANT not in meta.emitter_types:
+        return jnp.zeros_like(active, jnp.float32)
+    return jnp.where(active, m.InvFourPi / E, 0.0)
+
+
+def sample_ray(scene, meta, u_sel, u_pos, u_dir, active
+               ) -> Tuple[Ray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Sample an emission ray for light tracing (photon/VRL shooting).
+
+    Returns (ray, power_weight, emitter_idx, n_at_origin). The weight is
+    flux/pdf so that summing deposited energy reproduces emitter power
+    (analog of Endpoint::sample_ray, endpoint.h:42 + vrl.cpp:148).
+    """
+    E = scene.emitters.type.shape[0]
+    N = u_sel.shape[0]
+    e_idx = jnp.minimum((u_sel * E).astype(jnp.int32), max(E - 1, 0))
+    etype = scene.emitters.type[e_idx]
+    P = scene.emitters.params[e_idx]
+    o = jnp.zeros((N, 3))
+    d = jnp.zeros((N, 3))
+    w = jnp.zeros((N, 3))
+    n_o = jnp.zeros((N, 3))
+
+    if E_AREA in meta.emitter_types:
+        off = scene.emitters.tri_offset[e_idx]
+        cnt = jnp.maximum(scene.emitters.tri_count[e_idx], 1)
+        pos = _segment_searchsorted(scene.emitters.em_tri_cdf, off, cnt,
+                                    u_pos[:, 0])
+        tri = scene.emitters.em_tri_idx[pos]
+        cdf_hi = scene.emitters.em_tri_cdf[pos]
+        cdf_lo = jnp.where(pos > off,
+                           scene.emitters.em_tri_cdf[jnp.maximum(pos - 1, 0)], 0.0)
+        u0 = jnp.clip(m.safe_div(u_pos[:, 0] - cdf_lo, cdf_hi - cdf_lo),
+                      0.0, m.OneMinusEpsilon)
+        bary = warp.square_to_uniform_triangle(
+            jnp.stack([u0, u_pos[:, 1]], axis=-1))
+        v0 = scene.geo.v0[tri]
+        p_a = v0 + bary[:, 0:1] * scene.geo.e1[tri] + bary[:, 1:2] * scene.geo.e2[tri]
+        n_a = m.normalize(jnp.cross(scene.geo.e1[tri], scene.geo.e2[tri]))
+        local = warp.square_to_cosine_hemisphere(u_dir)
+        frame = Frame.from_normal(n_a)
+        d_a = frame.to_world(local)
+        area = jnp.maximum(scene.emitters.em_area[e_idx], 1e-20)
+        # power weight: L * pi * area (cosine-sampled dir cancels cos/pdf)
+        w_a = P[:, 0:3] * (m.Pi * area)[:, None]
+        sel = etype == E_AREA
+        o = jnp.where(sel[:, None], p_a, o)
+        d = jnp.where(sel[:, None], d_a, d)
+        w = jnp.where(sel[:, None], w_a, w)
+        n_o = jnp.where(sel[:, None], n_a, n_o)
+
+    if E_POINT in meta.emitter_types:
+        d_p = warp.square_to_uniform_sphere(u_dir)
+        sel = etype == E_POINT
+        o = jnp.where(sel[:, None], P[:, 0:3], o)
+        d = jnp.where(sel[:, None], d_p, d)
+        w = jnp.where(sel[:, None], P[:, 3:6] * (4.0 * m.Pi), w)
+        n_o = jnp.where(sel[:, None], d_p, n_o)
+
+    if E_SPOT in meta.emitter_types:
+        cos_cut = P[:, 9]
+        local = warp.square_to_uniform_cone(u_dir, cos_cut)
+        frame = Frame.from_normal(m.normalize(P[:, 3:6]))
+        d_s = frame.to_world(local)
+        cos_beam = P[:, 10]
+        cos_f = local[:, 2]
+        falloff = jnp.clip(m.safe_div(cos_f - cos_cut, cos_beam - cos_cut),
+                           0.0, 1.0)
+        inv_pdf = 2.0 * m.Pi * (1.0 - cos_cut)
+        sel = etype == E_SPOT
+        o = jnp.where(sel[:, None], P[:, 0:3], o)
+        d = jnp.where(sel[:, None], d_s, d)
+        w = jnp.where(sel[:, None], P[:, 6:9] * (falloff * inv_pdf)[:, None], w)
+        n_o = jnp.where(sel[:, None], d_s, n_o)
+
+    # selection pdf 1/E -> multiply weight by E
+    w = w * E
+    ray = Ray.make(o, m.normalize(jnp.where(m.squared_norm(d, True) > 0, d,
+                                            jnp.asarray([0.0, 0.0, 1.0]))))
+    return ray, jnp.where(active[:, None], w, 0.0), e_idx, n_o

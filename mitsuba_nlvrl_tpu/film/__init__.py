@@ -1,0 +1,104 @@
+"""Film accumulation: reconstruction-filtered sample splatting.
+
+TPU-native analog of the reference HDRFilm + ImageBlock::put
+(src/librender/imageblock.cpp:80-130) and the rfilter plugins
+(src/rfilters/*.cpp): each sample at continuous pixel position p spreads
+over the static (2k+1)^2 filter footprint via one big scatter-add —
+deterministic given the fixed tap enumeration order. A weight channel is
+accumulated alongside and divided out in ``develop`` (hdrfilm.cpp:193-227).
+"""
+from __future__ import annotations
+
+import math as pymath
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core import math as m
+from ..scene.types import FilmMeta, RFILTER_TYPES
+
+FILTER_RADII = {'box': 0.5, 'tent': 1.0, 'gaussian': 2.0, 'mitchell': 2.0,
+                'catmullrom': 2.0, 'lanczos': 3.0}
+
+
+def filter_eval(name: str, x: jnp.ndarray) -> jnp.ndarray:
+    """1D filter kernels (separable), x = distance in pixels."""
+    ax = jnp.abs(x)
+    if name == 'box':
+        return jnp.where(ax <= 0.5, 1.0, 0.0)
+    if name == 'tent':
+        return jnp.maximum(0.0, 1.0 - ax)
+    if name == 'gaussian':
+        std = 0.5
+        alpha = -1.0 / (2.0 * std * std)
+        r = FILTER_RADII['gaussian']
+        return jnp.maximum(0.0, jnp.exp(alpha * ax * ax)
+                           - jnp.exp(alpha * r * r))
+    if name in ('mitchell', 'catmullrom'):
+        if name == 'mitchell':
+            B = C = 1.0 / 3.0
+        else:
+            B, C = 0.0, 0.5
+        x2 = ax * ax
+        x3 = x2 * ax
+        y1 = ((12.0 - 9.0 * B - 6.0 * C) * x3
+              + (-18.0 + 12.0 * B + 6.0 * C) * x2 + (6.0 - 2.0 * B)) / 6.0
+        y2 = ((-B - 6.0 * C) * x3 + (6.0 * B + 30.0 * C) * x2
+              + (-12.0 * B - 48.0 * C) * ax + (8.0 * B + 24.0 * C)) / 6.0
+        return jnp.where(ax < 1.0, y1, jnp.where(ax < 2.0, y2, 0.0))
+    if name == 'lanczos':
+        tau = 3.0
+        sx = jnp.sinc(ax)          # sinc(pi x)/(pi x)
+        st = jnp.sinc(ax / tau)
+        return jnp.where(ax < tau, sx * st, 0.0)
+    raise ValueError(name)
+
+
+def splat(film: FilmMeta, pos: jnp.ndarray, values: jnp.ndarray,
+          weights: jnp.ndarray, image: jnp.ndarray) -> jnp.ndarray:
+    """Accumulate N samples into image (H, W, C+1).
+
+    pos: (N, 2) continuous pixel coords (x, y); values (N, C); weights (N,)
+    sample weights (0 disables a lane). Returns updated image.
+    """
+    H, W = image.shape[0], image.shape[1]
+    radius = FILTER_RADII[film.rfilter]
+    k = int(pymath.ceil(2.0 * radius))  # taps per axis
+    if film.rfilter == 'box':
+        k = 1
+
+    N, C = values.shape
+    base = jnp.floor(pos - (0.5 * (k - 1) + 0.5) + 0.5).astype(jnp.int32) \
+        if k > 1 else jnp.floor(pos).astype(jnp.int32)
+
+    vals_w = jnp.concatenate([values, jnp.ones((N, 1), values.dtype)], -1) \
+        * weights[:, None]
+
+    img = image
+    for oy in range(k):
+        for ox in range(k):
+            px = base[:, 0] + ox
+            py = base[:, 1] + oy
+            if k == 1:
+                w = jnp.ones((N,), values.dtype)
+            else:
+                wx = filter_eval(film.rfilter, px + 0.5 - pos[:, 0])
+                wy = filter_eval(film.rfilter, py + 0.5 - pos[:, 1])
+                w = wx * wy
+            inside = (px >= 0) & (px < W) & (py >= 0) & (py < H)
+            w = jnp.where(inside & (weights > 0), w, 0.0)
+            flat = jnp.clip(py, 0, H - 1) * W + jnp.clip(px, 0, W - 1)
+            img = img.reshape(H * W, C + 1).at[flat].add(
+                vals_w * w[:, None]).reshape(H, W, C + 1)
+    return img
+
+
+def new_image(film: FilmMeta, channels: int = 3) -> jnp.ndarray:
+    return jnp.zeros((film.height, film.width, channels + 1), jnp.float32)
+
+
+def develop(image: jnp.ndarray) -> jnp.ndarray:
+    """Normalize by the accumulated filter weight (hdrfilm develop)."""
+    w = image[..., -1:]
+    return image[..., :-1] * m.safe_rcp(w)

@@ -1,0 +1,482 @@
+"""Scene builder: description dicts -> SoA device arrays.
+
+TPU-native replacement for the reference's Properties/PluginManager object
+instantiation (src/libcore/plugin.cpp, scene.cpp:22): a scene *description*
+(nested python dicts, produced by the XML loader or constructed procedurally
+in tests) is flattened on host into the SceneData pytree + static SceneMeta.
+
+All geometry is pre-transformed to world space; analytic rectangles/cubes
+become exact triangle pairs; disks/cylinders tessellate; spheres stay
+analytic. Area emitters get per-emitter triangle CDF tables for sampling.
+"""
+from __future__ import annotations
+
+import math as pymath
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..core import transform as tr
+from ..core.transform import Transform
+from .types import (SceneData, SceneMeta, FilmMeta, Geometry, ShapeTable,
+                    BSDFTable, EmitterTable, MediumTable, SensorData,
+                    BSDF_TYPES, EMITTER_TYPES, MEDIUM_TYPES, PHASE_TYPES,
+                    BSDF_NPARAM, EMITTER_NPARAM, MEDIUM_NPARAM,
+                    M_SIGMA_T, M_ALBEDO, M_SCALE, M_PHASE_G, M_BBOX_MIN,
+                    M_BBOX_MAX, M_MAJORANT, M_NL_TOP_IOR, M_NL_BOT_IOR,
+                    M_NL_RES, M_NL_FROM_BOTTOM)
+from .mesh_io import load_obj, load_ply, load_serialized, MeshData, \
+    compute_vertex_normals
+from .vol_io import load_vol, VolumeGrid
+from .. import bsdf as bsdf_mod
+from .. import emitter as emitter_mod
+from ..sensor import build_sensor
+
+
+def _rectangle_mesh() -> MeshData:
+    v = np.array([[-1, -1, 0], [1, -1, 0], [1, 1, 0], [-1, 1, 0]], np.float32)
+    f = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
+    n = np.tile(np.array([[0, 0, 1]], np.float32), (4, 1))
+    uv = np.array([[0, 0], [1, 0], [1, 1], [0, 1]], np.float32)
+    return MeshData(v, f, n, uv)
+
+
+def _cube_mesh() -> MeshData:
+    corners = np.array([[x, y, z] for z in (-1, 1) for y in (-1, 1)
+                        for x in (-1, 1)], np.float32)
+    faces = []
+    quads = [(0, 1, 3, 2), (4, 6, 7, 5), (0, 4, 5, 1), (2, 3, 7, 6),
+             (0, 2, 6, 4), (1, 5, 7, 3)]
+    for a, b, c, d in quads:
+        faces += [[a, b, c], [a, c, d]]
+    return MeshData(corners, np.asarray(faces, np.int32), None, None)
+
+
+def _disk_mesh(segments: int = 64) -> MeshData:
+    ang = np.linspace(0, 2 * np.pi, segments, endpoint=False)
+    rim = np.stack([np.cos(ang), np.sin(ang), np.zeros(segments)], -1)
+    v = np.concatenate([[[0, 0, 0]], rim]).astype(np.float32)
+    f = np.asarray([[0, 1 + i, 1 + (i + 1) % segments]
+                    for i in range(segments)], np.int32)
+    n = np.tile(np.array([[0, 0, 1]], np.float32), (segments + 1, 1))
+    return MeshData(v, f, n, None)
+
+
+def _cylinder_mesh(radius: float, p0, p1, segments: int = 64) -> MeshData:
+    p0 = np.asarray(p0, np.float32)
+    p1 = np.asarray(p1, np.float32)
+    axis = p1 - p0
+    ln = np.linalg.norm(axis)
+    axis = axis / ln
+    # orthonormal frame
+    a = np.array([1.0, 0, 0]) if abs(axis[0]) < 0.9 else np.array([0, 1.0, 0])
+    u = np.cross(axis, a); u /= np.linalg.norm(u)
+    w = np.cross(axis, u)
+    ang = np.linspace(0, 2 * np.pi, segments, endpoint=False)
+    ring = np.outer(np.cos(ang), u) + np.outer(np.sin(ang), w)
+    v = np.concatenate([p0 + radius * ring, p1 + radius * ring]).astype(np.float32)
+    n = np.concatenate([ring, ring]).astype(np.float32)
+    f = []
+    for i in range(segments):
+        j = (i + 1) % segments
+        f += [[i, j, segments + i], [j, segments + j, segments + i]]
+    return MeshData(v, np.asarray(f, np.int32), n, None)
+
+
+def _load_shape_mesh(sh: dict) -> Optional[MeshData]:
+    t = sh['type']
+    if t == 'mesh':
+        return sh['mesh']
+    if t == 'obj':
+        mesh = load_obj(sh['filename'])
+    elif t == 'ply':
+        mesh = load_ply(sh['filename'])
+    elif t == 'serialized':
+        mesh = load_serialized(sh['filename'], int(sh.get('shape_index', 0)))
+    elif t == 'rectangle':
+        mesh = _rectangle_mesh()
+    elif t == 'cube':
+        mesh = _cube_mesh()
+    elif t == 'disk':
+        mesh = _disk_mesh()
+    elif t == 'cylinder':
+        mesh = _cylinder_mesh(float(sh.get('radius', 1.0)),
+                              sh.get('p0', (0, 0, 0)), sh.get('p1', (0, 0, 1)))
+    elif t == 'sphere':
+        return None   # analytic
+    else:
+        raise NotImplementedError(f"shape type {t}")
+    if sh.get('face_normals', False):
+        mesh = mesh._replace(normals=None)
+    return mesh
+
+
+class SceneBuilder:
+    def __init__(self, desc: dict):
+        self.desc = desc
+        self.bsdf_cache: Dict[int, int] = {}
+        self.bsdf_rows: List[Tuple[int, int, list]] = []
+        self.media_cache: Dict[int, int] = {}
+        self.media_rows: List[dict] = []
+
+    def _bsdf_index(self, props: Optional[dict]) -> int:
+        if props is None:
+            props = {'type': 'diffuse'}
+        key = id(props)
+        if key in self.bsdf_cache:
+            return self.bsdf_cache[key]
+        row = bsdf_mod.pack_params(props)
+        idx = len(self.bsdf_rows)
+        self.bsdf_rows.append(row)
+        self.bsdf_cache[key] = idx
+        return idx
+
+    def _medium_index(self, props: Optional[dict]) -> int:
+        if props is None:
+            return -1
+        key = id(props)
+        if key in self.media_cache:
+            return self.media_cache[key]
+        idx = len(self.media_rows)
+        self.media_rows.append(props)
+        self.media_cache[key] = idx
+        return idx
+
+    def build(self) -> Tuple[SceneData, SceneMeta]:
+        desc = self.desc
+        # --- film / sensor ---------------------------------------------------
+        sensor_desc = desc.get('sensor', {'type': 'perspective'})
+        film_desc = sensor_desc.get('film', {})
+        rfilter = film_desc.get('rfilter', {'type': 'gaussian'})
+        if isinstance(rfilter, dict):
+            rfilter = rfilter.get('type', 'gaussian')
+        film = FilmMeta(width=int(film_desc.get('width', 256)),
+                        height=int(film_desc.get('height', 256)),
+                        rfilter=rfilter)
+        sensor_type, sensor_data = build_sensor(sensor_desc, film.width,
+                                                film.height)
+        sampler_desc = sensor_desc.get('sampler', {'type': 'independent'})
+        spp = int(sampler_desc.get('sample_count', 16))
+
+        # --- shapes ----------------------------------------------------------
+        tri_v, tri_n, tri_uv, tri_shape = [], [], [], []
+        sph_c, sph_r, sph_shape = [], [], []
+        shape_rows = []   # (bsdf, emitter, int_med, ext_med)
+        area_emitters = []  # (props, shape_idx)
+        shape_tri_ranges = []
+
+        shapes = desc.get('shapes', [])
+        for sh in shapes:
+            to_world: Transform = sh.get('to_world', Transform.identity())
+            shape_idx = len(shape_rows)
+            bsdf_idx = self._bsdf_index(sh.get('bsdf'))
+            int_med = self._medium_index(sh.get('interior'))
+            ext_med = self._medium_index(sh.get('exterior'))
+            emitter_idx = -1
+            if 'emitter' in sh and sh['emitter'] is not None:
+                emitter_idx = len(area_emitters)   # resolved later
+                area_emitters.append((sh['emitter'], shape_idx))
+
+            tri_start = sum(len(t) for t in tri_shape)
+            mesh = _load_shape_mesh(sh)
+            if mesh is None:  # sphere
+                M = np.asarray(to_world.m)
+                center = (M @ np.array([*sh.get('center', (0, 0, 0)), 1.0]))[:3]
+                scale_f = float(np.linalg.norm(M[:3, 0]))
+                sph_c.append(center + 0 * center)
+                sph_r.append(float(sh.get('radius', 1.0)) * scale_f)
+                sph_shape.append(shape_idx)
+                shape_tri_ranges.append((tri_start, 0))
+            else:
+                M = np.asarray(to_world.m, np.float64)
+                Minv = np.asarray(to_world.inv, np.float64)
+                v = mesh.vertices @ M[:3, :3].T + M[:3, 3]
+                flip = np.linalg.det(M[:3, :3]) < 0
+                faces = mesh.faces
+                if flip:
+                    faces = faces[:, [0, 2, 1]]
+                if mesh.normals is not None:
+                    n = mesh.normals @ Minv[:3, :3]
+                    ln = np.linalg.norm(n, axis=1, keepdims=True)
+                    ln[ln == 0] = 1
+                    n = n / ln
+                else:
+                    mw = MeshData(v.astype(np.float32), faces, None, None)
+                    n = compute_vertex_normals(mw)
+                uv = mesh.uvs if mesh.uvs is not None else \
+                    np.zeros((len(v), 2), np.float32)
+                tri_v.append(v[faces].astype(np.float32))       # (F,3,3)
+                tri_n.append(n[faces].astype(np.float32))
+                tri_uv.append(uv[faces].astype(np.float32))
+                tri_shape.append(np.full(len(faces), shape_idx, np.int32))
+                shape_tri_ranges.append((tri_start, len(faces)))
+            shape_rows.append([bsdf_idx, emitter_idx, int_med, ext_med])
+
+        if tri_v:
+            V = np.concatenate(tri_v)      # (T, 3, 3)
+            Nrm = np.concatenate(tri_n)
+            UV = np.concatenate(tri_uv)
+            TS = np.concatenate(tri_shape)
+        else:
+            V = np.zeros((0, 3, 3), np.float32)
+            Nrm = np.zeros((0, 3, 3), np.float32)
+            UV = np.zeros((0, 3, 2), np.float32)
+            TS = np.zeros((0,), np.int32)
+        T = len(V)
+
+        # --- emitters --------------------------------------------------------
+        emitter_rows = []       # (type, params, shape_idx)
+        em_tri_idx, em_tri_cdf, em_area = [], [], []
+        tri_offsets, tri_counts = [], []
+        for props, shape_idx in area_emitters:
+            code, params = emitter_mod.pack_params(props)
+            start, count = shape_tri_ranges[shape_idx]
+            idxs = np.arange(start, start + count, dtype=np.int32)
+            e1 = V[idxs, 1] - V[idxs, 0]
+            e2 = V[idxs, 2] - V[idxs, 0]
+            areas = 0.5 * np.linalg.norm(np.cross(e1, e2), axis=1)
+            total = float(areas.sum()) if count else 0.0
+            cdf = np.cumsum(areas) / max(total, 1e-30)
+            tri_offsets.append(len(em_tri_idx) and sum(len(x) for x in em_tri_idx))
+            tri_offsets[-1] = sum(len(x) for x in em_tri_idx)
+            tri_counts.append(count)
+            em_tri_idx.append(idxs)
+            em_tri_cdf.append(cdf.astype(np.float32))
+            em_area.append(total)
+            emitter_rows.append((code, params, shape_idx))
+        for props in desc.get('emitters', []):
+            code, params = emitter_mod.pack_params(props)
+            tw = props.get('to_world')
+            if tw is not None and code == EMITTER_TYPES['point']:
+                M = np.asarray(tw.m)
+                params[0:3] = list((M @ np.array([*params[0:3], 1.0]))[:3])
+            emitter_rows.append((code, params, -1))
+            tri_offsets.append(sum(len(x) for x in em_tri_idx))
+            tri_counts.append(0)
+            em_area.append(0.0)
+
+        E = len(emitter_rows)
+        TE = sum(len(x) for x in em_tri_idx)
+
+        # --- media -----------------------------------------------------------
+        M_n = len(self.media_rows)
+        med_type = np.zeros(M_n, np.int32)
+        med_phase = np.zeros(M_n, np.int32)
+        med_params = np.zeros((M_n, MEDIUM_NPARAM), np.float32)
+        grid_sigma = np.zeros((1, 1, 1), np.float32)
+        grid_albedo = np.zeros((1, 1, 1, 3), np.float32)
+        grid_medium = -1
+        nl_ior = np.ones((1,), np.float32)
+        nl_medium = -1
+        medium_types_meta = []
+        phase_types_present = set()
+
+        # medium bboxes: from shapes that reference them as interior
+        med_bbox = {}
+        for srow, sh in zip(shape_rows, shapes):
+            if srow[2] >= 0:
+                to_world = sh.get('to_world', Transform.identity())
+                mesh = _load_shape_mesh(sh)
+                if mesh is None:
+                    c = np.asarray(sh.get('center', (0, 0, 0)), np.float64)
+                    r = float(sh.get('radius', 1.0))
+                    lo_, hi_ = c - r, c + r
+                else:
+                    M = np.asarray(to_world.m, np.float64)
+                    v = mesh.vertices @ M[:3, :3].T + M[:3, 3]
+                    lo_, hi_ = v.min(0), v.max(0)
+                prev = med_bbox.get(srow[2])
+                if prev is not None:
+                    lo_ = np.minimum(lo_, prev[0]); hi_ = np.maximum(hi_, prev[1])
+                med_bbox[srow[2]] = (lo_, hi_)
+
+        for mi, props in enumerate(self.media_rows):
+            mt = props['type']
+            med_type[mi] = MEDIUM_TYPES[mt]
+            medium_types_meta.append(MEDIUM_TYPES[mt])
+            ph = props.get('phase', {'type': 'isotropic'})
+            med_phase[mi] = PHASE_TYPES[ph.get('type', 'isotropic')]
+            phase_types_present.add(int(med_phase[mi]))
+            med_params[mi, M_PHASE_G] = float(ph.get('g', 0.0))
+            scale_v = float(props.get('scale', 1.0))
+            med_params[mi, M_SCALE] = scale_v
+
+            def rgb_of(key, default):
+                v = props.get(key, default)
+                if isinstance(v, dict):
+                    return None
+                if isinstance(v, (int, float)):
+                    return np.full(3, float(v), np.float32)
+                return np.asarray([float(x) for x in v], np.float32)
+
+            lo_, hi_ = med_bbox.get(mi, (np.zeros(3), np.ones(3)))
+            med_params[mi, M_BBOX_MIN:M_BBOX_MIN + 3] = lo_
+            med_params[mi, M_BBOX_MAX:M_BBOX_MAX + 3] = hi_
+
+            if mt in ('homogeneous', 'nonlinear'):
+                st = rgb_of('sigma_t', 1.0)
+                al = rgb_of('albedo', 0.75)
+                med_params[mi, M_SIGMA_T:M_SIGMA_T + 3] = st
+                med_params[mi, M_ALBEDO:M_ALBEDO + 3] = al
+                med_params[mi, M_MAJORANT:M_MAJORANT + 3] = st * scale_v
+            if mt == 'heterogeneous':
+                stv = props.get('sigma_t')
+                if isinstance(stv, dict) and stv.get('type') == 'gridvolume':
+                    vg: VolumeGrid = stv.get('_grid') or load_vol(stv['filename'])
+                    grid_sigma = vg.data[..., 0]
+                    grid_medium = mi
+                    # grid bbox overrides medium bbox for lookup mapping
+                    med_params[mi, M_BBOX_MIN:M_BBOX_MIN + 3] = vg.bbox_min
+                    med_params[mi, M_BBOX_MAX:M_BBOX_MAX + 3] = vg.bbox_max
+                    med_params[mi, M_SIGMA_T:M_SIGMA_T + 3] = 1.0
+                    med_params[mi, M_MAJORANT:M_MAJORANT + 3] = \
+                        vg.max_value * scale_v
+                else:
+                    st = rgb_of('sigma_t', 1.0)
+                    med_params[mi, M_SIGMA_T:M_SIGMA_T + 3] = st
+                    med_params[mi, M_MAJORANT:M_MAJORANT + 3] = st * scale_v
+                al = rgb_of('albedo', 0.75)
+                if al is None:
+                    av = props['albedo']
+                    if av.get('type') == 'gridvolume':
+                        vg2 = av.get('_grid') or load_vol(av['filename'])
+                        d = vg2.data
+                        grid_albedo = d if d.shape[-1] == 3 else \
+                            np.repeat(d, 3, axis=-1)
+                        al = np.ones(3, np.float32)
+                    elif av.get('type') == 'constvolume':
+                        cv = av.get('value', av.get('color', 0.75))
+                        al = np.full(3, float(cv), np.float32) \
+                            if isinstance(cv, (int, float)) else \
+                            np.asarray(cv, np.float32)
+                med_params[mi, M_ALBEDO:M_ALBEDO + 3] = al
+            if mt == 'nonlinear':
+                res = (int(props.get('res_x', 4)), int(props.get('res_y', 4)),
+                       int(props.get('res_z', 4)))
+                med_params[mi, M_NL_TOP_IOR] = float(props.get('top_ior', 0.7))
+                med_params[mi, M_NL_BOT_IOR] = float(props.get('bottom_ior', 1.0))
+                med_params[mi, M_NL_RES:M_NL_RES + 3] = res
+                med_params[mi, M_NL_FROM_BOTTOM] = \
+                    1.0 if props.get('from_bottom', True) else 0.0
+                nl_medium = mi
+                # voxelize IOR (reference nonlinear.cpp:62-89 build():
+                # lerp bottom->top over relative height, cell centers)
+                rx, ry, rz = res
+                cell = (hi_ - lo_) / np.asarray(res, np.float64)
+                ys = lo_[1] + (np.arange(ry) + 0.5) * cell[1]
+                h = hi_[1] - lo_[1]
+                t = (ys - lo_[1]) / max(h, 1e-30)
+                ior_y = (1 - t) * med_params[mi, M_NL_BOT_IOR] + \
+                    t * med_params[mi, M_NL_TOP_IOR]
+                # grid layout: index = (x*ry + y)*rz + z (reference order)
+                grid = np.broadcast_to(ior_y[None, :, None], (rx, ry, rz))
+                nl_ior = np.ascontiguousarray(grid, np.float32).reshape(-1)
+
+        # --- assemble --------------------------------------------------------
+        if T:
+            v0 = V[:, 0]
+            e1 = V[:, 1] - V[:, 0]
+            e2 = V[:, 2] - V[:, 0]
+        else:
+            v0 = e1 = e2 = np.zeros((0, 3), np.float32)
+
+        all_pts = [V.reshape(-1, 3)] if T else []
+        for c, r in zip(sph_c, sph_r):
+            all_pts.append(np.asarray(c)[None, :] - r)
+            all_pts.append(np.asarray(c)[None, :] + r)
+        if all_pts:
+            pts = np.concatenate(all_pts)
+            lo, hi = pts.min(0), pts.max(0)
+        else:
+            lo, hi = np.zeros(3), np.ones(3)
+        center = 0.5 * (lo + hi)
+        radius = float(np.linalg.norm(hi - center)) + 1e-4
+
+        geo = Geometry(
+            v0=jnp.asarray(v0), e1=jnp.asarray(e1), e2=jnp.asarray(e2),
+            n0=jnp.asarray(Nrm[:, 0]) if T else jnp.zeros((0, 3)),
+            n1=jnp.asarray(Nrm[:, 1]) if T else jnp.zeros((0, 3)),
+            n2=jnp.asarray(Nrm[:, 2]) if T else jnp.zeros((0, 3)),
+            uv0=jnp.asarray(UV[:, 0]) if T else jnp.zeros((0, 2)),
+            uv1=jnp.asarray(UV[:, 1]) if T else jnp.zeros((0, 2)),
+            uv2=jnp.asarray(UV[:, 2]) if T else jnp.zeros((0, 2)),
+            shape_idx=jnp.asarray(TS),
+            sph_center=jnp.asarray(np.asarray(sph_c, np.float32).reshape(-1, 3)),
+            sph_radius=jnp.asarray(np.asarray(sph_r, np.float32)),
+            sph_shape_idx=jnp.asarray(np.asarray(sph_shape, np.int32)))
+
+        sr = np.asarray(shape_rows, np.int32).reshape(-1, 4)
+        # area emitter indices were provisional (list position); they are
+        # already correct because area emitters were appended first.
+        shapes_t = ShapeTable(
+            bsdf_idx=jnp.asarray(sr[:, 0]) if len(sr) else jnp.zeros((0,), jnp.int32),
+            emitter_idx=jnp.asarray(sr[:, 1]) if len(sr) else jnp.zeros((0,), jnp.int32),
+            int_medium=jnp.asarray(sr[:, 2]) if len(sr) else jnp.zeros((0,), jnp.int32),
+            ext_medium=jnp.asarray(sr[:, 3]) if len(sr) else jnp.zeros((0,), jnp.int32))
+
+        if self.bsdf_rows:
+            btype = np.asarray([r[0] for r in self.bsdf_rows], np.int32)
+            bflags = np.asarray([r[1] for r in self.bsdf_rows], np.int32)
+            bparams = np.asarray([r[2] for r in self.bsdf_rows], np.float32)
+        else:
+            btype = np.zeros((1,), np.int32)
+            bflags = np.zeros((1,), np.int32)
+            bparams = np.zeros((1, BSDF_NPARAM), np.float32)
+        bsdfs_t = BSDFTable(type=jnp.asarray(btype), flags=jnp.asarray(bflags),
+                            params=jnp.asarray(bparams))
+
+        emitters_t = EmitterTable(
+            type=jnp.asarray(np.asarray([r[0] for r in emitter_rows], np.int32)),
+            params=jnp.asarray(np.asarray([r[1] for r in emitter_rows],
+                                          np.float32).reshape(E, EMITTER_NPARAM)),
+            shape_idx=jnp.asarray(np.asarray([r[2] for r in emitter_rows],
+                                             np.int32)),
+            tri_offset=jnp.asarray(np.asarray(tri_offsets, np.int32)),
+            tri_count=jnp.asarray(np.asarray(tri_counts, np.int32)),
+            em_tri_idx=jnp.asarray(np.concatenate(em_tri_idx)
+                                   if em_tri_idx else np.zeros(0, np.int32)),
+            em_tri_cdf=jnp.asarray(np.concatenate(em_tri_cdf)
+                                   if em_tri_cdf else np.zeros(0, np.float32)),
+            em_area=jnp.asarray(np.asarray(em_area, np.float32)))
+
+        media_t = MediumTable(
+            type=jnp.asarray(med_type), phase_type=jnp.asarray(med_phase),
+            params=jnp.asarray(med_params),
+            grid_sigma_t=jnp.asarray(grid_sigma),
+            grid_albedo=jnp.asarray(grid_albedo),
+            grid_medium=jnp.asarray(grid_medium, jnp.int32),
+            nl_ior=jnp.asarray(nl_ior),
+            nl_medium=jnp.asarray(nl_medium, jnp.int32))
+
+        integ = desc.get('integrator', {'type': 'path'})
+        iprops = tuple(sorted((k, v) for k, v in integ.items() if k != 'type'))
+
+        scene = SceneData(
+            geo=geo, bvh=None, shapes=shapes_t, bsdfs=bsdfs_t,
+            emitters=emitters_t, media=media_t, sensor=sensor_data,
+            bbox_lo=jnp.asarray(lo, jnp.float32),
+            bbox_hi=jnp.asarray(hi, jnp.float32),
+            bsphere_c=jnp.asarray(center, jnp.float32),
+            bsphere_r=jnp.asarray(radius, jnp.float32))
+
+        # camera medium: if the camera origin is inside a medium-bearing
+        # shape's bbox and that shape has a null/transparent boundary we
+        # still start in vacuum (reference: sensors carry an explicit medium
+        # ref; scenes here start outside media).
+        meta = SceneMeta(
+            n_tris=T, n_spheres=len(sph_c), n_shapes=len(shape_rows),
+            n_bsdfs=len(btype), n_emitters=E, n_media=M_n,
+            bsdf_types=tuple(sorted(set(int(x) for x in btype))),
+            emitter_types=tuple(sorted(set(int(r[0]) for r in emitter_rows))),
+            medium_types=tuple(medium_types_meta),
+            phase_types=tuple(sorted(phase_types_present)),
+            sensor_type=sensor_type, film=film,
+            sampler=sampler_desc.get('type', 'independent'), spp=spp,
+            integrator=integ.get('type', 'path'), integrator_props=iprops,
+            has_media=M_n > 0)
+        return scene, meta
+
+
+def build_scene(desc: dict) -> Tuple[SceneData, SceneMeta]:
+    return SceneBuilder(desc).build()

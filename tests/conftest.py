@@ -1,0 +1,34 @@
+"""Test configuration.
+
+Tests force the CPU backend with an 8-device virtual mesh so unit tests and
+sharding tests are fast and run anywhere; the environment's sitecustomize
+pre-registers a remote TPU ('axon') backend, so the platform must be forced
+via jax.config *before* any backend is materialized. The driver exercises
+the real TPU separately (bench.py, __graft_entry__.py).
+"""
+import os
+import sys
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+import pytest
+
+assert jax.default_backend() == "cpu", (
+    "tests must run on CPU; got " + jax.default_backend())
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(42)
