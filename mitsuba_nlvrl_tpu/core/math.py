@@ -27,21 +27,65 @@ Infinity = jnp.inf
 OneMinusEpsilon = jnp.float32(1.0 - 1.1920929e-7)
 
 
+# The safe_* functions are grad-safe via custom_jvp: their derivatives are
+# CLAMPED TO ZERO at the singular points. Without this, reverse-mode under
+# XLA computes e.g. d(rsqrt)/dx = -0.5 x^-1.5 -> inf at the clamp, and
+# inf * (masked-zero cotangent) = NaN poisons every gradient (order of the
+# multiply differs between eager and fused-XLA, so only jit showed it).
+
+@jax.custom_jvp
 def safe_sqrt(x):
-    """sqrt clamped to zero for negative inputs (grad-safe at 0-)."""
+    """sqrt clamped to zero for negative inputs (grad-safe at 0)."""
     return jnp.sqrt(jnp.maximum(x, 0.0))
 
 
+@safe_sqrt.defjvp
+def _safe_sqrt_jvp(primals, tangents):
+    (x,), (dx,) = primals, tangents
+    y = safe_sqrt(x)
+    dy = jnp.where(x > 1e-12, 0.5 / jnp.maximum(y, 1e-12), 0.0) * dx
+    return y, dy
+
+
+@jax.custom_jvp
 def safe_rsqrt(x):
     return jax.lax.rsqrt(jnp.maximum(x, jnp.finfo(jnp.float32).tiny))
 
 
+@safe_rsqrt.defjvp
+def _safe_rsqrt_jvp(primals, tangents):
+    (x,), (dx,) = primals, tangents
+    y = safe_rsqrt(x)
+    dy = jnp.where(x > 1e-12, -0.5 * y / jnp.maximum(x, 1e-12), 0.0) * dx
+    return y, dy
+
+
+@jax.custom_jvp
 def safe_acos(x):
     return jnp.arccos(jnp.clip(x, -1.0, 1.0))
 
 
+@safe_acos.defjvp
+def _safe_acos_jvp(primals, tangents):
+    (x,), (dx,) = primals, tangents
+    y = safe_acos(x)
+    s = 1.0 - x * x
+    dy = jnp.where(s > 1e-12, -jax.lax.rsqrt(jnp.maximum(s, 1e-12)), 0.0) * dx
+    return y, dy
+
+
+@jax.custom_jvp
 def safe_asin(x):
     return jnp.arcsin(jnp.clip(x, -1.0, 1.0))
+
+
+@safe_asin.defjvp
+def _safe_asin_jvp(primals, tangents):
+    (x,), (dx,) = primals, tangents
+    y = safe_asin(x)
+    s = 1.0 - x * x
+    dy = jnp.where(s > 1e-12, jax.lax.rsqrt(jnp.maximum(s, 1e-12)), 0.0) * dx
+    return y, dy
 
 
 def safe_div(a, b, eps=1e-20):

@@ -42,7 +42,9 @@ def film_sample_positions(meta, key) -> Tuple[jnp.ndarray, jnp.ndarray]:
 def russian_roulette(throughput, eta, depth, rr_depth, u):
     """Returns (survive_mask, updated_throughput). Reference path.cpp:147-151
     semantics: q = min(max(throughput)*eta^2, 0.95), applied from rr_depth."""
-    tmax = jnp.max(throughput, axis=-1) * eta * eta
+    # detached decision probability (the reference uses detach(q) too,
+    # vrl.cpp:185) so AD doesn't differentiate the RR estimator weight
+    tmax = jax.lax.stop_gradient(jnp.max(throughput, axis=-1) * eta * eta)
     q = jnp.minimum(tmax, 0.95)
     apply = depth >= rr_depth
     survive = jnp.where(apply, u < q, True)

@@ -36,9 +36,16 @@ class PathState(NamedTuple):
     prev_p: jnp.ndarray          # previous path vertex (for emitter pdf)
 
 
-def sample(scene, meta, sampler: Sampler, ray: Ray, active=None):
+def sample(scene, meta, sampler: Sampler, ray: Ray, active=None,
+           diff: bool = False):
     """Estimate incident radiance along each camera ray. Returns (L, valid,
-    sampler)."""
+    sampler).
+
+    ``diff=True`` switches the bounce loop from ``lax.while_loop`` (fastest
+    primal) to a fixed-length ``lax.scan`` with per-bounce
+    ``jax.checkpoint`` so reverse-mode AD works with bounded memory — the
+    analog of the reference's enoki autodiff wavefront
+    (autodiff.py:6-41) rebuilt on JAX remat."""
     N = ray.o.shape[0]
     if active is None:
         active = jnp.ones((N,), bool)
@@ -120,5 +127,9 @@ def sample(scene, meta, sampler: Sampler, ray: Ray, active=None):
             prev_delta=jnp.where(active, bs.delta, st.prev_delta),
             prev_p=jnp.where(active[:, None], si.p, st.prev_p))
 
-    st = jax.lax.while_loop(cond, body, st)
+    if diff:
+        ck_body = jax.checkpoint(lambda s, _: (body(s), None))
+        st, _ = jax.lax.scan(ck_body, st, None, length=max_depth)
+    else:
+        st = jax.lax.while_loop(cond, body, st)
     return st.result, jnp.ones((N,), bool), st.sampler

@@ -183,7 +183,10 @@ def compute_si(scene, ray: Ray, pi: PreliminaryHit) -> SurfaceInteraction:
         uv_tri = jnp.zeros((N, 2))
         shape_tri = jnp.zeros((N,), jnp.int32)
 
-    p = ray.at(pi.t)
+    # clamp miss-t to 0 before evaluating positions: inf*0 would produce
+    # NaNs that poison reverse-mode AD through jnp.where
+    t_safe = jnp.where(pi.valid, pi.t, 0.0)
+    p = ray.at(t_safe)
 
     if geo.sph_center.shape[0] > 0:
         sidx = jnp.clip(idx, 0, geo.sph_center.shape[0] - 1)

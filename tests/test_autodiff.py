@@ -1,0 +1,92 @@
+"""Differentiable rendering tests: gradients vs finite differences
+(the BASELINE.json grad-allclose gate, analog of the reference's
+gpu_autodiff render tests)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from scenes import cornell_box
+from mitsuba_nlvrl_tpu import build_scene
+from mitsuba_nlvrl_tpu.parallel.render_dist import render_wavefront
+from mitsuba_nlvrl_tpu.integrators.common import film_sample_positions
+
+
+def _loss_of_params(scene, meta, pos, key):
+    def loss_fn(params):
+        sc = scene._replace(bsdfs=scene.bsdfs._replace(params=params))
+        L = render_wavefront(sc, meta, pos, key, diff=True)
+        return jnp.mean(L)
+    return loss_fn
+
+
+def test_grad_matches_finite_difference():
+    scene, meta = build_scene(cornell_box(spp=1, res=12))
+    key = jax.random.PRNGKey(5)
+    pos, _ = film_sample_positions(meta, key)
+    loss_fn = _loss_of_params(scene, meta, pos, key)
+    params = scene.bsdfs.params
+    g = np.asarray(jax.grad(loss_fn)(params))
+    assert np.isfinite(g).all()
+
+    # finite differences on a few albedo entries (same RNG -> same paths,
+    # derivative only through throughput)
+    rng = np.random.default_rng(0)
+    checked = 0
+    for b in range(min(params.shape[0], 4)):
+        for c in range(3):
+            if abs(g[b, c]) < 1e-6:
+                continue
+            eps = 1e-2
+            p_np = np.asarray(params)
+            pp = p_np.copy(); pp[b, c] += eps
+            pm = p_np.copy(); pm[b, c] -= eps
+            fd = (float(loss_fn(jnp.asarray(pp)))
+                  - float(loss_fn(jnp.asarray(pm)))) / (2 * eps)
+            assert abs(fd - g[b, c]) < 0.15 * max(abs(fd), abs(g[b, c]), 1e-4), \
+                (b, c, fd, g[b, c])
+            checked += 1
+    assert checked >= 2
+
+
+def test_grad_emitter_radiance():
+    """d(image)/d(emitter radiance) must be positive and linear."""
+    scene, meta = build_scene(cornell_box(spp=1, res=12))
+    key = jax.random.PRNGKey(2)
+    pos, _ = film_sample_positions(meta, key)
+
+    def loss_fn(eparams):
+        sc = scene._replace(emitters=scene.emitters._replace(params=eparams))
+        return jnp.mean(render_wavefront(sc, meta, pos, key, diff=True))
+
+    ep = scene.emitters.params
+    g = np.asarray(jax.grad(loss_fn)(ep))
+    assert np.isfinite(g).all()
+    assert g[0, 0:3].sum() > 0
+    # linearity in radiance: loss(2L) = 2 * loss(L)
+    l1 = float(loss_fn(ep))
+    l2 = float(loss_fn(ep * 2.0))
+    assert abs(l2 - 2 * l1) < 1e-4 * max(1.0, l2)
+
+
+def test_sharded_render_matches_single_device():
+    """DP-sharded wavefront must reproduce the single-device image."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    scene, meta = build_scene(cornell_box(spp=1, res=16))
+    key = jax.random.PRNGKey(1)
+    pos, _ = film_sample_positions(meta, key)
+    L_single = np.asarray(render_wavefront(scene, meta, pos, key))
+
+    devs = jax.devices()
+    mesh = Mesh(np.asarray(devs), ('dp',))
+    shard = NamedSharding(mesh, P('dp', None))
+    pos_sh = jax.device_put(pos, shard)
+    scene_r = jax.device_put(scene, NamedSharding(mesh, P()))
+    L_sharded = np.asarray(jax.jit(
+        lambda s, p, k: render_wavefront(s, meta, p, k))(scene_r, pos_sh, key))
+    assert np.allclose(L_single, L_sharded, atol=2e-5), \
+        np.abs(L_single - L_sharded).max()
+
+
+def test_dryrun_multichip_entrypoint():
+    import __graft_entry__ as ge
+    ge.dryrun_multichip(len(jax.devices()))
