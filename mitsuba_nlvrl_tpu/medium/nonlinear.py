@@ -1,0 +1,239 @@
+"""Non-linear medium: rays bend through a voxel grid of IOR values.
+
+TPU-native redesign of the reference ``nonlinear`` medium
+(src/media/nonlinear.cpp): a regular voxel grid over the medium bbox holds
+per-cell IOR; a ray marching through refracts (Snell) or TIR-reflects at
+every cell boundary, producing piecewise-linear curved rays.
+
+Differences from the reference, by design for TPU:
+  * cell lookup is O(1) index arithmetic, not the reference's linear scan
+    over all cells (nonlinear.cpp:156-166 getNode);
+  * the exit face & normal come from the ray/cell-AABB slab test directly
+    (vs. epsilon-matching of face distances, nonlinear.cpp:190-226);
+  * the whole wavefront marches in lock-step inside a masked
+    ``lax.while_loop`` ("eikonal marcher") with a fixed segment capacity.
+
+Grid layout matches the reference: flat index = (x*ry + y)*rz + z
+(nonlinear.cpp:73-89), IOR profiles: linear lerp bottom->top over height
+(method 0, nonlinear.cpp:129-153). The voxelization happens in the scene
+builder (scene/builder.py).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core import math as m
+from ..core.ray import Ray
+from ..scene.types import (M_BBOX_MIN, M_BBOX_MAX, M_NL_RES, MEDIUM_TYPES)
+
+MT_NONLINEAR = MEDIUM_TYPES['nonlinear']
+
+
+class NonLinearInteraction(NamedTuple):
+    """Analog of Medium::NonLinearInteraction (medium.h:18-34)."""
+    valid: jnp.ndarray   # (N,) bool
+    t: jnp.ndarray       # (N,) distance to the cell boundary (+eps)
+    p: jnp.ndarray       # (N, 3) boundary point
+    wi: jnp.ndarray      # (N, 3) incoming propagation dir
+    wo: jnp.ndarray      # (N, 3) bent outgoing dir
+    n: jnp.ndarray       # (N, 3) boundary face normal (against wi)
+    n1: jnp.ndarray      # (N,) IOR of current cell
+    n2: jnp.ndarray      # (N,) IOR of neighbor cell
+    eta: jnp.ndarray     # (N,) relative IOR of the event
+
+
+def _nl_grid_info(scene, medium_idx):
+    midx = jnp.maximum(medium_idx, 0)
+    P = scene.media.params[midx]
+    lo = P[:, M_BBOX_MIN:M_BBOX_MIN + 3]
+    hi = P[:, M_BBOX_MAX:M_BBOX_MAX + 3]
+    res = P[:, M_NL_RES:M_NL_RES + 3].astype(jnp.int32)
+    res = jnp.maximum(res, 1)
+    cell = (hi - lo) / res.astype(jnp.float32)
+    return lo, hi, res, cell
+
+
+def _cell_of(p, lo, res, cell):
+    c = jnp.floor((p - lo) / jnp.maximum(cell, 1e-30)).astype(jnp.int32)
+    return jnp.clip(c, 0, res - 1)
+
+
+def _flat_index(c, res):
+    # reference layout: (x*ry + y)*rz + z (nonlinear.cpp build loop order)
+    return (c[..., 0] * res[..., 1] + c[..., 1]) * res[..., 2] + c[..., 2]
+
+
+def _cell_ior(scene, c, res):
+    idx = jnp.clip(_flat_index(c, res), 0, scene.media.nl_ior.shape[0] - 1)
+    return scene.media.nl_ior[idx]
+
+
+def sample_nonlinear_interaction(scene, meta, ray: Ray, medium_idx, active
+                                 ) -> NonLinearInteraction:
+    """Find the next cell-boundary bend event for each lane
+    (reference sampleNonLinearInteraction, nonlinear.cpp:297-405).
+
+    Invalid when: lane not in a nonlinear medium, origin outside the grid,
+    or the crossed face leaves the grid (incl. flat axes with res == 1 —
+    the reference's getNeighbour res-1 rule, nonlinear.cpp:170-188).
+    """
+    N = ray.o.shape[0]
+    lo, hi, res, cell = _nl_grid_info(scene, medium_idx)
+    midx = jnp.maximum(medium_idx, 0)
+    is_nl = (scene.media.type[midx] == MT_NONLINEAR) & (medium_idx >= 0)
+
+    p0 = ray.at(ray.mint)
+    inside = jnp.all((p0 >= lo) & (p0 <= hi), axis=-1)
+    act = active & is_nl & inside
+
+    c = _cell_of(p0, lo, res, cell)
+    n1 = _cell_ior(scene, c, res)
+
+    # slab test against the CURRENT cell's AABB -> exit distance & axis
+    cell_lo = lo + c.astype(jnp.float32) * cell
+    cell_hi = cell_lo + cell
+    inv_d = 1.0 / ray.d
+    t1 = (cell_lo - ray.o) * inv_d
+    t2 = (cell_hi - ray.o) * inv_d
+    t_far_axes = jnp.maximum(t1, t2)
+    exit_axis = jnp.argmin(t_far_axes, axis=-1)
+    t_exit = jnp.min(t_far_axes, axis=-1)
+    act = act & (t_exit > m.RayEpsilon) & jnp.isfinite(t_exit) \
+        & (t_exit <= ray.maxt)
+
+    # face normal opposing the ray: -sign(d[axis]) on exit_axis
+    step_sign = jnp.sign(jnp.take_along_axis(ray.d, exit_axis[:, None],
+                                             axis=1)[:, 0])
+    step_sign = jnp.where(step_sign == 0, 1.0, step_sign)
+    normal = -step_sign[:, None] * jax.nn.one_hot(exit_axis, 3,
+                                                  dtype=ray.d.dtype)
+
+    # neighbor cell along the travel direction
+    step = step_sign.astype(jnp.int32)[:, None] \
+        * jax.nn.one_hot(exit_axis, 3, dtype=jnp.int32)
+    c_nb = c + step
+    nb_ok = jnp.all((c_nb >= 0) & (c_nb < res), axis=-1)
+    act = act & nb_ok
+    n2 = _cell_ior(scene, jnp.clip(c_nb, 0, res - 1), res)
+
+    # refract / TIR-reflect (nonlinear.cpp:360-378)
+    wo_refr, tir = m.refract_snell(ray.d, normal, n1 / jnp.maximum(n2, 1e-6))
+    wo_refl = ray.d - 2.0 * m.dot(ray.d, normal, keepdims=True) * normal
+    wo = jnp.where(tir[:, None], wo_refl, wo_refr)
+    eta = jnp.where(tir, 1.0, n1 / jnp.maximum(n2, 1e-6))
+
+    t_evt = t_exit + m.RayEpsilon
+    p_evt = ray.at(t_evt)
+    # no bend when IORs equal: wo stays ray.d (keeps wavefront stable)
+    same = jnp.abs(n1 - n2) < 1e-7
+    wo = jnp.where(same[:, None], ray.d, wo)
+
+    return NonLinearInteraction(
+        valid=act, t=jnp.where(act, t_evt, jnp.inf), p=p_evt,
+        wi=ray.d, wo=m.normalize(wo), n=normal, n1=n1, n2=n2,
+        eta=jnp.where(act, eta, 1.0))
+
+
+class BentRay(NamedTuple):
+    """Piecewise-linear curved ray (reference NLRay, vrl_struct.h:10-57):
+    fixed-capacity SoA segment arrays + per-lane count."""
+    seg_o: jnp.ndarray     # (N, S, 3) segment origins
+    seg_d: jnp.ndarray     # (N, S, 3) unit directions
+    seg_len: jnp.ndarray   # (N, S) lengths (0 for unused slots)
+    count: jnp.ndarray     # (N,) int32 number of segments
+    total: jnp.ndarray     # (N,) total length
+
+    def at(self, t):
+        """Point at curve parameter t (NLRay::at, vrl_struct.h:28-41)."""
+        S = self.seg_len.shape[1]
+        cum = jnp.cumsum(self.seg_len, axis=1)             # (N, S)
+        prev = cum - self.seg_len
+        idx = jnp.sum((t[:, None] >= cum) & (jnp.arange(S)[None, :]
+                                             < (self.count[:, None] - 1)),
+                      axis=1)
+        idx = jnp.clip(idx, 0, S - 1)
+        local_t = t - jnp.take_along_axis(prev, idx[:, None], 1)[:, 0]
+        o = jnp.take_along_axis(self.seg_o, idx[:, None, None], 1)[:, 0]
+        d = jnp.take_along_axis(self.seg_d, idx[:, None, None], 1)[:, 0]
+        return o + d * local_t[:, None]
+
+
+def bend_ray(scene, meta, ray: Ray, medium_idx, active, max_segments: int,
+             max_dist=None, stop_at_scene: bool = False):
+    """March a wavefront of rays through the nonlinear grid building curved
+    rays (the camera-ray bending of vrl.cpp:550-595 redesigned as a
+    fixed-capacity masked loop). Segments end at cell boundaries; the LAST
+    segment ends at max_dist, the first scene hit (``stop_at_scene``, the
+    reference's handleNonLinearInteraction re-intersection), or the grid
+    boundary.
+
+    Returns (BentRay, si): ``si`` is the SurfaceInteraction terminating the
+    curve (invalid where the curve ended for another reason); only
+    meaningful when stop_at_scene.
+    """
+    from ..ops import intersect as isect
+    from ..core.records import SurfaceInteraction
+
+    N = ray.o.shape[0]
+    S = max_segments
+    if max_dist is None:
+        max_dist = jnp.full((N,), jnp.inf)
+
+    seg_o = jnp.zeros((N, S, 3))
+    seg_d = jnp.zeros((N, S, 3))
+    seg_len = jnp.zeros((N, S))
+    count = jnp.zeros((N,), jnp.int32)
+    total = jnp.zeros((N,))
+    si0 = SurfaceInteraction.invalid((N,))
+
+    def cond(carry):
+        act = carry[6]
+        i = carry[8]
+        return jnp.any(act) & (i < S)
+
+    def body(carry):
+        seg_o, seg_d, seg_len, count, total, cur_ray, act, si_acc, i = carry
+        remaining = max_dist - total
+        nli = sample_nonlinear_interaction(
+            scene, meta, Ray(cur_ray.o, cur_ray.d, cur_ray.mint, remaining),
+            medium_idx, act)
+        if stop_at_scene:
+            si = isect.ray_intersect(
+                scene, Ray(cur_ray.o, cur_ray.d, cur_ray.mint, remaining))
+            hit_first = act & si.valid & (si.t < nli.t)
+            si_acc = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(
+                    hit_first.reshape(hit_first.shape + (1,) * (new.ndim - 1)),
+                    new, old), si, si_acc)
+        else:
+            hit_first = jnp.zeros((N,), bool)
+            si = None
+        bend = act & nli.valid & ~hit_first
+        seg_end_t = jnp.where(bend, nli.t,
+                              jnp.where(hit_first & stop_at_scene,
+                                        si.t if si is not None else 0.0,
+                                        jnp.minimum(remaining, 1e8)))
+        seg_o = seg_o.at[:, i].set(jnp.where(act[:, None], cur_ray.o,
+                                             seg_o[:, i]))
+        seg_d = seg_d.at[:, i].set(jnp.where(act[:, None], cur_ray.d,
+                                             seg_d[:, i]))
+        seg_len = seg_len.at[:, i].set(jnp.where(act, seg_end_t,
+                                                 seg_len[:, i]))
+        count = jnp.where(act, i + 1, count)
+        total = jnp.where(act, total + seg_end_t, total)
+        new_ray = Ray(o=jnp.where(bend[:, None], nli.p, cur_ray.o),
+                      d=jnp.where(bend[:, None], nli.wo, cur_ray.d),
+                      mint=jnp.zeros((N,)),
+                      maxt=cur_ray.maxt)
+        return (seg_o, seg_d, seg_len, count, total, new_ray, bend, si_acc,
+                i + 1)
+
+    init = (seg_o, seg_d, seg_len, count, total,
+            Ray(ray.o, ray.d, ray.mint, ray.maxt), active, si0, jnp.int32(0))
+    seg_o, seg_d, seg_len, count, total, _, _, si_out, _ = \
+        jax.lax.while_loop(cond, body, init)
+    return BentRay(seg_o=seg_o, seg_d=seg_d, seg_len=seg_len, count=count,
+                   total=total), si_out

@@ -46,8 +46,9 @@ def _cube_mesh() -> MeshData:
     corners = np.array([[x, y, z] for z in (-1, 1) for y in (-1, 1)
                         for x in (-1, 1)], np.float32)
     faces = []
-    quads = [(0, 1, 3, 2), (4, 6, 7, 5), (0, 4, 5, 1), (2, 3, 7, 6),
-             (0, 2, 6, 4), (1, 5, 7, 3)]
+    # outward winding (CCW seen from outside): -z, +z, -y, +y, -x, +x
+    quads = [(0, 2, 3, 1), (4, 5, 7, 6), (0, 1, 5, 4), (2, 6, 7, 3),
+             (0, 4, 6, 2), (1, 3, 7, 5)]
     for a, b, c, d in quads:
         faces += [[a, b, c], [a, c, d]]
     return MeshData(corners, np.asarray(faces, np.int32), None, None)
@@ -84,10 +85,52 @@ def _cylinder_mesh(radius: float, p0, p1, segments: int = 64) -> MeshData:
     return MeshData(v, np.asarray(f, np.int32), n, None)
 
 
+def _icosphere_mesh(subdiv: int = 3) -> MeshData:
+    """Unit icosphere (used for emissive spheres: area-emitter sampling
+    tables are triangle-based; analytic sphere emitters tessellate)."""
+    phi = (1.0 + 5 ** 0.5) / 2.0
+    v = np.array([[-1, phi, 0], [1, phi, 0], [-1, -phi, 0], [1, -phi, 0],
+                  [0, -1, phi], [0, 1, phi], [0, -1, -phi], [0, 1, -phi],
+                  [phi, 0, -1], [phi, 0, 1], [-phi, 0, -1], [-phi, 0, 1]],
+                 np.float64)
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    f = np.array([[0, 11, 5], [0, 5, 1], [0, 1, 7], [0, 7, 10], [0, 10, 11],
+                  [1, 5, 9], [5, 11, 4], [11, 10, 2], [10, 7, 6], [7, 1, 8],
+                  [3, 9, 4], [3, 4, 2], [3, 2, 6], [3, 6, 8], [3, 8, 9],
+                  [4, 9, 5], [2, 4, 11], [6, 2, 10], [8, 6, 7], [9, 8, 1]],
+                 np.int64)
+    for _ in range(subdiv):
+        mid = {}
+        verts = list(v)
+
+        def midpoint(a, b):
+            key = (min(a, b), max(a, b))
+            if key not in mid:
+                p = verts[a] + verts[b]
+                p = p / np.linalg.norm(p)
+                mid[key] = len(verts)
+                verts.append(p)
+            return mid[key]
+
+        nf = []
+        for a, b, c in f:
+            ab, bc, ca = midpoint(a, b), midpoint(b, c), midpoint(c, a)
+            nf += [[a, ab, ca], [b, bc, ab], [c, ca, bc], [ab, bc, ca]]
+        v = np.asarray(verts)
+        f = np.asarray(nf, np.int64)
+    vf = v.astype(np.float32)
+    return MeshData(vf, f.astype(np.int32), vf.copy(), None)
+
+
 def _load_shape_mesh(sh: dict) -> Optional[MeshData]:
     t = sh['type']
     if t == 'mesh':
         return sh['mesh']
+    if t == 'sphere' and sh.get('emitter') is not None:
+        mesh = _icosphere_mesh()
+        c = np.asarray(sh.get('center', (0, 0, 0)), np.float32)
+        r = float(sh.get('radius', 1.0))
+        return MeshData(mesh.vertices * r + c, mesh.faces, mesh.normals, None)
     if t == 'obj':
         mesh = load_obj(sh['filename'])
     elif t == 'ply':
@@ -110,6 +153,9 @@ def _load_shape_mesh(sh: dict) -> Optional[MeshData]:
     if sh.get('face_normals', False):
         mesh = mesh._replace(normals=None)
     return mesh
+
+
+_NULL_BSDF = {'type': 'null'}
 
 
 class SceneBuilder:
@@ -170,7 +216,13 @@ class SceneBuilder:
         for sh in shapes:
             to_world: Transform = sh.get('to_world', Transform.identity())
             shape_idx = len(shape_rows)
-            bsdf_idx = self._bsdf_index(sh.get('bsdf'))
+            bsdf_props = sh.get('bsdf')
+            if bsdf_props is None and (sh.get('interior') is not None
+                                       or sh.get('exterior') is not None):
+                # medium boundaries default to a null BSDF (reference
+                # Shape ctor behavior for medium-only shapes)
+                bsdf_props = _NULL_BSDF
+            bsdf_idx = self._bsdf_index(bsdf_props)
             int_med = self._medium_index(sh.get('interior'))
             ext_med = self._medium_index(sh.get('exterior'))
             emitter_idx = -1
@@ -261,9 +313,12 @@ class SceneBuilder:
 
         # --- media -----------------------------------------------------------
         M_n = len(self.media_rows)
-        med_type = np.zeros(M_n, np.int32)
-        med_phase = np.zeros(M_n, np.int32)
-        med_params = np.zeros((M_n, MEDIUM_NPARAM), np.float32)
+        # always allocate >=1 row so per-lane gathers are well-formed even in
+        # medium-free scenes (lanes carry medium_idx == -1)
+        M_rows = max(M_n, 1)
+        med_type = np.zeros(M_rows, np.int32)
+        med_phase = np.zeros(M_rows, np.int32)
+        med_params = np.zeros((M_rows, MEDIUM_NPARAM), np.float32)
         grid_sigma = np.zeros((1, 1, 1), np.float32)
         grid_albedo = np.zeros((1, 1, 1, 3), np.float32)
         grid_medium = -1

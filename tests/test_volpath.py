@@ -1,0 +1,133 @@
+"""Volumetric path tracer tests (reference volpath.cpp semantics)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from scenes import cornell_box
+from mitsuba_nlvrl_tpu import build_scene, render
+
+
+def test_volpath_matches_path_without_media():
+    d = cornell_box(spp=8, res=16, integrator={'type': 'volpath',
+                                               'max_depth': 5})
+    s, m = build_scene(d)
+    iv = np.asarray(render(s, m, spp=8, seed=1))
+    d2 = cornell_box(spp=8, res=16, integrator={'type': 'path',
+                                                'max_depth': 5})
+    s2, m2 = build_scene(d2)
+    ip = np.asarray(render(s2, m2, spp=8, seed=1))
+    assert abs(iv.mean() - ip.mean()) / ip.mean() < 0.1
+
+
+def test_volpath_homogeneous_fog():
+    med = {'type': 'homogeneous', 'sigma_t': 0.5, 'albedo': 0.9}
+    d = cornell_box(spp=4, res=16,
+                    integrator={'type': 'volpath', 'max_depth': 8},
+                    medium=med)
+    s, m = build_scene(d)
+    img = np.asarray(render(s, m, spp=4, seed=1))
+    assert np.isfinite(img).all() and img.mean() > 0.01
+
+
+def test_volpath_absorption_only_beer_lambert():
+    """Pure absorber between camera and a constant environment: pixel value
+    must equal exp(-sigma_t * path_length) * env within MC noise."""
+    from mitsuba_nlvrl_tpu.core import transform as tr
+    sigma = 0.7
+    desc = {
+        'integrator': {'type': 'volpath', 'max_depth': 20},
+        'sensor': {
+            'type': 'perspective', 'fov': 10.0,
+            'to_world': tr.look_at((0, 0, -5), (0, 0, 0), (0, 1, 0)),
+            'film': {'width': 8, 'height': 8, 'rfilter': {'type': 'box'}},
+            'sampler': {'type': 'independent', 'sample_count': 32}},
+        'shapes': [
+            {'type': 'cube', 'bsdf': {'type': 'null'},
+             'interior': {'type': 'homogeneous', 'sigma_t': sigma,
+                          'albedo': 0.0},
+             'to_world': tr.scale(1.0)},
+        ],
+        'emitters': [{'type': 'constant', 'radiance': (1.0, 1.0, 1.0)}],
+    }
+    s, m = build_scene(desc)
+    img = np.asarray(render(s, m, spp=64, seed=0))
+    # central pixels cross the cube over ~2 units
+    expected = np.exp(-sigma * 2.0)
+    got = img[3:5, 3:5].mean()
+    assert abs(got - expected) < 0.12, (got, expected)
+
+
+def test_volpath_scattering_conserves_energy():
+    """Albedo-1 medium in a white furnace: radiance must stay 1."""
+    from mitsuba_nlvrl_tpu.core import transform as tr
+    desc = {
+        'integrator': {'type': 'volpath', 'max_depth': 100, 'rr_depth': 1000},
+        'sensor': {
+            'type': 'perspective', 'fov': 30.0,
+            'to_world': tr.look_at((0, 0, -4), (0, 0, 0), (0, 1, 0)),
+            'film': {'width': 8, 'height': 8, 'rfilter': {'type': 'box'}},
+            'sampler': {'type': 'independent', 'sample_count': 16}},
+        'shapes': [
+            {'type': 'cube', 'bsdf': {'type': 'null'},
+             'interior': {'type': 'homogeneous', 'sigma_t': 1.0,
+                          'albedo': 1.0},
+             'to_world': tr.scale(1.0)},
+        ],
+        'emitters': [{'type': 'constant', 'radiance': (1.0, 1.0, 1.0)}],
+    }
+    s, m = build_scene(desc)
+    img = np.asarray(render(s, m, spp=48, seed=0))
+    assert abs(img.mean() - 1.0) < 0.05, img.mean()
+
+
+def test_hg_phase_sampling_matches_eval():
+    """Chi-square-lite: HG sample distribution integrates to 1 and mean
+    cosine equals g (reference hg.cpp:43-63)."""
+    from mitsuba_nlvrl_tpu import phase as phase_mod
+    from mitsuba_nlvrl_tpu.scene.types import MediumTable
+    import mitsuba_nlvrl_tpu.scene.types as T
+
+    g = 0.6
+    med = MediumTable(
+        type=jnp.zeros((1,), jnp.int32),
+        phase_type=jnp.asarray([T.PHASE_TYPES['hg']], jnp.int32),
+        params=jnp.zeros((1, T.MEDIUM_NPARAM)).at[0, T.M_PHASE_G].set(g),
+        grid_sigma_t=jnp.zeros((1, 1, 1)), grid_albedo=jnp.zeros((1, 1, 1, 3)),
+        grid_medium=jnp.asarray(-1), nl_ior=jnp.ones((1,)),
+        nl_medium=jnp.asarray(-1))
+
+    class FakeScene:
+        media = med
+
+    class FakeMeta:
+        phase_types = (T.PHASE_TYPES['hg'],)
+
+    N = 200_000
+    key = jax.random.PRNGKey(0)
+    u2 = jax.random.uniform(key, (N, 2))
+    wi = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (N, 1))  # reversed incident
+    midx = jnp.zeros((N,), jnp.int32)
+    act = jnp.ones((N,), bool)
+    wo, pdf = phase_mod.sample(FakeScene, FakeMeta, midx, wi, u2, act)
+    # mean scattering cosine relative to propagation dir (-wi): should be g
+    cos_t = np.asarray(-wo[:, 2])
+    assert abs(cos_t.mean() - g) < 5e-3
+    # eval matches returned pdf
+    ev = phase_mod.eval(FakeScene, FakeMeta, midx, wi, wo, act)
+    assert np.allclose(np.asarray(ev), np.asarray(pdf), atol=1e-6)
+
+
+def test_hetvol_scene_loads_and_renders():
+    import os
+    path = '/root/reference/data/hetvol/hetvol.xml'
+    if not os.path.exists(path):
+        pytest.skip("reference data not available")
+    from mitsuba_nlvrl_tpu.scene.xml import load_file
+    desc = load_file(path)
+    desc['sensor']['film']['width'] = 32
+    desc['sensor']['film']['height'] = 24
+    s, m = build_scene(desc)
+    assert m.n_media == 1 and s.media.grid_sigma_t.shape == (50, 128, 128)
+    img = np.asarray(render(s, m, spp=2, seed=0))
+    assert np.isfinite(img).all() and img.mean() > 0.05
