@@ -8,7 +8,7 @@ from ..core.rng import Sampler
 from ..ops import intersect as isect
 
 
-def sample(scene, meta, sampler: Sampler, ray: Ray, active=None, diff: bool = False):
+def sample(scene, meta, sampler: Sampler, ray: Ray, active=None, diff: bool = False, aux=None):
     N = ray.o.shape[0]
     si = isect.ray_intersect(scene, ray)
     d = jnp.where(si.valid, si.t, 0.0)

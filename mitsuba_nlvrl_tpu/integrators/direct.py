@@ -17,7 +17,7 @@ from ..ops import intersect as isect
 from .common import mis_weight
 
 
-def sample(scene, meta, sampler: Sampler, ray: Ray, active=None, diff: bool = False):
+def sample(scene, meta, sampler: Sampler, ray: Ray, active=None, diff: bool = False, aux=None):
     N = ray.o.shape[0]
     if active is None:
         active = jnp.ones((N,), bool)

@@ -1,0 +1,489 @@
+"""Wavefront light tracing: photon + VRL shooting.
+
+TPU-native redesign of the reference's SERIAL emission loop
+(src/integrators/vrl/vrl.cpp:117-374, photonmapper.cpp:75-378): a whole
+wavefront of light paths marches in lock-step through a fixed number of
+bounce iterations under ``lax.scan``; every iteration emits fixed-capacity
+deposit records (surface photon / volume photon / VRL segment) with valid
+masks instead of pushing into growing maps. Non-linear media bend the rays
+between collisions with an inner bounded cell-marching scan that deposits a
+VRL at every direction change (vrl.cpp:207-227).
+
+Deposit semantics mirror the reference:
+  * surface photons at Smooth BSDFs; caustic map if the previous non-null
+    bounce was a transmission, else global map (vrl.cpp:772-782)
+  * volume photons only for the first scatter in a medium chain
+    ("mediumDepth == 0" direct-volume photons, vrl.cpp:273-275)
+  * VRLs end at real scatters / surfaces / bend events, carrying
+    flux * throughput at segment start (vrl_struct.h:60)
+  * map scale factors = 1 / number-of-contributing-paths (vrl.cpp:383-438)
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core import math as m
+from ..core.ray import Ray, spawn_ray
+from ..core.rng import Sampler
+from .. import bsdf as bsdf_mod
+from .. import emitter as emitter_mod
+from .. import medium as medium_mod
+from .. import phase as phase_mod
+from ..medium import nonlinear as nl_mod
+from ..ops import intersect as isect
+from ..ops import hashgrid
+from ..scene.types import F_NULL, F_SMOOTH, F_TRANSMISSION, MEDIUM_TYPES
+
+
+class PhotonMaps(NamedTuple):
+    # surface photons
+    sp_pos: jnp.ndarray      # (P, 3)
+    sp_power: jnp.ndarray    # (P, 3)
+    sp_dir: jnp.ndarray      # (P, 3) propagation dir at deposit
+    sp_normal: jnp.ndarray   # (P, 3)
+    sp_depth: jnp.ndarray    # (P,)
+    sp_caustic: jnp.ndarray  # (P,) bool
+    sp_valid: jnp.ndarray    # (P,) bool
+    global_grid: hashgrid.HashGrid
+    caustic_grid: hashgrid.HashGrid
+    sp_scale: jnp.ndarray    # ()
+    # volume photons
+    vp_pos: jnp.ndarray
+    vp_power: jnp.ndarray
+    vp_dir: jnp.ndarray
+    vp_depth: jnp.ndarray
+    vp_valid: jnp.ndarray
+    vp_grid: hashgrid.HashGrid
+    vp_scale: jnp.ndarray
+    # VRLs
+    vrl_o: jnp.ndarray       # (V, 3)
+    vrl_d: jnp.ndarray       # (V, 3) unit
+    vrl_len: jnp.ndarray     # (V,)
+    vrl_flux: jnp.ndarray    # (V, 3)
+    vrl_medium: jnp.ndarray  # (V,) int32
+    vrl_depth: jnp.ndarray   # (V,)
+    vrl_direct: jnp.ndarray  # (V,) bool
+    vrl_valid: jnp.ndarray   # (V,) bool
+    vrl_scale: jnp.ndarray   # ()
+    vrl_count: jnp.ndarray   # () int32 number of valid (compacted) VRLs
+
+
+class ShootState(NamedTuple):
+    sampler: Sampler
+    ray: Ray
+    throughput: jnp.ndarray
+    flux: jnp.ndarray
+    eta: jnp.ndarray
+    depth: jnp.ndarray
+    medium_depth: jnp.ndarray
+    was_transmitted: jnp.ndarray
+    is_direct: jnp.ndarray
+    medium_idx: jnp.ndarray
+    active: jnp.ndarray
+    vrl_start: jnp.ndarray       # (N, 3) current VRL segment origin
+    vrl_flux: jnp.ndarray        # (N, 3) flux*throughput at segment start
+    vrl_medium: jnp.ndarray
+    vrl_depth: jnp.ndarray
+    vrl_direct: jnp.ndarray
+    channel: jnp.ndarray
+
+
+class StepDeposits(NamedTuple):
+    sp_pos: jnp.ndarray
+    sp_power: jnp.ndarray
+    sp_dir: jnp.ndarray
+    sp_normal: jnp.ndarray
+    sp_depth: jnp.ndarray
+    sp_caustic: jnp.ndarray
+    sp_valid: jnp.ndarray
+    vp_pos: jnp.ndarray
+    vp_power: jnp.ndarray
+    vp_dir: jnp.ndarray
+    vp_depth: jnp.ndarray
+    vp_valid: jnp.ndarray
+    vrl_o: jnp.ndarray        # (S+1, N, 3) bend deposits + end deposit
+    vrl_e: jnp.ndarray        # (S+1, N, 3) endpoints
+    vrl_flux: jnp.ndarray     # (S+1, N, 3)
+    vrl_medium: jnp.ndarray
+    vrl_depth: jnp.ndarray
+    vrl_direct: jnp.ndarray
+    vrl_valid: jnp.ndarray
+
+
+def _march_nonlinear(scene, meta, st: ShootState, t_coll, active_nl,
+                     max_bends: int, min_vrl_len):
+    """Walk the sampled free-flight distance along a bending ray, emitting
+    a VRL deposit at every direction change (vrl.cpp:207-227). Returns
+    (new_st_fields..., bend deposits stacked (S, N, ...))."""
+    N = st.ray.o.shape[0]
+    S = max_bends
+
+    def body(carry, _):
+        ray, remaining, vrl_start, vrl_flux, act = carry
+        nli = nl_mod.sample_nonlinear_interaction(scene, meta, ray,
+                                                  st.medium_idx, act)
+        # also stop at scene surfaces (handle... returns false if si.t<nli.t)
+        si = isect.ray_intersect(scene, Ray(ray.o, ray.d, ray.mint,
+                                            jnp.minimum(remaining, nli.t)))
+        bend = act & nli.valid & (nli.t < remaining) & ~si.valid
+        changed = bend & (m.dot(nli.wo, ray.d) < 1.0 - 1e-7)
+        # VRL deposit at the bend
+        dep_o = vrl_start
+        dep_e = nli.p
+        seg_len = m.norm(dep_e - dep_o)
+        dep_ok = changed & (seg_len > min_vrl_len) & (st.medium_idx >= 0)
+        new_start = jnp.where(changed[:, None], nli.p, vrl_start)
+        dep = (dep_o, dep_e, vrl_flux, st.medium_idx, st.depth,
+               st.is_direct, dep_ok)
+        new_ray = Ray(o=jnp.where(bend[:, None], nli.p, ray.o),
+                      d=jnp.where(bend[:, None], nli.wo, ray.d),
+                      mint=jnp.zeros((N,)), maxt=ray.maxt)
+        remaining = jnp.where(bend, remaining - nli.t, remaining)
+        return (new_ray, remaining, new_start, vrl_flux, bend), dep
+
+    init = (st.ray, t_coll, st.vrl_start, st.vrl_flux, active_nl)
+    (ray, remaining, vrl_start, vrl_flux, _), deps = jax.lax.scan(
+        body, init, None, length=S)
+    return ray, remaining, vrl_start, deps
+
+
+def shoot(scene, meta, key, n_paths: int, max_depth: int = 8,
+          rr_depth: int = 5, max_bends: int = 0, min_vrl_len: float = 0.0,
+          vp_all_scatters: bool = False):
+    """Trace ``n_paths`` light paths for ``max_depth`` bounce iterations.
+    Returns stacked StepDeposits (leading axis = bounce) + per-path flags.
+    """
+    N = n_paths
+    sampler = Sampler.make(key, N)
+    u_sel, sampler = sampler.next_1d()
+    u_pos, sampler = sampler.next_2d()
+    u_dir, sampler = sampler.next_2d()
+    act0 = jnp.ones((N,), bool)
+    ray, flux, e_idx, n_o = emitter_mod.sample_ray(scene, meta, u_sel, u_pos,
+                                                   u_dir, act0)
+    if meta.iprop('use_laser', False):
+        lo = jnp.asarray(meta.iprop('laser_origin', (0.0, 0.0, 0.0)),
+                         jnp.float32)
+        ld = m.normalize(jnp.asarray(meta.iprop('laser_direction',
+                                                (0.0, 0.0, 1.0)), jnp.float32))
+        ray = Ray.make(jnp.broadcast_to(lo, (N, 3)),
+                       jnp.broadcast_to(ld, (N, 3)), mint=0.0)
+
+    u_ch, sampler = sampler.next_1d()
+    channel = jnp.minimum((u_ch * 3).astype(jnp.int32), 2)
+
+    st = ShootState(
+        sampler=sampler, ray=ray, throughput=jnp.ones((N, 3)), flux=flux,
+        eta=jnp.ones((N,)), depth=jnp.ones((N,), jnp.int32),
+        medium_depth=jnp.zeros((N,), jnp.int32),
+        was_transmitted=jnp.zeros((N,), bool),
+        is_direct=jnp.ones((N,), bool),
+        medium_idx=jnp.full((N,), -1, jnp.int32), active=act0,
+        vrl_start=ray.o, vrl_flux=flux,
+        vrl_medium=jnp.full((N,), -1, jnp.int32),
+        vrl_depth=jnp.ones((N,), jnp.int32),
+        vrl_direct=jnp.ones((N,), bool), channel=channel)
+
+    S_nl = max_bends
+    has_nl = MEDIUM_TYPES['nonlinear'] in meta.medium_types and S_nl > 0
+
+    def body(st: ShootState, _):
+        smp = st.sampler
+        N = st.ray.o.shape[0]
+        throughput = st.throughput
+
+        # RR
+        active = st.active & jnp.any(throughput != 0, axis=-1)
+        q = jnp.minimum(jax.lax.stop_gradient(
+            jnp.max(throughput, axis=-1) * m.sqr(st.eta)), 0.95)
+        perform_rr = st.depth > rr_depth
+        u_rr, smp = smp.next_1d()
+        active = active & ((u_rr < q) | ~perform_rr)
+        throughput = jnp.where(perform_rr[:, None],
+                               throughput * m.safe_rcp(q)[:, None],
+                               throughput)
+        active = active & (st.depth < max_depth)
+
+        active_medium = active & (st.medium_idx >= 0)
+        active_surface = active & ~active_medium
+
+        # --- nonlinear bending + free flight --------------------------------
+        u_fl, smp = smp.next_1d()
+        majorant = medium_mod.get_majorant(scene, st.medium_idx)
+        mj = jnp.take_along_axis(majorant, st.channel[:, None], 1)[:, 0]
+        t_coll = -jnp.log1p(-jnp.clip(u_fl, 0, m.OneMinusEpsilon)) \
+            / jnp.maximum(mj, 1e-30)
+
+        cur_ray = st.ray
+        vrl_start = st.vrl_start
+        if has_nl:
+            midx_safe = jnp.maximum(st.medium_idx, 0)
+            is_nl = active_medium & \
+                (scene.media.type[midx_safe] == MEDIUM_TYPES['nonlinear'])
+            cur_ray, t_coll2, vrl_start, bend_deps = _march_nonlinear(
+                scene, meta, st._replace(ray=cur_ray), t_coll, is_nl,
+                S_nl, min_vrl_len)
+            t_coll = jnp.where(is_nl, t_coll2, t_coll)
+        else:
+            zero3 = jnp.zeros((0, N, 3))
+            bend_deps = (zero3, zero3, zero3,
+                         jnp.zeros((0, N), jnp.int32),
+                         jnp.zeros((0, N), jnp.int32),
+                         jnp.zeros((0, N), bool), jnp.zeros((0, N), bool))
+
+        # scene hit along (possibly bent) ray
+        si = isect.ray_intersect(scene, Ray(cur_ray.o, cur_ray.d,
+                                            cur_ray.mint,
+                                            jnp.full((N,), jnp.inf)))
+        # medium collision valid if before surface
+        coll_valid = active_medium & (mj > 0) & (t_coll < si.t)
+        # spectral tr/pdf correction for colored extinction (identity for
+        # gray media): tr = exp(-t*maj_vec), pdf = tr*maj[ch] | tr[ch]
+        seg_t = jnp.minimum(t_coll, si.t)
+        seg_t = jnp.where(jnp.isfinite(seg_t), seg_t, 0.0)
+        tr_vec = jnp.exp(-seg_t[:, None] * majorant)
+        tr_ch = jnp.take_along_axis(tr_vec, st.channel[:, None], 1)[:, 0]
+        tr_pdf = jnp.where(coll_valid, tr_ch * mj, tr_ch)
+        throughput = jnp.where(
+            active_medium[:, None],
+            throughput * jnp.where(
+                (tr_pdf > 0)[:, None],
+                tr_vec / jnp.maximum(tr_pdf, 1e-30)[:, None], 0.0),
+            throughput)
+        p_coll = cur_ray.at(jnp.where(coll_valid, t_coll, 0.0))
+        sigma_s, sigma_n, sigma_t = medium_mod.get_scattering_coefficients(
+            scene, meta, st.medium_idx, p_coll, coll_valid)
+        escaped_medium = active_medium & ~coll_valid
+
+        # null vs real
+        u_ev, smp = smp.next_1d()
+        p_real = jnp.take_along_axis(sigma_t, st.channel[:, None], 1)[:, 0] \
+            / jnp.maximum(mj, 1e-30)
+        act_real = coll_valid & (u_ev < p_real)
+        act_null = coll_valid & ~act_real
+        throughput = jnp.where(
+            act_null[:, None],
+            throughput * sigma_n * (mj / jnp.maximum(
+                jnp.take_along_axis(sigma_n, st.channel[:, None], 1)[:, 0],
+                1e-30))[:, None], throughput)
+        depth = jnp.where(act_real, st.depth + 1, st.depth)
+        active = active & (depth < max_depth + 1)
+        act_real = act_real & active
+
+        throughput = jnp.where(
+            act_real[:, None],
+            throughput * sigma_s * (mj / jnp.maximum(
+                jnp.take_along_axis(sigma_t, st.channel[:, None], 1)[:, 0],
+                1e-30))[:, None], throughput)
+
+        # volume photon: first scatter in the chain (vrl.cpp:273-275), or
+        # every scatter for the photonmapper (photonmapper.cpp:198-241)
+        vp_ok = act_real if vp_all_scatters else \
+            (act_real & (st.medium_depth == 0))
+        vp_pos = p_coll
+        vp_power = st.flux * throughput
+        vp_dir = cur_ray.d
+        medium_depth = jnp.where(act_real, st.medium_depth + 1,
+                                 st.medium_depth)
+
+        # VRL end at the real scatter
+        vrl_end_med_ok = act_real & (st.medium_idx >= 0)
+
+        # phase sampling for the new direction
+        u2p, smp = smp.next_2d()
+        wo_med, _ = phase_mod.sample(scene, meta, st.medium_idx, -cur_ray.d,
+                                     u2p, act_real)
+
+        # --- surface leg -----------------------------------------------------
+        active_surface = active_surface | escaped_medium
+        active_surface = active_surface & si.valid
+        # paths die on emitter hits (vrl.cpp:309-310)
+        hit_emitter = active_surface & (si.emitter_idx >= 0)
+        active_surface = active_surface & ~hit_emitter
+
+        # VRL end at the surface
+        vrl_end_surf_ok = active_surface & (st.medium_idx >= 0)
+
+        flags = bsdf_mod.flags_of(scene, si)
+        is_smooth = (flags & F_SMOOTH) > 0
+        sp_ok = active_surface & is_smooth
+        sp_pos = si.p
+        sp_power = st.flux * throughput
+        sp_dir = cur_ray.d
+        sp_normal = si.n
+        sp_caustic = st.was_transmitted
+
+        # bsdf sampling (importance transport)
+        u1b, smp = smp.next_1d()
+        u2b, smp = smp.next_2d()
+        bs, b_weight = bsdf_mod.sample(scene, meta, si, u1b, u2b,
+                                       mode=bsdf_mod.IMPORTANCE)
+        throughput = jnp.where(active_surface[:, None],
+                               throughput * b_weight, throughput)
+        eta = jnp.where(active_surface, st.eta * bs.eta, st.eta)
+        wo_world = si.to_world(bs.wo)
+        non_null = active_surface & ~bs.null
+        depth = jnp.where(non_null, depth + 1, depth)
+        was_transmitted = jnp.where(
+            non_null, (bsdf_mod.flags_of(scene, si) & F_TRANSMISSION) > 0,
+            st.was_transmitted)
+        medium_depth = jnp.where(non_null & was_transmitted, 0, medium_depth)
+
+        new_medium = jnp.where(active_surface & si.is_medium_transition(),
+                               si.target_medium(wo_world), st.medium_idx)
+
+        # assemble next ray
+        o_next = jnp.where((act_real | act_null)[:, None], p_coll,
+                           jnp.where(active_surface[:, None], si.p,
+                                     cur_ray.o))
+        d_next = jnp.where(act_real[:, None], wo_med,
+                           jnp.where(active_surface[:, None], wo_world,
+                                     cur_ray.d))
+        mint_next = jnp.where(active_surface, m.RayEpsilon, 0.0)
+        new_ray = Ray(o_next, d_next, mint_next, jnp.full((N,), jnp.inf))
+
+        # VRL bookkeeping: end current segment at scatter/surface, restart
+        vrl_end_ok = vrl_end_med_ok | vrl_end_surf_ok
+        end_p = jnp.where(act_real[:, None], p_coll, si.p)
+        end_len_ok = m.norm(end_p - vrl_start) > min_vrl_len
+        vrl_dep = (vrl_start, end_p, st.vrl_flux, st.vrl_medium,
+                   st.vrl_depth, st.vrl_direct,
+                   vrl_end_ok & end_len_ok & (st.vrl_medium >= 0))
+
+        # after a real scatter the subsequent light is indirect
+        is_direct = jnp.where(act_real, False, st.is_direct)
+        restart = act_real | active_surface | act_null
+        new_vrl_start = jnp.where(restart[:, None], o_next, vrl_start)
+        new_vrl_flux = jnp.where(restart[:, None],
+                                 st.flux * throughput, st.vrl_flux)
+
+        alive = (act_real | act_null | active_surface) & active
+        alive = alive & jnp.any(throughput != 0, axis=-1)
+        alive = alive & (~active_surface | (bs.pdf > 0))
+
+        # stack bend deposits (S, N, ...) with the end deposit (1, N, ...)
+        bo, be, bf, bm, bd, bdir, bok = bend_deps
+        dep = StepDeposits(
+            sp_pos=sp_pos, sp_power=sp_power, sp_dir=sp_dir,
+            sp_normal=sp_normal, sp_depth=depth, sp_caustic=sp_caustic,
+            sp_valid=sp_ok,
+            vp_pos=vp_pos, vp_power=vp_power, vp_dir=vp_dir,
+            vp_depth=depth, vp_valid=vp_ok,
+            vrl_o=jnp.concatenate([bo, vrl_dep[0][None]], 0),
+            vrl_e=jnp.concatenate([be, vrl_dep[1][None]], 0),
+            vrl_flux=jnp.concatenate([bf, vrl_dep[2][None]], 0),
+            vrl_medium=jnp.concatenate([bm, vrl_dep[3][None]], 0),
+            vrl_depth=jnp.concatenate([bd, vrl_dep[4][None]], 0),
+            vrl_direct=jnp.concatenate([bdir, vrl_dep[5][None]], 0),
+            vrl_valid=jnp.concatenate([bok, vrl_dep[6][None]], 0))
+
+        new_st = ShootState(
+            sampler=smp, ray=new_ray, throughput=throughput, flux=st.flux,
+            eta=eta, depth=depth, medium_depth=medium_depth,
+            was_transmitted=was_transmitted, is_direct=is_direct,
+            medium_idx=new_medium, active=alive,
+            vrl_start=new_vrl_start, vrl_flux=new_vrl_flux,
+            vrl_medium=jnp.where(restart, new_medium, st.vrl_medium),
+            vrl_depth=jnp.where(restart, depth, st.vrl_depth),
+            vrl_direct=jnp.where(restart, is_direct, st.vrl_direct),
+            channel=st.channel)
+        return new_st, dep
+
+    st, deps = jax.lax.scan(body, st, None, length=max_depth + 2)
+    return deps
+
+
+def _compact(valid, arrays, cap=None):
+    """Host-side: keep valid rows, pad to a power of two (static shapes)."""
+    import numpy as np
+    valid = np.asarray(valid)
+    idx = np.nonzero(valid)[0]
+    if cap is not None and len(idx) > cap:
+        idx = idx[:cap]
+    n = len(idx)
+    P = max(8, 1 << max(n - 1, 1).bit_length())
+    outs = []
+    for a in arrays:
+        a = np.asarray(a)
+        out = np.zeros((P,) + a.shape[1:], a.dtype)
+        out[:n] = a[idx]
+        outs.append(jnp.asarray(out))
+    vmask = np.zeros((P,), bool)
+    vmask[:n] = True
+    return n, jnp.asarray(vmask), outs
+
+
+def build_maps(scene, meta, deps: StepDeposits, n_paths: int,
+               r_global, r_caustic, r_volume,
+               vrl_cap=None, photon_cap=None) -> PhotonMaps:
+    """Flatten + compact the stacked deposits (HOST side — runs once per
+    render like the reference's map builds, vrl.cpp:383-438) and build the
+    hash grids + contributing-path scale factors."""
+    import numpy as np
+
+    def flat(x):
+        x = np.asarray(x)
+        return x.reshape((-1,) + x.shape[2:])
+
+    def flat_vrl(x):
+        x = np.asarray(x)
+        return x.reshape((-1,) + x.shape[3:])
+
+    # contributing-path counts (reference scale semantics)
+    sp_valid_bn = np.asarray(deps.sp_valid)
+    vp_valid_bn = np.asarray(deps.vp_valid)
+    vrl_valid_bsn = np.asarray(deps.vrl_valid)
+    sp_paths = max(int(sp_valid_bn.any(axis=0).sum()), 1)
+    vp_paths = max(int(vp_valid_bn.any(axis=0).sum()), 1)
+    vrl_paths = max(int(vrl_valid_bsn.any(axis=(0, 1)).sum()), 1)
+
+    sp_valid = flat(deps.sp_valid)
+    _, sp_vmask, (sp_pos, sp_power, sp_dir, sp_normal, sp_depth,
+                  sp_caustic) = _compact(
+        sp_valid, [flat(deps.sp_pos), flat(deps.sp_power), flat(deps.sp_dir),
+                   flat(deps.sp_normal), flat(deps.sp_depth),
+                   flat(deps.sp_caustic)], photon_cap)
+
+    vp_valid = flat(deps.vp_valid)
+    _, vp_vmask, (vp_pos, vp_power, vp_dir, vp_depth) = _compact(
+        vp_valid, [flat(deps.vp_pos), flat(deps.vp_power), flat(deps.vp_dir),
+                   flat(deps.vp_depth)], photon_cap)
+
+    vrl_o_all = flat_vrl(deps.vrl_o)
+    vrl_e_all = flat_vrl(deps.vrl_e)
+    seg = vrl_e_all - vrl_o_all
+    ln = np.linalg.norm(seg, axis=1)
+    vv = flat_vrl(deps.vrl_valid) & (ln > 1e-6)
+    n_vrl, vrl_vmask, (vrl_o, vrl_e, vrl_flux, vrl_medium, vrl_depth,
+                       vrl_direct) = _compact(
+        vv, [vrl_o_all, vrl_e_all, flat_vrl(deps.vrl_flux),
+             flat_vrl(deps.vrl_medium), flat_vrl(deps.vrl_depth),
+             flat_vrl(deps.vrl_direct)], vrl_cap)
+    seg_c = vrl_e - vrl_o
+    vrl_len = m.norm(seg_c)
+    vrl_d = seg_c * m.safe_rcp(vrl_len)[:, None]
+
+    lo = scene.bbox_lo
+    return PhotonMaps(
+        sp_pos=sp_pos, sp_power=sp_power, sp_dir=sp_dir,
+        sp_normal=sp_normal, sp_depth=sp_depth,
+        sp_caustic=sp_caustic.astype(bool), sp_valid=sp_vmask,
+        global_grid=hashgrid.build(sp_pos,
+                                   sp_vmask & ~sp_caustic.astype(bool),
+                                   lo, r_global),
+        caustic_grid=hashgrid.build(sp_pos,
+                                    sp_vmask & sp_caustic.astype(bool),
+                                    lo, r_caustic),
+        sp_scale=jnp.float32(1.0 / sp_paths),
+        vp_pos=vp_pos, vp_power=vp_power, vp_dir=vp_dir,
+        vp_depth=vp_depth, vp_valid=vp_vmask,
+        vp_grid=hashgrid.build(vp_pos, vp_vmask, lo, r_volume),
+        vp_scale=jnp.float32(1.0 / vp_paths),
+        vrl_o=vrl_o, vrl_d=vrl_d, vrl_len=vrl_len, vrl_flux=vrl_flux,
+        vrl_medium=vrl_medium, vrl_depth=vrl_depth,
+        vrl_direct=vrl_direct.astype(bool), vrl_valid=vrl_vmask,
+        vrl_scale=jnp.float32(1.0 / vrl_paths),
+        vrl_count=jnp.int32(n_vrl))

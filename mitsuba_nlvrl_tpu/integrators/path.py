@@ -37,7 +37,7 @@ class PathState(NamedTuple):
 
 
 def sample(scene, meta, sampler: Sampler, ray: Ray, active=None,
-           diff: bool = False):
+           diff: bool = False, aux=None):
     """Estimate incident radiance along each camera ray. Returns (L, valid,
     sampler).
 

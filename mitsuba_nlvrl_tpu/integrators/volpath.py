@@ -290,7 +290,7 @@ class VolpathState(NamedTuple):
 
 
 def sample(scene, meta, sampler: Sampler, ray: Ray, active=None,
-           diff: bool = False):
+           diff: bool = False, aux=None):
     N = ray.o.shape[0]
     if active is None:
         active = jnp.ones((N,), bool)

@@ -223,7 +223,30 @@ def _parse_object(elem, ctx: XMLContext, within_emitter=False) -> dict:
     return props
 
 
-def _parse_scene_elem(root, ctx: XMLContext, desc: dict):
+def _predeclare(root, ctx: XMLContext):
+    """First pass: register scene-level named objects (bsdf/medium/emitter/
+    texture) and defaults so forward <ref>s resolve (the reference loader
+    builds the full Properties tree before instantiation, allowing
+    forward references within a file)."""
+    for ch in root:
+        tag = ch.tag.lower()
+        if tag == 'default':
+            ctx.defaults.setdefault(ch.get('name'), ch.get('value'))
+        elif tag == 'include':
+            fname = ctx.resolve(ctx.subst(ch.get('filename')))
+            sub_tree = ET.parse(fname).getroot()
+            old = ctx.base_dir
+            ctx.base_dir = os.path.dirname(fname)
+            _predeclare(sub_tree, ctx)
+            ctx.base_dir = old
+        elif tag in ('bsdf', 'medium', 'emitter', 'texture') and ch.get('id'):
+            obj = _parse_object(ch, ctx, within_emitter=(tag == 'emitter'))
+            obj['_tag'] = tag
+            ctx.named[ch.get('id')] = obj
+
+
+def _parse_scene_elem(root, ctx: XMLContext, desc: dict, declared=None):
+    """Second pass: shapes / sensor / integrator / unnamed emitters."""
     for ch in root:
         tag = ch.tag.lower()
         if tag == 'default':
@@ -248,28 +271,14 @@ def _parse_scene_elem(root, ctx: XMLContext, desc: dict):
             if ch.get('id'):
                 ctx.named[ch.get('id')] = sh
             desc.setdefault('shapes', []).append(sh)
-        elif tag == 'bsdf':
-            b = _parse_object(ch, ctx)
-            b['_tag'] = 'bsdf'
-            if ch.get('id'):
-                ctx.named[ch.get('id')] = b
-        elif tag == 'medium':
-            mm = _parse_object(ch, ctx)
-            mm['_tag'] = 'medium'
-            if ch.get('id'):
-                ctx.named[ch.get('id')] = mm
+        elif tag in ('bsdf', 'medium', 'texture'):
+            if not ch.get('id'):  # id'd objects were predeclared in pass 1
+                _parse_object(ch, ctx)
         elif tag == 'emitter':
-            e = _parse_object(ch, ctx, within_emitter=True)
-            e['_tag'] = 'emitter'
-            if ch.get('id'):
-                ctx.named[ch.get('id')] = e
-            else:
+            if not ch.get('id'):
+                e = _parse_object(ch, ctx, within_emitter=True)
+                e['_tag'] = 'emitter'
                 desc.setdefault('emitters', []).append(e)
-        elif tag == 'texture':
-            t = _parse_object(ch, ctx)
-            t['_tag'] = 'texture'
-            if ch.get('id'):
-                ctx.named[ch.get('id')] = t
         elif tag == 'alias':
             ctx.named[ch.get('as')] = ctx.named[ch.get('id')]
         else:
@@ -285,6 +294,7 @@ def load_file(path: str, params: Optional[Dict[str, str]] = None) -> dict:
         raise ValueError(f"{path}: root tag must be <scene>")
     ctx = XMLContext(os.path.dirname(os.path.abspath(path)), params)
     desc: dict = {}
+    _predeclare(root, ctx)
     _parse_scene_elem(root, ctx, desc)
     _fixup(desc, ctx)
     return desc
@@ -295,6 +305,7 @@ def load_string(text: str, base_dir: str = '.',
     root = ET.fromstring(text)
     ctx = XMLContext(base_dir, params)
     desc: dict = {}
+    _predeclare(root, ctx)
     _parse_scene_elem(root, ctx, desc)
     _fixup(desc, ctx)
     return desc

@@ -1,0 +1,184 @@
+"""NLVRL pipeline tests: nonlinear marcher, hash grid, light tracing,
+photonmapper/VRL integrators vs volpath ground truth.
+
+The reference has NO tests for its thesis code (SURVEY §4); these are the
+oracles the new framework defines: physical invariants (mirage bending,
+TIR), brute-force equivalence (hash grid), and cross-integrator agreement.
+"""
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from scenes import cornell_box
+from mitsuba_nlvrl_tpu import build_scene, render
+from mitsuba_nlvrl_tpu.core import transform as tr
+from mitsuba_nlvrl_tpu.core.ray import Ray
+
+
+def _nl_slab_scene(top_ior=0.8, bottom_ior=1.0, res_y=64):
+    return {
+        'sensor': {'type': 'perspective',
+                   'to_world': tr.look_at((0, 0, -3), (0, 0, 0), (0, 1, 0)),
+                   'film': {'width': 8, 'height': 8,
+                            'rfilter': {'type': 'box'}}},
+        'integrator': {'type': 'path'},
+        'shapes': [
+            {'type': 'cube', 'bsdf': {'type': 'null'},
+             'interior': {'type': 'nonlinear', 'sigma_t': 0.01,
+                          'albedo': 0.5, 'res_x': 1, 'res_y': res_y,
+                          'res_z': 1, 'top_ior': top_ior,
+                          'bottom_ior': bottom_ior},
+             'to_world': tr.scale((4, 1, 4))},
+        ],
+        'emitters': [{'type': 'constant', 'radiance': (1, 1, 1)}],
+    }
+
+
+def test_nonlinear_marcher_mirage_bending():
+    """A ray rising through decreasing IOR flattens and TIRs back down."""
+    from mitsuba_nlvrl_tpu.medium import nonlinear as nl
+    scene, meta = build_scene(_nl_slab_scene())
+    ang = math.radians(30)
+    o = jnp.asarray([[-3.9, -0.95, 0.0]])
+    d = jnp.asarray([[math.cos(ang), math.sin(ang), 0.0]])
+    ray = Ray.make(o, d, mint=0.0)
+    bent, si = nl.bend_ray(scene, meta, ray, jnp.zeros((1,), jnp.int32),
+                           jnp.ones((1,), bool), max_segments=128)
+    cnt = int(bent.count[0])
+    assert cnt > 10
+    dirs = np.asarray(bent.seg_d[0, :cnt])
+    ys = np.asarray(bent.seg_o[0, :cnt, 1])
+    # flattens while rising...
+    assert dirs[cnt // 2, 1] < dirs[0, 1]
+    # ...then comes back down (TIR) without ever leaving the slab
+    assert dirs[-1, 1] < 0
+    assert ys.max() < 1.0
+
+
+def test_nonlinear_uniform_ior_goes_straight():
+    """With equal IOR everywhere the 'bent' ray is straight."""
+    from mitsuba_nlvrl_tpu.medium import nonlinear as nl
+    scene, meta = build_scene(_nl_slab_scene(top_ior=1.0, bottom_ior=1.0))
+    o = jnp.asarray([[-3.9, -0.5, 0.0]])
+    d = jnp.asarray([[0.8, 0.6, 0.0]])
+    ray = Ray.make(o, d, mint=0.0)
+    bent, si = nl.bend_ray(scene, meta, ray, jnp.zeros((1,), jnp.int32),
+                           jnp.ones((1,), bool), max_segments=64)
+    cnt = int(bent.count[0])
+    dirs = np.asarray(bent.seg_d[0, :cnt])
+    assert np.abs(dirs - dirs[0]).max() < 1e-5
+
+
+def test_snell_refraction_at_cell_boundary():
+    """Single boundary: sin(t1) * n1 == sin(t2) * n2."""
+    from mitsuba_nlvrl_tpu.medium import nonlinear as nl
+    scene, meta = build_scene(_nl_slab_scene(top_ior=0.5, bottom_ior=1.0,
+                                             res_y=2))
+    ang = math.radians(20)
+    o = jnp.asarray([[0.0, -0.5, 0.0]])
+    d = jnp.asarray([[math.sin(ang), math.cos(ang), 0.0]])
+    ray = Ray.make(o, d, mint=0.0)
+    nli = nl.sample_nonlinear_interaction(scene, meta, ray,
+                                          jnp.zeros((1,), jnp.int32),
+                                          jnp.ones((1,), bool))
+    assert bool(nli.valid[0])
+    n1, n2 = float(nli.n1[0]), float(nli.n2[0])
+    sin_in = math.sin(ang)
+    sin_out = float(jnp.abs(nli.wo[0, 0]))
+    assert abs(sin_in * n1 - sin_out * n2) < 1e-4
+
+
+def test_hashgrid_matches_bruteforce(rng):
+    from mitsuba_nlvrl_tpu.ops import hashgrid
+    P, N, r = 500, 64, 0.15
+    pts = jnp.asarray(rng.random((P, 3)), jnp.float32)
+    valid = jnp.asarray(rng.random(P) > 0.2)
+    grid = hashgrid.build(pts, valid, jnp.zeros(3), r)
+    q = jnp.asarray(rng.random((N, 3)), jnp.float32)
+
+    def fold(acc, idx, ok):
+        d2 = jnp.sum((pts[idx] - q[:, None, :]) ** 2, -1)
+        sel = ok & (d2 <= r * r) & valid[idx]
+        return acc + sel.sum(axis=1)
+
+    counts = hashgrid.fold_neighbors(grid, q, jnp.ones((N,), bool), fold,
+                                     jnp.zeros((N,), jnp.int32),
+                                     max_per_cell=64)
+    # brute force
+    d2 = np.sum((np.asarray(pts)[None] - np.asarray(q)[:, None]) ** 2, -1)
+    brute = ((d2 <= r * r) & np.asarray(valid)[None, :]).sum(1)
+    assert np.array_equal(np.asarray(counts), brute)
+
+
+def test_lighttrace_deposits():
+    from mitsuba_nlvrl_tpu.integrators import lighttrace
+    med = {'type': 'homogeneous', 'sigma_t': 0.4, 'albedo': 0.9}
+    desc = cornell_box(spp=1, res=8, integrator={'type': 'vrl'}, medium=med)
+    scene, meta = build_scene(desc)
+    deps = lighttrace.shoot(scene, meta, jax.random.PRNGKey(0),
+                            n_paths=512, max_depth=6, min_vrl_len=0.0)
+    n_sp = int(np.asarray(deps.sp_valid).sum())
+    n_vp = int(np.asarray(deps.vp_valid).sum())
+    n_vrl = int(np.asarray(deps.vrl_valid).sum())
+    assert n_sp > 100 and n_vp > 50 and n_vrl > 200
+    maps = lighttrace.build_maps(scene, meta, deps, 512, 0.1, 0.05, 0.05)
+    assert int(maps.vrl_count) == n_vrl
+    # all VRLs lie inside the medium box (|coord| <= 0.95 + eps)
+    vo = np.asarray(maps.vrl_o[np.asarray(maps.vrl_valid)])
+    assert np.abs(vo).max() < 1.0
+    # deposited power is finite & positive
+    assert np.isfinite(np.asarray(maps.sp_power)).all()
+
+
+def test_photonmapper_matches_volpath():
+    med = {'type': 'homogeneous', 'sigma_t': 0.4, 'albedo': 0.9}
+    dv = cornell_box(spp=8, res=16,
+                     integrator={'type': 'volpath', 'max_depth': 6},
+                     medium=med)
+    sv, mv = build_scene(dv)
+    gt = np.asarray(render(sv, mv, spp=8, seed=1)).mean()
+    dp = cornell_box(spp=2, res=16,
+                     integrator={'type': 'photonmapper', 'max_depth': 6,
+                                 'volume_lookup_radius_relative': 0.03},
+                     medium=med)
+    sp, mp = build_scene(dp)
+    pm = np.asarray(render(sp, mp, spp=2, seed=1)).mean()
+    assert abs(pm - gt) / gt < 0.35, (pm, gt)
+
+
+def test_vrl_matches_volpath():
+    med = {'type': 'homogeneous', 'sigma_t': 0.5, 'albedo': 0.8}
+    dv = cornell_box(spp=8, res=16,
+                     integrator={'type': 'volpath', 'max_depth': 6},
+                     medium=med, light='point')
+    sv, mv = build_scene(dv)
+    gt = np.asarray(render(sv, mv, spp=8, seed=1)).mean()
+    dd = cornell_box(spp=4, res=16,
+                     integrator={'type': 'vrl', 'max_depth': 6,
+                                 'target_vrls': 2000, 'samples_per_query': 4,
+                                 'min_vrl_length': 0.02,
+                                 'use_direct_illum': True,
+                                 'volume_lookup_radius_relative': 0.03},
+                     medium=med, light='point')
+    sd, md = build_scene(dd)
+    vr = np.asarray(render(sd, md, spp=4, seed=1)).mean()
+    assert abs(vr - gt) / gt < 0.35, (vr, gt)
+
+
+def test_nlvrl_headline_scene_smoke():
+    import os
+    path = '/root/reference/data/scenes/cbox/cbox-nonlinear-homo-vrl.xml'
+    if not os.path.exists(path):
+        pytest.skip("reference data unavailable")
+    from mitsuba_nlvrl_tpu.scene.xml import load_file
+    desc = load_file(path)
+    desc['sensor']['film']['width'] = 32
+    desc['sensor']['film']['height'] = 16
+    desc['integrator']['target_vrls'] = 1000
+    scene, meta = build_scene(desc)
+    img = np.asarray(render(scene, meta, spp=1, seed=0))
+    assert np.isfinite(img).all()
+    assert img.max() > 0  # the laser lights up something
