@@ -25,8 +25,81 @@ E_POINT = EMITTER_TYPES['point']
 E_CONSTANT = EMITTER_TYPES['constant']
 E_DIRECTIONAL = EMITTER_TYPES['directional']
 E_SPOT = EMITTER_TYPES['spot']
+E_ENVMAP = EMITTER_TYPES['envmap']
 
 EMITTER_NPARAM = 12
+
+
+# --- environment map helpers (reference src/emitters/envmap.cpp) ------------
+
+def _env_uv_from_local(d):
+    """Local direction -> equirectangular uv (envmap.cpp:146-147)."""
+    u = jnp.arctan2(d[..., 0], -d[..., 2]) * m.InvTwoPi
+    u = jnp.where(u < 0.0, u + 1.0, u)
+    v = m.safe_acos(jnp.clip(d[..., 1], -1.0, 1.0)) * m.InvPi
+    return u, v
+
+
+def _env_dir_from_uv(u, v):
+    """uv -> local direction (envmap.cpp:159-162: sphdir then (y,z,-x))."""
+    theta = v * m.Pi
+    phi = u * (2.0 * m.Pi)
+    st, ct = jnp.sin(theta), jnp.cos(theta)
+    return jnp.stack([st * jnp.sin(phi), ct, -st * jnp.cos(phi)], axis=-1)
+
+
+def _env_eval_uv(scene, u, v):
+    """Bilinear env map lookup * scale."""
+    tex = scene.emitters.env_map
+    H, W = tex.shape[0], tex.shape[1]
+    x = u * W - 0.5
+    y = jnp.clip(v * H - 0.5, 0.0, H - 1.0)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.clip(y.astype(jnp.int32), 0, H - 1)
+    y1 = jnp.minimum(y0 + 1, H - 1)
+    tx = x - x0
+    ty = y - y0
+    x0w = jnp.mod(x0, W)
+    x1w = jnp.mod(x0 + 1, W)
+    c = (tex[y0, x0w] * ((1 - tx) * (1 - ty))[..., None]
+         + tex[y0, x1w] * (tx * (1 - ty))[..., None]
+         + tex[y1, x0w] * ((1 - tx) * ty)[..., None]
+         + tex[y1, x1w] * (tx * ty)[..., None])
+    return c * scene.emitters.env_scale
+
+
+def _env_pdf_uv(scene, u, v):
+    """Unit-square density of the luminance*sin(theta) 2D distribution."""
+    tex = scene.emitters.env_map
+    H, W = tex.shape[0], tex.shape[1]
+    row_cdf = scene.emitters.env_row_cdf
+    cond_cdf = scene.emitters.env_cond_cdf
+    yi = jnp.clip((v * H).astype(jnp.int32), 0, H - 1)
+    xi = jnp.clip((u * W).astype(jnp.int32), 0, W - 1)
+    row_pmf = row_cdf[yi] - jnp.where(yi > 0, row_cdf[jnp.maximum(yi - 1, 0)],
+                                      0.0)
+    cond_pmf = cond_cdf[yi, xi] - jnp.where(
+        xi > 0, cond_cdf[yi, jnp.maximum(xi - 1, 0)], 0.0)
+    return row_pmf * cond_pmf * H * W
+
+
+def _env_sample_uv(scene, u2):
+    tex = scene.emitters.env_map
+    H, W = tex.shape[0], tex.shape[1]
+    row_cdf = scene.emitters.env_row_cdf
+    cond_cdf = scene.emitters.env_cond_cdf
+    yi = jnp.clip(jnp.searchsorted(row_cdf, u2[..., 0], side='right'),
+                  0, H - 1)
+    rows = cond_cdf[yi]                      # (N, W)
+    xi = jnp.clip(jax.vmap(lambda r, x: jnp.searchsorted(r, x, side='right'))(
+        rows, u2[..., 1]), 0, W - 1)
+    uu = (xi + 0.5) / W
+    vv = (yi + 0.5) / H
+    return uu, vv, _env_pdf_uv(scene, uu, vv)
+
+
+def has_envmap(meta):
+    return E_ENVMAP in meta.emitter_types
 
 
 def pack_params(props: dict) -> Tuple[int, list]:
@@ -53,6 +126,9 @@ def pack_params(props: dict) -> Tuple[int, list]:
         p[0:3] = [float(x) for x in props.get('direction', (0, 0, 1))]
         p[3:6] = rgb('irradiance', 1.0)
         return E_DIRECTIONAL, p
+    if t == 'envmap':
+        p[0] = float(props.get('scale', 1.0))
+        return E_ENVMAP, p
     if t == 'spot':
         p[0:3] = [float(x) for x in props.get('position', (0, 0, 0))]
         p[3:6] = [float(x) for x in props.get('direction', (0, 0, 1))]
@@ -102,16 +178,21 @@ def eval_hit(scene, meta, si, active):
 
 
 def eval_env(scene, meta, ray_d, active):
-    """Environment radiance for escaped rays (constant emitter)."""
+    """Environment radiance for escaped rays (constant / envmap)."""
     out = jnp.zeros(ray_d.shape[:-1] + (3,), jnp.float32)
-    if E_CONSTANT not in meta.emitter_types:
-        return out
-    etypes = scene.emitters.type
-    is_const = etypes == E_CONSTANT
-    # at most one env emitter; sum masked rows
-    rad = jnp.sum(jnp.where(is_const[:, None], scene.emitters.params[:, 0:3], 0.0),
-                  axis=0)
-    return jnp.where(active[:, None], rad[None, :], out)
+    if E_CONSTANT in meta.emitter_types:
+        etypes = scene.emitters.type
+        is_const = etypes == E_CONSTANT
+        rad = jnp.sum(jnp.where(is_const[:, None],
+                                scene.emitters.params[:, 0:3], 0.0), axis=0)
+        out = out + jnp.where(active[:, None], rad[None, :], 0.0)
+    if E_ENVMAP in meta.emitter_types:
+        d_local = m.normalize(
+            scene.emitters.env_to_world.inverse().apply_vector(ray_d))
+        u, v = _env_uv_from_local(d_local)
+        out = out + jnp.where(active[:, None],
+                              _env_eval_uv(scene, u, v), 0.0)
+    return out
 
 
 def env_emitter_idx(scene, meta):
@@ -234,6 +315,21 @@ def sample_direction(scene, meta, ref_p, u_sel, u2, active
         delta = delta | sel
         spec = jnp.where(sel[:, None], P[:, 3:6], spec)
 
+    if E_ENVMAP in meta.emitter_types:
+        uu, vv, pdf_uv = _env_sample_uv(scene, u2)
+        d_local = _env_dir_from_uv(uu, vv)
+        d_w = m.normalize(scene.emitters.env_to_world.apply_vector(d_local))
+        p_e = ref_p + d_w * (2.0 * scene.bsphere_r)
+        inv_sin = m.safe_rsqrt(jnp.maximum(
+            m.sqr(d_local[..., 0]) + m.sqr(d_local[..., 2]), 1e-12))
+        pdf_e = pdf_uv * inv_sin / (2.0 * m.Pi * m.Pi)
+        spec_e = _env_eval_uv(scene, uu, vv)
+        sel = etype == E_ENVMAP
+        p = jnp.where(sel[:, None], p_e, p)
+        n = jnp.where(sel[:, None], -d_w, n)
+        pdf = jnp.where(sel, pdf_e, pdf)
+        spec = jnp.where(sel[:, None], spec_e, spec)
+
     d = p - ref_p
     dist = m.norm(d)
     d = d * m.safe_rcp(dist)[:, None]
@@ -273,12 +369,21 @@ def pdf_direction(scene, meta, ref_p, si, active):
     return jnp.where(has, pdf / E, 0.0)
 
 
-def pdf_env_direction(scene, meta, active):
+def pdf_env_direction(scene, meta, active, ray_d=None):
     """Solid-angle pdf for escaped rays hitting the env emitter."""
     E = max(scene.emitters.type.shape[0], 1)
-    if E_CONSTANT not in meta.emitter_types:
-        return jnp.zeros_like(active, jnp.float32)
-    return jnp.where(active, m.InvFourPi / E, 0.0)
+    if E_CONSTANT in meta.emitter_types:
+        return jnp.where(active, m.InvFourPi / E, 0.0)
+    if E_ENVMAP in meta.emitter_types and ray_d is not None:
+        d_local = m.normalize(
+            scene.emitters.env_to_world.inverse().apply_vector(ray_d))
+        u, v = _env_uv_from_local(d_local)
+        pdf_uv = _env_pdf_uv(scene, u, v)
+        inv_sin = m.safe_rsqrt(jnp.maximum(
+            m.sqr(d_local[..., 0]) + m.sqr(d_local[..., 2]), 1e-12))
+        pdf = pdf_uv * inv_sin / (2.0 * m.Pi * m.Pi)
+        return jnp.where(active, pdf / E, 0.0)
+    return jnp.zeros_like(active, jnp.float32)
 
 
 def sample_ray(scene, meta, u_sel, u_pos, u_dir, active
@@ -350,6 +455,30 @@ def sample_ray(scene, meta, u_sel, u_pos, u_dir, active
         d = jnp.where(sel[:, None], d_s, d)
         w = jnp.where(sel[:, None], P[:, 6:9] * (falloff * inv_pdf)[:, None], w)
         n_o = jnp.where(sel[:, None], d_s, n_o)
+
+    if E_ENVMAP in meta.emitter_types:
+        # direction toward the envmap sampled by luminance; photons start on
+        # the disk perpendicular to it on the bounding sphere and fly inward
+        uu, vv, pdf_uv = _env_sample_uv(scene, u_dir)
+        d_local = _env_dir_from_uv(uu, vv)
+        d_w = m.normalize(scene.emitters.env_to_world.apply_vector(d_local))
+        inv_sin = m.safe_rsqrt(jnp.maximum(
+            m.sqr(d_local[..., 0]) + m.sqr(d_local[..., 2]), 1e-12))
+        pdf_dir = jnp.maximum(pdf_uv * inv_sin / (2.0 * m.Pi * m.Pi), 1e-20)
+        R = scene.bsphere_r
+        from ..core.frame import Frame as _Frame
+        fr = _Frame.from_normal(d_w)
+        disk = warp.square_to_uniform_disk_concentric(u_pos) * R
+        o_e = scene.bsphere_c[None, :] + d_w * R \
+            + fr.to_world(jnp.concatenate(
+                [disk, jnp.zeros((N, 1))], axis=-1))
+        L_e = _env_eval_uv(scene, uu, vv)
+        w_e = L_e * (m.Pi * R * R / pdf_dir)[:, None]
+        sel = etype == E_ENVMAP
+        o = jnp.where(sel[:, None], o_e, o)
+        d = jnp.where(sel[:, None], -d_w, d)
+        w = jnp.where(sel[:, None], w_e, w)
+        n_o = jnp.where(sel[:, None], -d_w, n_o)
 
     # selection pdf 1/E -> multiply weight by E
     w = w * E

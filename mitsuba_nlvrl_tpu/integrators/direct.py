@@ -54,7 +54,7 @@ def sample(scene, meta, sampler: Sampler, ray: Ray, active=None, diff: bool = Fa
     em_pdf2 = jnp.where(
         si2.valid,
         emitter_mod.pdf_direction(scene, meta, si.p, si2, act),
-        emitter_mod.pdf_env_direction(scene, meta, act))
+        emitter_mod.pdf_env_direction(scene, meta, act, ray2.d))
     w2 = jnp.where(bs.delta, 1.0, mis_weight(bs.pdf, em_pdf2))
     result = result + jnp.where((act & (bs.pdf > 0))[:, None],
                                 b_weight * le2 * w2[:, None], 0.0)

@@ -73,7 +73,8 @@ def sample(scene, meta, sampler: Sampler, ray: Ray, active=None,
                                            st.active & si.valid)
         escaped = st.active & ~si.valid
         le_env = emitter_mod.eval_env(scene, meta, st.ray.d, escaped)
-        env_pdf = emitter_mod.pdf_env_direction(scene, meta, escaped)
+        env_pdf = emitter_mod.pdf_env_direction(scene, meta, escaped,
+                                                 st.ray.d)
         # delta previous bounce (or first ray): no NEE at prev vertex
         w_hit = jnp.where(st.prev_delta, 1.0, mis_weight(st.prev_pdf, em_pdf))
         w_env = jnp.where(st.prev_delta, 1.0, mis_weight(st.prev_pdf, env_pdf))

@@ -5,9 +5,18 @@ TPU-native redesign of the reference ``volpath`` plugin
 hero channel (volpath.cpp:62-66), real/null event split (:123-133), NEE
 through media with ratio-tracking transmittance + null-BSDF pass-through
 (sample_emitter, :263-368), and the BSDF-arm MIS via a transmittance walk
-to the first non-null hit (evaluate_direct_light). The per-ray recursion
-and both inner transmittance walks are masked ``lax.while_loop``s over the
-whole wavefront.
+to the first non-null hit (evaluate_direct_light).
+
+Performance structure (beyond the reference's wavefront):
+  * transmittance walks are two-level: an outer loop over *surface*
+    segments (few) and an inner, intersection-free collision loop for
+    heterogeneous media; optically-homogeneous media use the closed-form
+    Beer-Lambert factor with NO loop at all (the ratio-tracking estimator
+    telescopes exactly).
+  * the main bounce loop caches the SurfaceInteraction across null
+    collisions (the reference's needs_intersection bookkeeping,
+    volpath.cpp:107-115) and skips the whole scene intersection via
+    ``lax.cond`` when no lane needs one.
 """
 from __future__ import annotations
 
@@ -24,152 +33,102 @@ from .. import emitter as emitter_mod
 from .. import medium as medium_mod
 from .. import phase as phase_mod
 from ..ops import intersect as isect
-from ..scene.types import F_NULL, F_DELTA, F_SMOOTH
+from ..scene.types import F_NULL, F_DELTA, F_SMOOTH, MEDIUM_TYPES
 from .common import mis_weight
 
-# safety caps on wavefront loop iterations (null collisions + null BSDF
-# crossings don't increment depth; RR keeps survivors bounded). Scenes with
-# heterogeneous media need many null-collision steps (majorant * extent), so
-# caps scale up when a grid medium is present.
 MAX_WAVEFRONT_ITERS = 192
-NEE_WALK_ITERS = 48
-
-
-def _walk_iters(meta):
-    from ..scene.types import MEDIUM_TYPES
-    if MEDIUM_TYPES['heterogeneous'] in meta.medium_types:
-        return 512
-    return NEE_WALK_ITERS
-
-
-def _wavefront_iters(meta):
-    from ..scene.types import MEDIUM_TYPES
-    if MEDIUM_TYPES['heterogeneous'] in meta.medium_types:
-        return 768
-    return MAX_WAVEFRONT_ITERS
+SURFACE_WALK_ITERS = 16       # null-boundary crossings per shadow/MIS walk
+HET_COLLISION_ITERS = 1024    # majorant collisions per medium segment
 
 
 def _index_spec(spec, channel):
     return jnp.take_along_axis(spec, channel[:, None], axis=1)[:, 0]
 
 
-class NEEState(NamedTuple):
+def _has_hetero(meta):
+    return MEDIUM_TYPES['heterogeneous'] in meta.medium_types
+
+
+def _masked_intersect(scene, ray, si_cached, needs):
+    """Intersect only if some lane needs it; merge with the cache."""
+    def do(args):
+        ray, si_cached, needs = args
+        si_new = isect.ray_intersect(scene, ray)
+        return jax.tree_util.tree_map(
+            lambda new, old: jnp.where(
+                needs.reshape(needs.shape + (1,) * (new.ndim - 1)), new, old),
+            si_new, si_cached)
+
+    def skip(args):
+        return args[1]
+
+    return jax.lax.cond(jnp.any(needs), do, skip, (ray, si_cached, needs))
+
+
+def _medium_segment_tr(scene, meta, sampler, o, d, seg_len, medium_idx,
+                       channel, active):
+    """Spectral transmittance over one medium segment [0, seg_len] along
+    (o, d) — telescoped ratio-tracking estimator.
+
+    Homogeneous-like media (sigma_n == 0): exact closed form
+    exp(-(maj_vec - maj_ch) * L) ... == exp(-maj*L)/exp(-maj_ch*L) per the
+    hero-channel estimator; gray media give exactly Beer-Lambert ratios.
+    Heterogeneous media run an intersection-free collision loop.
+    """
+    N = o.shape[0]
+    majorant = medium_mod.get_majorant(scene, medium_idx)
+    mj = jnp.maximum(_index_spec(majorant, channel), 1e-30)
+    seg = jnp.maximum(jnp.where(jnp.isfinite(seg_len), seg_len, 0.0), 0.0)
+
+    # homogeneous-like media (sigma_n == 0): transmittance is EXACT
+    # Beer-Lambert (the reference's homoEvalTransmittance, medium.h:103-107)
+    # — zero variance, no sampling needed.
+    tr_homo = jnp.exp(-majorant * seg[:, None])
+
+    if not _has_hetero(meta):
+        return jnp.where(active[:, None], tr_homo, 1.0), sampler
+
+    midx = jnp.maximum(medium_idx, 0)
+    is_het = (scene.media.type[midx] == MEDIUM_TYPES['heterogeneous']) \
+        & active
+
+    # heterogeneous: collision loop (grid lookups only). Per-lane counter
+    # RNG keeps the loop free of the shared dimension counter.
+    key = jax.random.fold_in(sampler.key, sampler.dim)
+    sampler = sampler._replace(dim=sampler.dim + 1)
+
+    def cond(carry):
+        t, tr, act, it, _ = carry
+        return jnp.any(act) & (it < HET_COLLISION_ITERS)
+
+    def body(carry):
+        t, tr, act, it, k = carry
+        k = jax.random.fold_in(k, it)
+        u = jax.random.uniform(k, (N,))
+        t_new = t - jnp.log1p(-jnp.clip(u, 0, m.OneMinusEpsilon)) / mj
+        inside = act & (t_new < seg)
+        p = o + d * t_new[:, None]
+        _, sigma_n, _ = medium_mod.get_scattering_coefficients(
+            scene, meta, medium_idx, p, inside)
+        tr = jnp.where(inside[:, None], tr * sigma_n / mj[:, None], tr)
+        return (jnp.where(inside, t_new, t), tr, inside,
+                it + 1, k)
+
+    t0 = jnp.zeros((N,))
+    tr0 = jnp.ones((N, 3))
+    carry = (t0, tr0, is_het, jnp.int32(0), key)
+    _, tr_het, still, _, _ = jax.lax.while_loop(cond, body, carry)
+    tr_het = jnp.where(still[:, None], 0.0, tr_het)  # hit the cap
+
+    tr = jnp.where(is_het[:, None], tr_het, tr_homo)
+    return jnp.where(active[:, None], tr, 1.0), sampler
+
+
+class WalkState(NamedTuple):
     sampler: Sampler
-    ray: Ray
+    o: jnp.ndarray
     transmittance: jnp.ndarray
     total_dist: jnp.ndarray
-    medium_idx: jnp.ndarray
-    active: jnp.ndarray
-    it: jnp.ndarray
-
-
-def transmittance_to_point(scene, meta, sampler, p_ref, d, dist, medium_idx,
-                           channel, active, on_medium):
-    """Ratio-tracking transmittance from p_ref toward d over dist, passing
-    through null BSDFs and medium transitions (reference sample_emitter
-    walk, volpath.cpp:275-368). Returns (transmittance, sampler)."""
-    N = p_ref.shape[0]
-    ray0 = Ray.make(p_ref, d, mint=jnp.where(on_medium, 0.0, m.RayEpsilon),
-                    maxt=jnp.inf)
-    st = NEEState(sampler=sampler, ray=ray0,
-                  transmittance=jnp.ones((N, 3)),
-                  total_dist=jnp.zeros((N,)),
-                  medium_idx=medium_idx, active=active,
-                  it=jnp.int32(0))
-
-    walk_cap = _walk_iters(meta)
-
-    def cond(st):
-        return jnp.any(st.active) & (st.it < walk_cap)
-
-    def body(st):
-        remaining = dist * (1.0 - m.ShadowEpsilon) - st.total_dist
-        active = st.active & (remaining > 0)
-        ray = Ray(st.ray.o, st.ray.d, st.ray.mint, remaining)
-
-        active_medium = active & (st.medium_idx >= 0)
-        active_surface = active & ~active_medium
-        smp = st.sampler
-
-        u_fl, smp = smp.next_1d()
-        mi, mint = medium_mod.sample_interaction(
-            scene, meta, ray, u_fl, channel, st.medium_idx, active_medium)
-        # homogeneous media: clip the scene intersection to the collision
-        homo = medium_mod.is_homogeneous_like(scene, meta, st.medium_idx)
-        ray_isect_maxt = jnp.where(
-            active_medium & homo & mi.valid,
-            jnp.minimum(mi.t, remaining), remaining)
-        si = isect.ray_intersect(scene, Ray(ray.o, ray.d, ray.mint,
-                                            ray_isect_maxt))
-        # collisions beyond the surface are void
-        mi_t = jnp.where(active_medium & (si.t < mi.t), jnp.inf, mi.t)
-        mi = mi._replace(t=mi_t, valid=mi.valid & (si.t >= mi.t))
-
-        # spectral tr/pdf over the sampled segment
-        seg_t = jnp.minimum(remaining, jnp.minimum(
-            jnp.where(jnp.isfinite(mi.t), mi.t, jnp.inf), si.t)) - mint
-        seg_t = jnp.maximum(seg_t, 0.0)
-        tr = jnp.exp(-seg_t[:, None] * mi.combined_extinction)
-        beyond = (si.t < mi.t) | (mi.t > remaining)
-        pdf = jnp.where(beyond[:, None], tr, tr * mi.combined_extinction)
-        tr_pdf = _index_spec(pdf, channel)
-        upd = active_medium[:, None]
-        transmittance = jnp.where(
-            upd, st.transmittance
-            * jnp.where((tr_pdf > 0)[:, None],
-                        tr / jnp.maximum(tr_pdf, 1e-30)[:, None], 0.0), st.transmittance)
-
-        # mi.t > remaining: reached the target inside the medium
-        reached = active_medium & (mi.t > remaining) & mi.valid
-        total_dist = jnp.where(reached, dist, st.total_dist)
-        mi_valid = mi.valid & ~reached & (mi.t <= remaining)
-        escaped_medium = active_medium & ~mi_valid
-        active_medium = active_medium & mi_valid
-
-        total_dist = jnp.where(active_medium, total_dist + mi.t, total_dist)
-        # ratio tracking null-collision factor (volpath.cpp:330: *= sigma_n;
-        # the majorant pdf is already in the tr/tr_pdf division above)
-        transmittance = jnp.where(active_medium[:, None],
-                                  transmittance * mi.sigma_n, transmittance)
-        new_o_med = mi.p
-
-        # surface leg
-        active_surface = active_surface | escaped_medium
-        total_dist = jnp.where(active_surface, total_dist + si.t, total_dist)
-        active_surface = active_surface & si.valid & ~active_medium
-        null_tr = bsdf_mod.eval_null_transmission(scene, meta, si)
-        transmittance = jnp.where(active_surface[:, None],
-                                  transmittance * null_tr, transmittance)
-
-        # medium transitions at surfaces
-        new_medium = jnp.where(
-            active_surface & si.is_medium_transition(),
-            si.target_medium(ray.d), st.medium_idx)
-
-        new_o = jnp.where(active_medium[:, None], new_o_med,
-                          jnp.where(active_surface[:, None], si.p, st.ray.o))
-        new_mint = jnp.where(active_medium, 0.0, m.RayEpsilon)
-        alive = (active_medium | active_surface) \
-            & jnp.any(transmittance > 0, axis=-1)
-
-        return NEEState(
-            sampler=smp,
-            ray=Ray(new_o, st.ray.d, new_mint, st.ray.maxt),
-            transmittance=transmittance,
-            total_dist=total_dist,
-            medium_idx=new_medium,
-            active=alive, it=st.it + 1)
-
-    st = jax.lax.while_loop(cond, body, st)
-    # lanes still "active" hit the iteration cap: conservatively zero
-    tr_out = jnp.where(st.active[:, None], 0.0, st.transmittance)
-    return jnp.where(active[:, None], tr_out, 1.0), st.sampler
-
-
-class EmissionWalkState(NamedTuple):
-    sampler: Sampler
-    ray: Ray
-    transmittance: jnp.ndarray
     medium_idx: jnp.ndarray
     active: jnp.ndarray
     emitted: jnp.ndarray
@@ -177,99 +136,128 @@ class EmissionWalkState(NamedTuple):
     it: jnp.ndarray
 
 
-def trace_emission(scene, meta, sampler, ray_in: Ray, medium_idx, p_ref,
-                   channel, active):
-    """Follow a BSDF/phase-sampled ray to the first emissive (non-null)
-    surface or to the environment, accumulating transmittance — the
-    reference's evaluate_direct_light used for the MIS bsdf arm.
-    Returns (emitted, emitter_pdf_solid_angle, sampler)."""
+def transmittance_to_point(scene, meta, sampler, p_ref, d, dist, medium_idx,
+                           channel, active, on_medium):
+    """Transmittance from p_ref along d over dist, through null BSDFs and
+    media (reference sample_emitter walk, volpath.cpp:275-368): outer loop
+    over surface crossings, media handled per-segment by
+    _medium_segment_tr. Returns (transmittance (N,3), sampler)."""
     N = p_ref.shape[0]
-    st = EmissionWalkState(
-        sampler=sampler, ray=ray_in,
-        transmittance=jnp.ones((N, 3)), medium_idx=medium_idx,
-        active=active, emitted=jnp.zeros((N, 3)),
-        emitter_pdf=jnp.zeros((N,)), it=jnp.int32(0))
-
-    walk_cap = _walk_iters(meta)
+    st = WalkState(sampler=sampler, o=p_ref,
+                   transmittance=jnp.ones((N, 3)),
+                   total_dist=jnp.zeros((N,)),
+                   medium_idx=medium_idx, active=active,
+                   emitted=jnp.zeros((N, 3)), emitter_pdf=jnp.zeros((N,)),
+                   it=jnp.int32(0))
+    first_mint = jnp.where(on_medium, 0.0, m.RayEpsilon)
 
     def cond(st):
-        return jnp.any(st.active) & (st.it < walk_cap)
+        return jnp.any(st.active) & (st.it < SURFACE_WALK_ITERS)
+
+    def body(st):
+        remaining = dist * (1.0 - m.ShadowEpsilon) - st.total_dist
+        active = st.active & (remaining > 0)
+        mint = jnp.where(st.it == 0, first_mint, m.RayEpsilon)
+        ray = Ray(st.o, d, mint, remaining)
+        si = isect.ray_intersect(scene, ray)
+        seg_end = jnp.minimum(jnp.where(si.valid, si.t, jnp.inf), remaining)
+
+        in_med = active & (st.medium_idx >= 0)
+        tr_seg, smp = _medium_segment_tr(scene, meta, st.sampler, st.o, d,
+                                         seg_end, st.medium_idx, channel,
+                                         in_med)
+        transmittance = st.transmittance * tr_seg
+
+        # reached the target without a blocking surface?
+        reached = active & ~si.valid
+        # surface: pass through null bsdfs only
+        hit = active & si.valid
+        null_tr = bsdf_mod.eval_null_transmission(scene, meta, si)
+        transmittance = jnp.where(hit[:, None], transmittance * null_tr,
+                                  transmittance)
+        new_medium = jnp.where(hit & si.is_medium_transition(),
+                               si.target_medium(d), st.medium_idx)
+        total_dist = st.total_dist + jnp.where(hit, si.t, remaining)
+        alive = hit & jnp.any(transmittance > 0, axis=-1)
+        transmittance = jnp.where(reached[:, None] | hit[:, None]
+                                  | ~active[:, None],
+                                  transmittance, transmittance)
+        return WalkState(
+            sampler=smp, o=jnp.where(hit[:, None], si.p, st.o),
+            transmittance=transmittance, total_dist=total_dist,
+            medium_idx=new_medium, active=alive,
+            emitted=st.emitted, emitter_pdf=st.emitter_pdf, it=st.it + 1)
+
+    st = jax.lax.while_loop(cond, body, st)
+    tr_out = jnp.where(st.active[:, None], 0.0, st.transmittance)
+    return jnp.where(active[:, None], tr_out, 1.0), st.sampler
+
+
+def trace_emission(scene, meta, sampler, ray_in: Ray, medium_idx, p_ref,
+                   channel, active):
+    """Follow a sampled ray to the first emissive/non-null surface or the
+    environment, accumulating transmittance (the reference
+    evaluate_direct_light, volpath.cpp:370-466).
+    Returns (emitted, emitter_pdf, sampler)."""
+    N = p_ref.shape[0]
+    st = WalkState(sampler=sampler, o=ray_in.o,
+                   transmittance=jnp.ones((N, 3)),
+                   total_dist=jnp.zeros((N,)),
+                   medium_idx=medium_idx, active=active,
+                   emitted=jnp.zeros((N, 3)), emitter_pdf=jnp.zeros((N,)),
+                   it=jnp.int32(0))
+    d = ray_in.d
+
+    def cond(st):
+        return jnp.any(st.active) & (st.it < SURFACE_WALK_ITERS)
 
     def body(st):
         active = st.active
-        smp = st.sampler
-        active_medium = active & (st.medium_idx >= 0)
-        active_surface = active & ~active_medium
+        ray = Ray(st.o, d, jnp.full((N,), m.RayEpsilon),
+                  jnp.full((N,), jnp.inf))
+        si = isect.ray_intersect(scene, ray)
+        seg_end = jnp.where(si.valid, si.t, jnp.inf)
 
-        u_fl, smp = smp.next_1d()
-        mi, mint = medium_mod.sample_interaction(
-            scene, meta, st.ray, u_fl, channel, st.medium_idx, active_medium)
-        homo = medium_mod.is_homogeneous_like(scene, meta, st.medium_idx)
-        isect_maxt = jnp.where(active_medium & homo & mi.valid, mi.t,
-                               st.ray.maxt)
-        si = isect.ray_intersect(scene, Ray(st.ray.o, st.ray.d, st.ray.mint,
-                                            isect_maxt))
-        mi_t = jnp.where(active_medium & (si.t < mi.t), jnp.inf, mi.t)
-        mi = mi._replace(t=mi_t, valid=mi.valid & (si.t >= mi.t))
+        in_med = active & (st.medium_idx >= 0)
+        # escaped to env through a medium: unbounded segment -> tr 0 unless
+        # vacuum; clamp segment to scene bsphere diameter
+        seg_for_tr = jnp.minimum(seg_end, 4.0 * scene.bsphere_r)
+        tr_seg, smp = _medium_segment_tr(scene, meta, st.sampler, st.o, d,
+                                         seg_for_tr, st.medium_idx, channel,
+                                         in_med)
+        transmittance = st.transmittance * tr_seg
 
-        seg_t = jnp.minimum(jnp.where(jnp.isfinite(mi.t), mi.t, si.t), si.t) \
-            - mint
-        seg_t = jnp.maximum(jnp.where(jnp.isfinite(seg_t), seg_t, 0.0), 0.0)
-        tr = jnp.exp(-seg_t[:, None] * mi.combined_extinction)
-        pdf = jnp.where((si.t < mi.t)[:, None], tr,
-                        tr * mi.combined_extinction)
-        tr_pdf = _index_spec(pdf, channel)
-        transmittance = jnp.where(
-            active_medium[:, None],
-            st.transmittance * jnp.where(
-                (tr_pdf > 0)[:, None],
-                tr / jnp.maximum(tr_pdf, 1e-30)[:, None], 0.0),
-            st.transmittance)
-
-        escaped_medium = active_medium & ~mi.valid
-        active_medium = active_medium & mi.valid
-        # ratio tracking null-collision factor (volpath.cpp:417: *= sigma_n)
-        transmittance = jnp.where(active_medium[:, None],
-                                  transmittance * mi.sigma_n, transmittance)
-
-        active_surface = active_surface | escaped_medium
-
-        # environment hit
-        escaped = active_surface & ~si.valid
-        env = emitter_mod.eval_env(scene, meta, st.ray.d, escaped)
+        # environment
+        escaped = active & ~si.valid
+        env = emitter_mod.eval_env(scene, meta, jnp.broadcast_to(d, (N, 3)),
+                                   escaped)
         emitted = st.emitted + transmittance * env
-        env_pdf = emitter_mod.pdf_env_direction(scene, meta, escaped)
+        env_pdf = emitter_mod.pdf_env_direction(scene, meta, escaped, d)
         emitter_pdf = jnp.where(escaped, env_pdf, st.emitter_pdf)
 
-        active_surface = active_surface & si.valid
-        # emissive surface hit
-        hit_em = active_surface & (si.emitter_idx >= 0)
+        # emissive surface
+        hit = active & si.valid
+        hit_em = hit & (si.emitter_idx >= 0)
         le = emitter_mod.eval_hit(scene, meta, si, hit_em)
         emitted = emitted + transmittance * le
         em_pdf = emitter_mod.pdf_direction(scene, meta, p_ref, si, hit_em)
         emitter_pdf = jnp.where(hit_em, em_pdf, emitter_pdf)
 
-        # continue only through null BSDFs (and not past an emitter)
+        # continue only through non-emissive null surfaces
         flags = bsdf_mod.flags_of(scene, si)
-        is_null = (flags & F_NULL) > 0
-        cont_surface = active_surface & is_null & ~hit_em
+        cont = hit & ((flags & F_NULL) > 0) & ~hit_em
         null_tr = bsdf_mod.eval_null_transmission(scene, meta, si)
-        transmittance = jnp.where(cont_surface[:, None],
-                                  transmittance * null_tr, transmittance)
-        new_medium = jnp.where(cont_surface & si.is_medium_transition(),
-                               si.target_medium(st.ray.d), st.medium_idx)
+        transmittance = jnp.where(cont[:, None], transmittance * null_tr,
+                                  transmittance)
+        new_medium = jnp.where(cont & si.is_medium_transition(),
+                               si.target_medium(d), st.medium_idx)
+        alive = cont & jnp.any(transmittance > 0, axis=-1)
 
-        new_o = jnp.where(active_medium[:, None], mi.p,
-                          jnp.where(cont_surface[:, None], si.p, st.ray.o))
-        new_mint = jnp.where(active_medium, 0.0, m.RayEpsilon)
-        alive = (active_medium | cont_surface) \
-            & jnp.any(transmittance > 0, axis=-1)
-
-        return EmissionWalkState(
-            sampler=smp, ray=Ray(new_o, st.ray.d, new_mint, st.ray.maxt),
-            transmittance=transmittance, medium_idx=new_medium,
-            active=alive, emitted=emitted, emitter_pdf=emitter_pdf,
-            it=st.it + 1)
+        return WalkState(
+            sampler=smp, o=jnp.where(cont[:, None], si.p, st.o),
+            transmittance=transmittance, total_dist=st.total_dist,
+            medium_idx=new_medium, active=alive,
+            emitted=emitted, emitter_pdf=emitter_pdf, it=st.it + 1)
 
     st = jax.lax.while_loop(cond, body, st)
     return st.emitted, st.emitter_pdf, st.sampler
@@ -281,11 +269,13 @@ class VolpathState(NamedTuple):
     throughput: jnp.ndarray
     result: jnp.ndarray
     eta: jnp.ndarray
-    depth: jnp.ndarray          # (N,) int32 (per-lane, unlike path)
+    depth: jnp.ndarray
     active: jnp.ndarray
     medium_idx: jnp.ndarray
     specular_chain: jnp.ndarray
     channel: jnp.ndarray
+    si: object                  # cached SurfaceInteraction
+    needs_isect: jnp.ndarray
     it: jnp.ndarray
 
 
@@ -298,30 +288,31 @@ def sample(scene, meta, sampler: Sampler, ray: Ray, active=None,
     if max_depth is None or max_depth < 0:
         max_depth = 64
     rr_depth = meta.iprop('rr_depth', 5)
+    wavefront_cap = MAX_WAVEFRONT_ITERS * (4 if _has_hetero(meta) else 1)
 
     u_ch, sampler = sampler.next_1d()
     channel = jnp.minimum((u_ch * 3).astype(jnp.int32), 2)
     cam_med = jnp.full((N,), meta.camera_medium, jnp.int32)
 
+    from ..core.records import SurfaceInteraction
     st = VolpathState(
         sampler=sampler, ray=ray,
         throughput=jnp.ones((N, 3)), result=jnp.zeros((N, 3)),
         eta=jnp.ones((N,)), depth=jnp.zeros((N,), jnp.int32),
         active=active, medium_idx=cam_med,
         specular_chain=jnp.ones((N,), bool), channel=channel,
-        it=jnp.int32(0))
-
-    wavefront_cap = _wavefront_iters(meta)
+        si=SurfaceInteraction.invalid((N,)),
+        needs_isect=jnp.ones((N,), bool), it=jnp.int32(0))
 
     def cond(st):
         return jnp.any(st.active) & (st.it < wavefront_cap)
 
-    def body(st):
+    def body(st: VolpathState):
         smp = st.sampler
         result = st.result
         throughput = st.throughput
 
-        # --- russian roulette (volpath.cpp:79-84) ---------------------------
+        # --- russian roulette ----------------------------------------------
         active = st.active & jnp.any(throughput != 0.0, axis=-1)
         q = jnp.minimum(jax.lax.stop_gradient(
             jnp.max(throughput, axis=-1) * m.sqr(st.eta)), 0.95)
@@ -336,16 +327,17 @@ def sample(scene, meta, sampler: Sampler, ray: Ray, active=None,
         active_medium = active & (st.medium_idx >= 0)
         active_surface = active & ~active_medium
 
-        # --- medium sampling ------------------------------------------------
+        # --- (cached) scene intersection -----------------------------------
+        iray = Ray(st.ray.o, st.ray.d, st.ray.mint, jnp.full((N,), jnp.inf))
+        si = _masked_intersect(scene, iray, st.si, st.needs_isect & active)
+        needs_isect = st.needs_isect & ~active
+
+        # --- medium free flight --------------------------------------------
         u_fl, smp = smp.next_1d()
         mi, mint = medium_mod.sample_interaction(
-            scene, meta, st.ray, u_fl, st.channel, st.medium_idx,
-            active_medium)
-        homo = medium_mod.is_homogeneous_like(scene, meta, st.medium_idx)
-        isect_maxt = jnp.where(active_medium & homo & mi.valid, mi.t,
-                               st.ray.maxt)
-        si = isect.ray_intersect(scene, Ray(st.ray.o, st.ray.d, st.ray.mint,
-                                            isect_maxt))
+            scene, meta, Ray(st.ray.o, st.ray.d, st.ray.mint,
+                             jnp.full((N,), jnp.inf)),
+            u_fl, st.channel, st.medium_idx, active_medium)
         mi_t = jnp.where(active_medium & (si.t < mi.t), jnp.inf, mi.t)
         mi = mi._replace(t=mi_t, valid=mi.valid & (si.t >= mi.t))
 
@@ -366,7 +358,7 @@ def sample(scene, meta, sampler: Sampler, ray: Ray, active=None,
         escaped_medium = active_medium & ~mi.valid
         active_medium = active_medium & mi.valid
 
-        # null vs real collision (volpath.cpp:123-133)
+        # null vs real collision
         u_ev, smp = smp.next_1d()
         p_real = _index_spec(mi.sigma_t, st.channel) \
             / jnp.maximum(_index_spec(mi.combined_extinction, st.channel),
@@ -384,7 +376,6 @@ def sample(scene, meta, sampler: Sampler, ray: Ray, active=None,
         active = active & (depth < max_depth)
         act_real = act_real & active
 
-        # real scatter: sigma_s factor (volpath.cpp:149-152)
         throughput = jnp.where(
             act_real[:, None],
             throughput * mi.sigma_s
@@ -413,7 +404,6 @@ def sample(scene, meta, sampler: Sampler, ray: Ray, active=None,
 
         # --- surface interactions ------------------------------------------
         active_surface = active_surface | escaped_medium
-        # raw emitter hits count only on specular chains (volpath.cpp:186)
         hit_em = active_surface & st.specular_chain & (si.emitter_idx >= 0) \
             & si.valid
         le = emitter_mod.eval_hit(scene, meta, si, hit_em)
@@ -462,12 +452,11 @@ def sample(scene, meta, sampler: Sampler, ray: Ray, active=None,
                                             & ~bs.null)
         specular_chain = jnp.where(act_real, False, specular_chain)
 
-        # medium transition BEFORE the MIS walk (target medium of new ray)
         new_medium = jnp.where(
             active_surface & si.is_medium_transition(),
             si.target_medium(wo_world), st.medium_idx)
 
-        # --- MIS bsdf arm: transmittance walk to emission -------------------
+        # --- MIS bsdf arm ---------------------------------------------------
         add_emitter = active_surface & ~bs.delta & ~bs.null \
             & (depth < max_depth) & jnp.any(throughput > 0, axis=-1)
         bsdf_ray = spawn_ray(si.p, wo_world)
@@ -475,21 +464,23 @@ def sample(scene, meta, sampler: Sampler, ray: Ray, active=None,
             scene, meta, smp, bsdf_ray, new_medium, si.p, st.channel,
             add_emitter)
         result = result + jnp.where(
-            (add_emitter & (em_pdf2 >= 0))[:, None],
+            add_emitter[:, None],
             mis_weight(bs.pdf, em_pdf2)[:, None] * throughput * emitted,
             0.0)
 
-        # --- assemble next ray ---------------------------------------------
-        # medium lanes: null -> continue straight from mi.p; real -> phase dir
-        o_next = jnp.where(act_null[:, None] | act_real[:, None], mi.p,
+        # --- next ray + si cache update ------------------------------------
+        o_next = jnp.where((act_null | act_real)[:, None], mi.p,
                            jnp.where(active_surface[:, None], si.p,
                                      st.ray.o))
         d_next = jnp.where(act_real[:, None], wo_med,
                            jnp.where(active_surface[:, None], wo_world,
                                      st.ray.d))
-        mint_next = jnp.where(active_surface, m.RayEpsilon,
-                              jnp.zeros((N,)))
+        mint_next = jnp.where(active_surface, m.RayEpsilon, jnp.zeros((N,)))
         new_ray = Ray(o_next, d_next, mint_next, jnp.full((N,), jnp.inf))
+
+        # null collisions keep direction: reuse si with t shifted by mi.t
+        si_next = si._replace(t=jnp.where(act_null, si.t - mi.t, si.t))
+        needs_next = needs_isect | act_real | active_surface
 
         alive = (active_medium | active_surface) & active
         alive = alive & jnp.any(throughput != 0.0, axis=-1)
@@ -499,11 +490,11 @@ def sample(scene, meta, sampler: Sampler, ray: Ray, active=None,
             sampler=smp, ray=new_ray, throughput=throughput, result=result,
             eta=eta, depth=depth, active=alive, medium_idx=new_medium,
             specular_chain=specular_chain, channel=st.channel,
-            it=st.it + 1)
+            si=si_next, needs_isect=needs_next, it=st.it + 1)
 
     if diff:
         ck_body = jax.checkpoint(lambda s, _: (body(s), None))
-        iters = min(_wavefront_iters(meta), max(8, 3 * max_depth))
+        iters = min(wavefront_cap, max(8, 3 * max_depth))
         st, _ = jax.lax.scan(ck_body, st, None, length=iters)
     else:
         st = jax.lax.while_loop(cond, body, st)

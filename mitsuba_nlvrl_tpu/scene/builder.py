@@ -311,6 +311,32 @@ class SceneBuilder:
         E = len(emitter_rows)
         TE = sum(len(x) for x in em_tri_idx)
 
+        # --- environment map (at most one) -------------------------------
+        env_map = np.zeros((1, 1, 3), np.float32)
+        env_row_cdf = np.ones((1,), np.float32)
+        env_cond_cdf = np.ones((1, 1), np.float32)
+        env_to_world = tr.Transform.identity()
+        env_scale = 1.0
+        env_descs = [e for e in desc.get('emitters', [])
+                     if e.get('type') == 'envmap']
+        if env_descs:
+            eprops = env_descs[0]
+            from ..utils.io import read_exr
+            img, names = read_exr(eprops['filename'])
+            if set('RGB') <= set(names):
+                img = img[:, :, [names.index(c) for c in 'RGB']]
+            env_map = np.ascontiguousarray(img[:, :, :3], np.float32)
+            env_scale = float(eprops.get('scale', 1.0))
+            env_to_world = eprops.get('to_world', tr.Transform.identity())
+            He, We = env_map.shape[:2]
+            lum = (env_map * np.array([0.2126, 0.7152, 0.0722])).sum(-1)
+            sin_t = np.sin((np.arange(He) + 0.5) / He * np.pi)
+            w = lum * sin_t[:, None] + 1e-12
+            row_w = w.sum(1)
+            env_row_cdf = (np.cumsum(row_w) / row_w.sum()).astype(np.float32)
+            env_cond_cdf = (np.cumsum(w, axis=1)
+                            / w.sum(1, keepdims=True)).astype(np.float32)
+
         # --- media -----------------------------------------------------------
         M_n = len(self.media_rows)
         # always allocate >=1 row so per-lane gathers are well-formed even in
@@ -370,8 +396,16 @@ class SceneBuilder:
             med_params[mi, M_BBOX_MAX:M_BBOX_MAX + 3] = hi_
 
             if mt in ('homogeneous', 'nonlinear'):
-                st = rgb_of('sigma_t', 1.0)
-                al = rgb_of('albedo', 0.75)
+                if 'sigma_s' in props or 'sigma_a' in props:
+                    # scattering/absorption parameterization (reference
+                    # homogeneous.cpp alt ctor; brain.xml sigmaS/sigmaA)
+                    ss = rgb_of('sigma_s', 0.0)
+                    sa = rgb_of('sigma_a', 0.0)
+                    st = ss + sa
+                    al = np.where(st > 0, ss / np.maximum(st, 1e-30), 0.0)
+                else:
+                    st = rgb_of('sigma_t', 1.0)
+                    al = rgb_of('albedo', 0.75)
                 med_params[mi, M_SIGMA_T:M_SIGMA_T + 3] = st
                 med_params[mi, M_ALBEDO:M_ALBEDO + 3] = al
                 med_params[mi, M_MAJORANT:M_MAJORANT + 3] = st * scale_v
@@ -493,7 +527,12 @@ class SceneBuilder:
                                    if em_tri_idx else np.zeros(0, np.int32)),
             em_tri_cdf=jnp.asarray(np.concatenate(em_tri_cdf)
                                    if em_tri_cdf else np.zeros(0, np.float32)),
-            em_area=jnp.asarray(np.asarray(em_area, np.float32)))
+            em_area=jnp.asarray(np.asarray(em_area, np.float32)),
+            env_map=jnp.asarray(env_map),
+            env_row_cdf=jnp.asarray(env_row_cdf),
+            env_cond_cdf=jnp.asarray(env_cond_cdf),
+            env_to_world=env_to_world,
+            env_scale=jnp.float32(env_scale))
 
         media_t = MediumTable(
             type=jnp.asarray(med_type), phase_type=jnp.asarray(med_phase),

@@ -122,6 +122,12 @@ class EmitterTable(NamedTuple):
     em_tri_idx: jnp.ndarray  # (TE,) int32 triangle ids
     em_tri_cdf: jnp.ndarray  # (TE,) float32, per-emitter normalized cdf
     em_area: jnp.ndarray     # (E,) float32 total emitter area
+    # environment map (at most one per scene; (1,1,3) dummy when absent)
+    env_map: jnp.ndarray       # (He, We, 3) radiance texels
+    env_row_cdf: jnp.ndarray   # (He,) marginal CDF over rows (lum*sin)
+    env_cond_cdf: jnp.ndarray  # (He, We) per-row conditional CDF
+    env_to_world: 'Transform'  # emitter-to-world rotation
+    env_scale: jnp.ndarray     # ()
 
 
 class MediumTable(NamedTuple):

@@ -102,7 +102,7 @@ def read_exr(path: str) -> Tuple[np.ndarray, list]:
     x0, y0, x1, y1 = struct.unpack('<iiii', attrs['dataWindow'][1])
     W, H = x1 - x0 + 1, y1 - y0 + 1
     C = len(chans)
-    lines_per_block = {0: 1, 2: 1, 3: 16}.get(comp)
+    lines_per_block = {0: 1, 2: 1, 3: 16, 4: 32}.get(comp)
     if lines_per_block is None:
         raise ValueError(f"{path}: unsupported compression {comp}")
     nblocks = -(-H // lines_per_block)
@@ -114,6 +114,20 @@ def read_exr(path: str) -> Tuple[np.ndarray, list]:
         block = data[pos:pos + size]; pos += size
         ny = min(lines_per_block, H - (y - y0))
         raw_size = sum(W * (2 if pt == 1 else 4) for _, pt in chans) * ny
+        if comp == 4:  # PIZ
+            from .exr_piz import piz_uncompress
+            per_chan = piz_uncompress(block, chans, W, ny)
+            for ci, (cname, ptype) in enumerate(chans):
+                rows = per_chan[cname]
+                if ptype == 1:   # half
+                    vals = rows.view(np.uint16).astype('<u2').view('<f2')
+                    out[y - y0:y - y0 + ny, :, ci] = vals.astype(np.float32)
+                else:            # float: two uint16 halves per value
+                    b = rows.reshape(ny, W, 2).astype('<u2')
+                    fl = (b[..., 0].astype(np.uint32) << 16) \
+                        | b[..., 1].astype(np.uint32)
+                    out[y - y0:y - y0 + ny, :, ci] = fl.view(np.float32)
+            continue
         if comp in (2, 3) and size < raw_size:
             raw = zlib.decompress(block)
             # exr zip predictor: delta + interleave
