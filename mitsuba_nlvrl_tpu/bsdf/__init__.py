@@ -26,7 +26,7 @@ from ..core import warp
 from ..core.fresnel import (fresnel_dielectric, fresnel_conductor,
                             reflect_local, refract_local)
 from ..scene.types import (BSDF_TYPES, F_DELTA, F_NULL, F_TRANSMISSION,
-                           F_SMOOTH, F_TWOSIDED, BSDF_NPARAM)
+                           F_SMOOTH, F_TWOSIDED, F_MASK, BSDF_NPARAM)
 
 RADIANCE = 0
 IMPORTANCE = 1
@@ -51,6 +51,15 @@ def pack_params(props: dict) -> Tuple[int, int, list]:
         inner = props.get('bsdf', {'type': 'diffuse'})
         code, flags, p = pack_params(inner)
         return code, flags | F_TWOSIDED, p
+    if t == 'mask':
+        # opacity-masked wrapper (reference src/bsdfs/mask.cpp): the nested
+        # bsdf's row with opacity in slot 14; dispatch handles pass-through
+        inner = props.get('bsdf', {'type': 'diffuse'})
+        code, flags, p = pack_params(inner)
+        op = props.get('opacity', 0.5)
+        p[14] = float(op if isinstance(op, (int, float)) else
+                      sum(op) / len(op))
+        return code, flags | F_MASK | F_NULL | F_TRANSMISSION, p
 
     def rgb(key, default):
         v = props.get(key, default)
@@ -222,6 +231,93 @@ def _roughconductor_sample(P, wi, u1, u2, mode):
     return bs, weight
 
 
+def _roughdielectric_eval(P, wi, wo):
+    """Walter et al. 2007 microfacet refraction model (reference
+    src/bsdfs/roughdielectric.cpp)."""
+    eta = P[:, 0] / P[:, 1]
+    cos_i, cos_o = fr.cos_theta(wi), fr.cos_theta(wo)
+    reflect_case = cos_i * cos_o > 0
+    eta_path = jnp.where(cos_i > 0, eta, 1.0 / eta)
+    # half vector: reflection h ~ wi+wo; refraction h ~ wi + eta*wo
+    h_refl = m.normalize(wi + wo)
+    h_refr = m.normalize(wi + wo * eta_path[:, None])
+    h = jnp.where(reflect_case[:, None], h_refl, h_refr)
+    h = h * jnp.sign(fr.cos_theta(h))[:, None]  # upper hemisphere
+    ax, ay = P[:, 9], P[:, 10]
+    D = mf.ggx_d(h, ax, ay)
+    wi_h = m.dot(wi, h)
+    wo_h = m.dot(wo, h)
+    F, _, _, _ = fresnel_dielectric(wi_h, eta)
+    G = mf.smith_g1(wi * jnp.sign(cos_i)[:, None], h, ax, ay) \
+        * mf.smith_g1(wo * jnp.sign(cos_o)[:, None], h, ax, ay)
+    # reflection: F D G / (4 |cos_i|) (includes cos_o)
+    val_r = P[:, 2:5] * (F * D * G / (4.0 * jnp.maximum(jnp.abs(cos_i),
+                                                        1e-9)))[:, None]
+    # refraction (radiance transport scaling folded as 1/eta_path^2 * ...)
+    denom = wi_h + eta_path * wo_h
+    jac = jnp.abs(wi_h * wo_h) / jnp.maximum(
+        jnp.abs(cos_i) * m.sqr(denom), 1e-12)
+    val_t = P[:, 5:8] * ((1.0 - F) * D * G * m.sqr(eta_path) * jac
+                         / jnp.maximum(m.sqr(eta_path), 1e-12))[:, None]
+    val = jnp.where(reflect_case[:, None], val_r, val_t)
+    ok = (jnp.abs(cos_i) > 1e-6) & (D > 0)
+    return jnp.where(ok[:, None], val, 0.0)
+
+
+def _roughdielectric_pdf(P, wi, wo):
+    eta = P[:, 0] / P[:, 1]
+    cos_i, cos_o = fr.cos_theta(wi), fr.cos_theta(wo)
+    reflect_case = cos_i * cos_o > 0
+    eta_path = jnp.where(cos_i > 0, eta, 1.0 / eta)
+    h = jnp.where(reflect_case[:, None], m.normalize(wi + wo),
+                  m.normalize(wi + wo * eta_path[:, None]))
+    h = h * jnp.sign(fr.cos_theta(h))[:, None]
+    ax, ay = P[:, 9], P[:, 10]
+    wi_up = wi * jnp.sign(cos_i)[:, None]
+    pdf_h = mf.vndf_pdf(wi_up, h, ax, ay)
+    wi_h = m.dot(wi, h)
+    wo_h = m.dot(wo, h)
+    F, _, _, _ = fresnel_dielectric(wi_h, eta)
+    prob = jnp.where(reflect_case, F, 1.0 - F)
+    dwh_refl = 1.0 / (4.0 * jnp.maximum(jnp.abs(wo_h), 1e-9))
+    denom = wi_h + eta_path * wo_h
+    dwh_refr = m.sqr(eta_path) * jnp.abs(wo_h) / jnp.maximum(m.sqr(denom),
+                                                             1e-12)
+    jac = jnp.where(reflect_case, dwh_refl, dwh_refr)
+    return jnp.maximum(prob * pdf_h * jac, 0.0)
+
+
+def _roughdielectric_sample(P, wi, u1, u2, mode):
+    eta = P[:, 0] / P[:, 1]
+    cos_i = fr.cos_theta(wi)
+    ax, ay = P[:, 9], P[:, 10]
+    wi_up = wi * jnp.sign(cos_i)[:, None]
+    h_up, pdf_h = mf.sample_vndf(wi_up, u2, ax, ay)
+    h = h_up * jnp.sign(cos_i)[:, None]   # same side as wi
+    wi_h = m.dot(wi, h)
+    F, cos_t, eta_it, eta_ti = fresnel_dielectric(wi_h, eta)
+    sel_r = u1 <= F
+    wo_r = 2.0 * wi_h[:, None] * h - wi
+    # refract about h (local-frame refract formula generalized to h)
+    wo_t = m.normalize(
+        (eta_ti[:, None]) * (wi_h[:, None] * h - wi)
+        + (cos_t[:, None]) * h)
+    wo = jnp.where(sel_r[:, None], wo_r, wo_t)
+    cos_o = fr.cos_theta(wo)
+    ok = jnp.where(sel_r, cos_i * cos_o > 0, cos_i * cos_o < 0) \
+        & (jnp.abs(cos_i) > 1e-6) & (pdf_h > 0)
+    f = _roughdielectric_eval(P, wi, wo)
+    pdf = _roughdielectric_pdf(P, wi, wo)
+    factor = jnp.where(jnp.asarray(mode == RADIANCE) & ~sel_r, eta_ti, 1.0)
+    weight = jnp.where(ok[:, None],
+                       f * m.safe_rcp(pdf)[:, None] * m.sqr(factor)[:, None]
+                       / jnp.where(sel_r, 1.0, 1.0)[:, None], 0.0)
+    bs = BSDFSample(wo=wo, pdf=jnp.where(ok, pdf, 0.0),
+                    eta=jnp.where(sel_r, 1.0, eta_it),
+                    delta=jnp.zeros_like(sel_r), null=jnp.zeros_like(sel_r))
+    return bs, weight
+
+
 def _plastic_fdr(eta):
     """Average fresnel diffuse reflectance approximation (reference
     fresnel.h fresnel_diffuse_reflectance fit, d'Eon & Irving)."""
@@ -293,12 +389,16 @@ def _plastic_pdf(P, wi, wo):
 _EVAL = {
     BSDF_TYPES['diffuse']: _diffuse_eval,
     BSDF_TYPES['roughconductor']: _roughconductor_eval,
+    BSDF_TYPES['roughdielectric']: _roughdielectric_eval,
     BSDF_TYPES['plastic']: _plastic_eval,
+    BSDF_TYPES['roughplastic']: _plastic_eval,
 }
 _PDF = {
     BSDF_TYPES['diffuse']: _diffuse_pdf,
     BSDF_TYPES['roughconductor']: _roughconductor_pdf,
+    BSDF_TYPES['roughdielectric']: _roughdielectric_pdf,
     BSDF_TYPES['plastic']: _plastic_pdf,
+    BSDF_TYPES['roughplastic']: _plastic_pdf,
 }
 _SAMPLE = {
     BSDF_TYPES['diffuse']: _diffuse_sample,
@@ -307,7 +407,9 @@ _SAMPLE = {
     BSDF_TYPES['thindielectric']: _thindielectric_sample,
     BSDF_TYPES['null']: _null_sample,
     BSDF_TYPES['roughconductor']: _roughconductor_sample,
+    BSDF_TYPES['roughdielectric']: _roughdielectric_sample,
     BSDF_TYPES['plastic']: _plastic_sample,
+    BSDF_TYPES['roughplastic']: _plastic_sample,
 }
 
 
@@ -335,6 +437,8 @@ def eval(scene, meta, si, wo, mode=RADIANCE, textures=None):
             kw['textured_refl'] = textures
         val = fn(P, wi, wo, **kw)
         out = jnp.where((btype == code)[:, None], val, out)
+    # opacity-masked rows: surface lobe is attenuated by opacity
+    out = jnp.where(((flags & F_MASK) > 0)[:, None], out * P[:, 14:15], out)
     return out
 
 
@@ -349,6 +453,7 @@ def pdf(scene, meta, si, wo):
         if fn is None:
             continue
         out = jnp.where(btype == code, fn(P, wi, wo), out)
+    out = jnp.where((flags & F_MASK) > 0, out * P[:, 14], out)
     return out
 
 
@@ -383,15 +488,36 @@ def sample(scene, meta, si, u1, u2, mode=RADIANCE, textures=None):
     flip = ((flags & F_TWOSIDED) > 0) & (fr.cos_theta(si.wi) < 0)
     bs = bs._replace(wo=jnp.where(flip[:, None],
                                   bs.wo * jnp.asarray([1.0, 1.0, -1.0]), bs.wo))
+    # opacity mask: with prob (1 - opacity) pass straight through
+    # (reference mask.cpp sample); u1 is stretched for the nested lobe by
+    # construction of the masked select below (approximation: reuse u1)
+    masked_rows = (flags & F_MASK) > 0
+    if True:
+        opacity = P[:, 14]
+        pass_thru = masked_rows & (u1 >= opacity)
+        one = jnp.ones((N,), jnp.float32)
+        bs = BSDFSample(
+            wo=jnp.where(pass_thru[:, None], -wi, bs.wo),
+            pdf=jnp.where(pass_thru, 1.0 - opacity, bs.pdf),
+            eta=jnp.where(pass_thru, one, bs.eta),
+            delta=jnp.where(pass_thru, True, bs.delta),
+            null=jnp.where(pass_thru, True, bs.null))
+        weight = jnp.where(pass_thru[:, None], jnp.ones((N, 3)), weight)
+        # nested lobe keeps weight (pdf scaling by opacity cancels f*opacity)
     return bs, weight
 
 
 def eval_null_transmission(scene, meta, si):
     """Transmittance of straight-through rays (reference
-    bsdf.h eval_null_transmission): 1 for null bsdfs, 0 otherwise."""
+    bsdf.h eval_null_transmission): 1 for null bsdfs, (1 - opacity) for
+    masked bsdfs, 0 otherwise."""
     flags = scene.bsdfs.flags[si.bsdf_idx]
-    is_null = (flags & F_NULL) > 0
-    return jnp.where(is_null[:, None], jnp.ones((si.wi.shape[0], 3)), 0.0)
+    P = scene.bsdfs.params[si.bsdf_idx]
+    is_mask = (flags & F_MASK) > 0
+    is_null = ((flags & F_NULL) > 0) & ~is_mask
+    out = jnp.where(is_null[:, None], jnp.ones((si.wi.shape[0], 3)), 0.0)
+    out = jnp.where(is_mask[:, None], 1.0 - P[:, 14:15], out)
+    return out
 
 
 def flags_of(scene, si):

@@ -1,0 +1,55 @@
+"""AOV + moment integrators.
+
+Analogs of the reference src/integrators/aov.cpp and moment.cpp:
+  * aov: renders geometric feature channels (depth / sh_normal / position /
+    uv / prim_index / shape_index) selected by the integrator prop
+    ``aovs`` (first spec; e.g. "nn:sh_normal"), packed into RGB.
+  * moment: renders the nested integrator's radiance SQUARED — accumulated
+    alongside a normal render this yields the per-pixel variance the
+    golden-image z-test consumes (reference test_renders.py:56-60).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..core.ray import Ray
+from ..core.rng import Sampler
+from ..ops import intersect as isect
+from . import get_integrator
+
+
+def sample_aov(scene, meta, sampler: Sampler, ray: Ray, active=None,
+               diff: bool = False, aux=None):
+    N = ray.o.shape[0]
+    spec = meta.iprop('aovs', 'dd.y:depth')
+    kind = spec.split(':')[-1].strip()
+    si = isect.ray_intersect(scene, ray)
+    if kind == 'depth':
+        v = jnp.where(si.valid, si.t, 0.0)
+        out = jnp.repeat(v[:, None], 3, axis=1)
+    elif kind in ('sh_normal', 'nn'):
+        out = jnp.where(si.valid[:, None], si.sh_frame.n, 0.0)
+    elif kind in ('geo_normal', 'ng'):
+        out = jnp.where(si.valid[:, None], si.n, 0.0)
+    elif kind in ('position', 'p'):
+        out = jnp.where(si.valid[:, None], si.p, 0.0)
+    elif kind == 'uv':
+        out = jnp.concatenate([si.uv, jnp.zeros((N, 1))], axis=-1)
+        out = jnp.where(si.valid[:, None], out, 0.0)
+    elif kind in ('prim_index', 'shape_index'):
+        idx = si.prim_index if kind == 'prim_index' else si.shape_idx
+        out = jnp.repeat(idx[:, None].astype(jnp.float32), 3, axis=1)
+    else:
+        raise KeyError(f"unknown aov '{kind}'")
+    return out, si.valid, sampler
+
+
+def sample_moment(scene, meta, sampler: Sampler, ray: Ray, active=None,
+                  diff: bool = False, aux=None):
+    inner_name = meta.iprop('integrator', 'path')
+    if not isinstance(inner_name, str):
+        inner_name = 'path'
+    inner = get_integrator(inner_name)
+    L, valid, sampler = inner(scene, meta, sampler, ray, active, diff=diff,
+                              aux=aux)
+    return L * L, valid, sampler

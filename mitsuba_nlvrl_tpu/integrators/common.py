@@ -25,15 +25,20 @@ def mis_weight(pdf_a: jnp.ndarray, pdf_b: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(jnp.isfinite(w), w, 0.0)
 
 
-def film_sample_positions(meta, key) -> Tuple[jnp.ndarray, jnp.ndarray]:
+def film_sample_positions(meta, key, pass_idx=0
+                          ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """One sample per pixel: continuous positions (N,2) in pixel units and
-    the [0,1)^2 normalized sample position for the sensor."""
+    the [0,1)^2 normalized sample position for the sensor. The jitter comes
+    from the scene's sampler plugin (independent/stratified/multijitter/
+    ldsampler) with ``pass_idx`` as the per-pixel sample index."""
+    from ..sampler import film_jitter
     W, H = meta.film.width, meta.film.height
     xs = jnp.arange(W, dtype=jnp.float32)
     ys = jnp.arange(H, dtype=jnp.float32)
     gx, gy = jnp.meshgrid(xs, ys)                       # (H, W)
     base = jnp.stack([gx.ravel(), gy.ravel()], axis=-1)  # (N, 2)
-    jitter = jax.random.uniform(key, base.shape, jnp.float32)
+    jitter = film_jitter(meta.sampler, key, pass_idx, meta.spp,
+                         base.shape[0])
     pos = base + jitter
     scale = jnp.asarray([1.0 / W, 1.0 / H], jnp.float32)
     return pos, pos * scale

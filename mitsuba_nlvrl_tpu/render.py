@@ -26,12 +26,12 @@ from .integrators.common import film_sample_positions
 
 @partial(jax.jit, static_argnames=('meta', 'integrator'))
 def render_pass(scene, meta, key, integrator: Optional[str] = None,
-                aux=None):
+                aux=None, pass_idx=0):
     """Render 1 spp over the full film; returns (H, W, 4) premultiplied
     [rgb * weight, weight] accumulation."""
     integ = get_integrator(integrator or meta.integrator)
     pos_key, samp_key = jax.random.split(key)
-    pos, pos01 = film_sample_positions(meta, pos_key)
+    pos, pos01 = film_sample_positions(meta, pos_key, pass_idx)
     N = pos.shape[0]
     ray, sensor_weight = sensor_mod.sample_ray(
         scene, meta, pos01, jax.random.uniform(jax.random.fold_in(pos_key, 1),
@@ -65,7 +65,7 @@ def render(scene, meta, seed: int = 0, spp: Optional[int] = None,
     t0 = time.time()
     for p in range(spp):
         img = render_pass(scene, meta, jax.random.fold_in(key, p), integrator,
-                          aux)
+                          aux, jnp.uint32(p))
         acc = img if acc is None else acc + img
         if verbose and (p == 0 or (p + 1) % 16 == 0):
             acc.block_until_ready()

@@ -1,0 +1,164 @@
+"""Sample generators: independent / stratified / multijitter / ldsampler /
+orthogonal.
+
+TPU-native analogs of the reference sampler plugins (src/samplers/*.cpp).
+The wavefront design keeps the bounce-loop dimensions on the counter-based
+threefry stream (core/rng.py); the *film position* dimension — where
+stratification matters most — is generated here per pass:
+
+  independent  — pure jitter (independent.cpp)
+  stratified   — per-pixel permuted strata over spp (stratified.cpp)
+  multijitter  — Kensler correlated multi-jitter (multijitter.cpp)
+  ldsampler    — scrambled (0,2)-sequence: van der Corput + Sobol' dim 2
+                 (ldsampler.cpp)
+  orthogonal   — orthogonal-array strata; falls back to multijitter
+                 (orthogonal.cpp's OA construction needs prime spp)
+
+All return (N, 2) offsets in [0,1)^2 for pass index p of spp.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _hash_u32(x: jnp.ndarray, seed) -> jnp.ndarray:
+    """Wang-style integer hash, uint32."""
+    x = x.astype(jnp.uint32) ^ jnp.uint32(seed)
+    x = (x ^ jnp.uint32(61)) ^ (x >> 16)
+    x = x * jnp.uint32(9)
+    x = x ^ (x >> 4)
+    x = x * jnp.uint32(0x27d4eb2d)
+    x = x ^ (x >> 15)
+    return x
+
+
+def _vdc_u32(i):
+    """Van der Corput radical inverse base 2 (bit reverse), traced."""
+    i = jnp.uint32(i)
+    i = ((i & jnp.uint32(0x55555555)) << 1) | ((i & jnp.uint32(0xAAAAAAAA)) >> 1)
+    i = ((i & jnp.uint32(0x33333333)) << 2) | ((i & jnp.uint32(0xCCCCCCCC)) >> 2)
+    i = ((i & jnp.uint32(0x0F0F0F0F)) << 4) | ((i & jnp.uint32(0xF0F0F0F0)) >> 4)
+    i = ((i & jnp.uint32(0x00FF00FF)) << 8) | ((i & jnp.uint32(0xFF00FF00)) >> 8)
+    return (i << 16) | (i >> 16)
+
+
+def _sobol2_u32(i):
+    """Second dimension of the (0,2)-sequence, traced."""
+    i = jnp.uint32(i)
+
+    def body(k, carry):
+        i, v, r = carry
+        r = jnp.where((i & 1) > 0, r ^ v, r)
+        return i >> 1, v ^ (v >> 1), r
+
+    _, _, r = jax.lax.fori_loop(0, 32, body,
+                                (i, jnp.uint32(1 << 31), jnp.uint32(0)))
+    return r
+
+
+def _cmj_permute(i, l, p):
+    """Kensler's in-place hash permutation over [0, l) (l power of two
+    mask assumed handled by caller via cycle-walking)."""
+    w = l - 1
+    w |= w >> 1
+    w |= w >> 2
+    w |= w >> 4
+    w |= w >> 8
+    w |= w >> 16
+
+    def body(carry):
+        i, _ = carry
+        x = i
+        x ^= p
+        x = (x * jnp.uint32(0xe170893d)) & jnp.uint32(0xFFFFFFFF)
+        x ^= p >> 16
+        x ^= (x & w) >> 4
+        x ^= p >> 8
+        x = (x * jnp.uint32(0x0929eb3f)) & jnp.uint32(0xFFFFFFFF)
+        x ^= p >> 23
+        x ^= (x & w) >> 1
+        x = (x * (jnp.uint32(1) | (p >> 27))) & jnp.uint32(0xFFFFFFFF)
+        x = (x * jnp.uint32(0x6935fa69)) & jnp.uint32(0xFFFFFFFF)
+        x ^= (x & w) >> 11
+        x = (x * jnp.uint32(0x74dcca9a)) & jnp.uint32(0xFFFFFFFF)
+        x ^= (x & w) >> 2
+        x = (x * jnp.uint32(0x9e501cc3)) & jnp.uint32(0xFFFFFFFF)
+        x ^= (x & w) >> 2
+        x = (x * jnp.uint32(0xc860a3df)) & jnp.uint32(0xFFFFFFFF)
+        x &= w
+        x ^= x >> 5
+        return x, x >= l
+
+    # single application (cycle-walk unrolled a few times)
+    x, over = body((i.astype(jnp.uint32), None))
+    for _ in range(3):
+        x2, over2 = body((x, None))
+        x = jnp.where(over, x2, x)
+        over = over & over2
+    return ((x + p) % l).astype(jnp.uint32)
+
+
+def _cmj_randfloat(i, p):
+    x = i.astype(jnp.uint32) ^ p
+    x ^= x >> 17
+    x ^= x >> 10
+    x = (x * jnp.uint32(0xb36534e5)) & jnp.uint32(0xFFFFFFFF)
+    x ^= x >> 12
+    x ^= x >> 21
+    x = (x * jnp.uint32(0x93fc4795)) & jnp.uint32(0xFFFFFFFF)
+    x ^= jnp.uint32(0xdf6e307f)
+    x ^= x >> 17
+    x = (x * (jnp.uint32(1) | (p >> 18))) & jnp.uint32(0xFFFFFFFF)
+    return x.astype(jnp.float32) * (1.0 / 4294967808.0)
+
+
+def film_jitter(sampler_type: str, key, pass_idx: int, spp: int, N: int):
+    """Per-pixel 2D sample offset for this pass (pixel index = lane)."""
+    lanes = jnp.arange(N, dtype=jnp.uint32)
+    if sampler_type in ('independent',) or spp <= 1:
+        return jax.random.uniform(key, (N, 2), jnp.float32)
+
+    if sampler_type == 'ldsampler':
+        vx = _vdc_u32(pass_idx)
+        vy = _sobol2_u32(pass_idx)
+        sx = _hash_u32(lanes, 0x1234567)
+        sy = _hash_u32(lanes, 0x89abcdf)
+        x = ((vx ^ sx).astype(jnp.float32)) / 4294967296.0
+        y = ((vy ^ sy).astype(jnp.float32)) / 4294967296.0
+        return jnp.stack([x, y], axis=-1)
+
+    if sampler_type in ('stratified',):
+        # square-ish strata grid; per-pixel permuted stratum index
+        import math
+        a = int(math.sqrt(spp))
+        while spp % a:
+            a -= 1
+        b = spp // a
+        perm = _hash_u32(lanes, 977 + 13)
+        s = (jnp.uint32(pass_idx) + perm) % jnp.uint32(spp)  # noqa: traced ok
+        sx = (s % a).astype(jnp.float32)
+        sy = (s // a).astype(jnp.float32)
+        u = jax.random.uniform(key, (N, 2), jnp.float32)
+        return jnp.stack([(sx + u[:, 0]) / a, (sy + u[:, 1]) / b], axis=-1)
+
+    if sampler_type in ('multijitter', 'orthogonal'):
+        import math
+        mm = int(math.sqrt(spp))
+        while spp % mm:
+            mm -= 1
+        nn = spp // mm
+        p = _hash_u32(lanes, 0x51633e2d)
+        s = _cmj_permute(jnp.broadcast_to(jnp.uint32(pass_idx), (N,)),
+                         jnp.uint32(spp), p * jnp.uint32(0x51633e2d))
+        sx = _cmj_permute(s % mm, jnp.uint32(mm), p * jnp.uint32(0x68bc21eb))
+        sy = _cmj_permute(s // mm, jnp.uint32(nn), p * jnp.uint32(0x02e5be93))
+        jx = _cmj_randfloat(s, p * jnp.uint32(0x967a889b))
+        jy = _cmj_randfloat(s, p * jnp.uint32(0x368cc8b7))
+        x = ((s % mm).astype(jnp.float32) + (sy.astype(jnp.float32) + jx)
+             / nn) / mm
+        y = ((s // mm).astype(jnp.float32) + (sx.astype(jnp.float32) + jy)
+             / mm) / nn
+        return jnp.stack([x % 1.0, y % 1.0], axis=-1)
+
+    return jax.random.uniform(key, (N, 2), jnp.float32)

@@ -51,6 +51,7 @@ F_NULL = 2
 F_TRANSMISSION = 4
 F_SMOOTH = 8          # has a non-delta lobe
 F_TWOSIDED = 16
+F_MASK = 32           # opacity-masked wrapper (params[14] = opacity)
 
 BSDF_NPARAM = 16
 EMITTER_NPARAM = 12
