@@ -94,6 +94,49 @@ def splat(film: FilmMeta, pos: jnp.ndarray, values: jnp.ndarray,
     return img
 
 
+def splat_pixel_ordered(film: FilmMeta, jitter: jnp.ndarray,
+                        values: jnp.ndarray, image: jnp.ndarray
+                        ) -> jnp.ndarray:
+    """Fast splat for the camera wavefront: exactly one sample per pixel in
+    row-major order at position pixel+jitter. The filter footprint becomes
+    a FIXED set of relative taps, so the scatter-add collapses to dense
+    shifted adds (pad+slice) — no scatter ops, ~10x faster on TPU.
+
+    jitter: (N, 2) in [0,1); values (N, C); image (H, W, C+1).
+    """
+    H, W = image.shape[0], image.shape[1]
+    C = values.shape[1]
+    radius = FILTER_RADII[film.rfilter]
+    k = 1 if film.rfilter == 'box' else int(pymath.ceil(2.0 * radius))
+
+    vals = jnp.concatenate([values, jnp.ones((values.shape[0], 1),
+                                             values.dtype)], -1)
+    vals = vals.reshape(H, W, C + 1)
+    jx = jitter[:, 0].reshape(H, W)
+    jy = jitter[:, 1].reshape(H, W)
+
+    if k == 1:
+        return image + vals
+
+    # tap pixels p+d with |d + 0.5 - jitter| < radius for some jitter in
+    # [0,1): d in [-ceil(r - 0.5), ceil(r - 0.5)]
+    kk = int(pymath.ceil(radius - 0.5))
+    img = image
+    for dx in range(-kk, kk + 1):
+        for dy in range(-kk, kk + 1):
+            # distance from tap center (pixel+dx+0.5) to sample (pixel+jx)
+            wx = filter_eval(film.rfilter, dx + 0.5 - jx)
+            wy = filter_eval(film.rfilter, dy + 0.5 - jy)
+            contrib = vals * (wx * wy)[..., None]
+            # shift contrib by (dy, dx) into the image
+            pad_y = (max(dy, 0), max(-dy, 0))
+            pad_x = (max(dx, 0), max(-dx, 0))
+            shifted = jnp.pad(contrib, (pad_y, pad_x, (0, 0)))
+            shifted = shifted[pad_y[1]:pad_y[1] + H, pad_x[1]:pad_x[1] + W]
+            img = img + shifted
+    return img
+
+
 def new_image(film: FilmMeta, channels: int = 3) -> jnp.ndarray:
     return jnp.zeros((film.height, film.width, channels + 1), jnp.float32)
 

@@ -42,15 +42,31 @@ class PreliminaryHit(NamedTuple):
 
 def _moller_trumbore(o, d, v0, e1, e2):
     """Batched Möller-Trumbore: o,d (N,1,3); v0,e1,e2 (1,T,3).
-    Returns (t, u, v, hit_geo) each (N, T)."""
-    pvec = jnp.cross(d, e2)
-    det = jnp.sum(e1 * pvec, -1)
+    Returns (t, u, v, hit_geo) each (N, T).
+
+    Written COMPONENT-WISE on (N, T) planes rather than (N, T, 3) vector
+    ops: XLA fuses the scalar chains without materializing 3-vector
+    intermediates in HBM (the (N,T,3) form was memory-bound, ~13x slower
+    on TPU)."""
+    dx, dy, dz = d[..., 0], d[..., 1], d[..., 2]
+    e1x, e1y, e1z = e1[..., 0], e1[..., 1], e1[..., 2]
+    e2x, e2y, e2z = e2[..., 0], e2[..., 1], e2[..., 2]
+    # pvec = d x e2
+    px = dy * e2z - dz * e2y
+    py = dz * e2x - dx * e2z
+    pz = dx * e2y - dy * e2x
+    det = e1x * px + e1y * py + e1z * pz
     inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
-    tvec = o - v0
-    u = jnp.sum(tvec * pvec, -1) * inv_det
-    qvec = jnp.cross(tvec, e1)
-    v = jnp.sum(d * qvec, -1) * inv_det
-    t = jnp.sum(e2 * qvec, -1) * inv_det
+    tx = o[..., 0] - v0[..., 0]
+    ty = o[..., 1] - v0[..., 1]
+    tz = o[..., 2] - v0[..., 2]
+    u = (tx * px + ty * py + tz * pz) * inv_det
+    # qvec = tvec x e1
+    qx = ty * e1z - tz * e1y
+    qy = tz * e1x - tx * e1z
+    qz = tx * e1y - ty * e1x
+    v = (dx * qx + dy * qy + dz * qz) * inv_det
+    t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
     hit = (jnp.abs(det) > 1e-12) & (u >= 0) & (v >= 0) & (u + v <= 1)
     return t, u, v, hit
 
@@ -70,16 +86,18 @@ def _scan_tris(ray: Ray, v0, e1, e2, any_hit: bool, maxt):
     """Chunked nearest (or any) hit over the triangle array."""
     N = ray.o.shape[0]
     T = v0.shape[0]
-    nchunk = max(1, -(-T // TRI_CHUNK))
-    Tpad = nchunk * TRI_CHUNK
+    # chunk adapts to the scene: lane-dim multiple of 128, capped
+    chunk = min(TRI_CHUNK, max(128, -(-T // 128) * 128))
+    nchunk = max(1, -(-T // chunk))
+    Tpad = nchunk * chunk
     pad = Tpad - T
     if pad:
         v0 = jnp.pad(v0, ((0, pad), (0, 0)))
         e1 = jnp.pad(e1, ((0, pad), (0, 0)))
         e2 = jnp.pad(e2, ((0, pad), (0, 0)))
-    v0c = v0.reshape(nchunk, TRI_CHUNK, 3)
-    e1c = e1.reshape(nchunk, TRI_CHUNK, 3)
-    e2c = e2.reshape(nchunk, TRI_CHUNK, 3)
+    v0c = v0.reshape(nchunk, chunk, 3)
+    e1c = e1.reshape(nchunk, chunk, 3)
+    e2c = e2.reshape(nchunk, chunk, 3)
     o = ray.o[:, None, :]
     d = ray.d[:, None, :]
 
@@ -103,7 +121,7 @@ def _scan_tris(ray: Ray, v0, e1, e2, any_hit: bool, maxt):
 
     init = (jnp.full((N,), jnp.inf), jnp.full((N,), -1, jnp.int32),
             jnp.zeros((N,)), jnp.zeros((N,)), jnp.zeros((N,), bool))
-    bases = (jnp.arange(nchunk, dtype=jnp.int32) * TRI_CHUNK)
+    bases = (jnp.arange(nchunk, dtype=jnp.int32) * chunk)
     carry, _ = jax.lax.scan(body, init, (v0c, e1c, e2c, bases))
     return carry
 

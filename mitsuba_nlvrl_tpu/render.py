@@ -40,7 +40,9 @@ def render_pass(scene, meta, key, integrator: Optional[str] = None,
     L, valid, sampler = integ(scene, meta, sampler, ray, aux=aux)
     L = jnp.where(jnp.isfinite(L), L, 0.0) * sensor_weight
     image = film_mod.new_image(meta.film)
-    image = film_mod.splat(meta.film, pos, L, jnp.ones((N,)), image)
+    # camera wavefront is pixel-ordered: dense shifted-add splat (no scatter)
+    jitter = pos - jnp.floor(pos)
+    image = film_mod.splat_pixel_ordered(meta.film, jitter, L, image)
     return image
 
 
