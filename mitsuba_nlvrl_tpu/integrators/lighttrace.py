@@ -396,69 +396,59 @@ def shoot(scene, meta, key, n_paths: int, max_depth: int = 8,
     return deps
 
 
-def _compact(valid, arrays, cap=None):
-    """Host-side: keep valid rows, pad to a power of two (static shapes)."""
-    import numpy as np
-    valid = np.asarray(valid)
-    idx = np.nonzero(valid)[0]
-    if cap is not None and len(idx) > cap:
-        idx = idx[:cap]
-    n = len(idx)
-    P = max(8, 1 << max(n - 1, 1).bit_length())
-    outs = []
-    for a in arrays:
-        a = np.asarray(a)
-        out = np.zeros((P,) + a.shape[1:], a.dtype)
-        out[:n] = a[idx]
-        outs.append(jnp.asarray(out))
-    vmask = np.zeros((P,), bool)
-    vmask[:n] = True
-    return n, jnp.asarray(vmask), outs
+def _compact_dev(valid, arrays, cap: int):
+    """Device-side compaction to a STATIC capacity: stable-sort valid rows
+    first, truncate/pad to ``cap`` (no device->host transfer — critical on
+    remote-TPU links where pulls cost seconds)."""
+    order = jnp.argsort(~valid, stable=True)
+    take = order[:cap]
+    n = jnp.minimum(valid.sum(), cap)
+    vmask = jnp.arange(cap) < n
+    outs = [a[take] for a in arrays]
+    return n, vmask, outs
 
 
 def build_maps(scene, meta, deps: StepDeposits, n_paths: int,
                r_global, r_caustic, r_volume,
-               vrl_cap=None, photon_cap=None) -> PhotonMaps:
-    """Flatten + compact the stacked deposits (HOST side — runs once per
-    render like the reference's map builds, vrl.cpp:383-438) and build the
-    hash grids + contributing-path scale factors."""
-    import numpy as np
+               vrl_cap=8192, photon_cap=262144) -> PhotonMaps:
+    """Flatten + compact the stacked deposits ON DEVICE (static capacities;
+    the analog of the reference's map builds, vrl.cpp:383-438) and build
+    the hash grids + contributing-path scale factors."""
+    vrl_cap = int(vrl_cap or 8192)
+    photon_cap = int(photon_cap or 262144)
 
     def flat(x):
-        x = np.asarray(x)
         return x.reshape((-1,) + x.shape[2:])
 
     def flat_vrl(x):
-        x = np.asarray(x)
         return x.reshape((-1,) + x.shape[3:])
 
     # contributing-path counts (reference scale semantics)
-    sp_valid_bn = np.asarray(deps.sp_valid)
-    vp_valid_bn = np.asarray(deps.vp_valid)
-    vrl_valid_bsn = np.asarray(deps.vrl_valid)
-    sp_paths = max(int(sp_valid_bn.any(axis=0).sum()), 1)
-    vp_paths = max(int(vp_valid_bn.any(axis=0).sum()), 1)
-    vrl_paths = max(int(vrl_valid_bsn.any(axis=(0, 1)).sum()), 1)
+    sp_paths = jnp.maximum(deps.sp_valid.any(axis=0).sum(), 1)
+    vp_paths = jnp.maximum(deps.vp_valid.any(axis=0).sum(), 1)
+    vrl_paths = jnp.maximum(deps.vrl_valid.any(axis=(0, 1)).sum(), 1)
 
     sp_valid = flat(deps.sp_valid)
+    photon_cap = min(photon_cap, sp_valid.shape[0])
     _, sp_vmask, (sp_pos, sp_power, sp_dir, sp_normal, sp_depth,
-                  sp_caustic) = _compact(
+                  sp_caustic) = _compact_dev(
         sp_valid, [flat(deps.sp_pos), flat(deps.sp_power), flat(deps.sp_dir),
                    flat(deps.sp_normal), flat(deps.sp_depth),
                    flat(deps.sp_caustic)], photon_cap)
 
     vp_valid = flat(deps.vp_valid)
-    _, vp_vmask, (vp_pos, vp_power, vp_dir, vp_depth) = _compact(
+    vp_cap = min(int(photon_cap), vp_valid.shape[0])
+    _, vp_vmask, (vp_pos, vp_power, vp_dir, vp_depth) = _compact_dev(
         vp_valid, [flat(deps.vp_pos), flat(deps.vp_power), flat(deps.vp_dir),
-                   flat(deps.vp_depth)], photon_cap)
+                   flat(deps.vp_depth)], vp_cap)
 
     vrl_o_all = flat_vrl(deps.vrl_o)
     vrl_e_all = flat_vrl(deps.vrl_e)
-    seg = vrl_e_all - vrl_o_all
-    ln = np.linalg.norm(seg, axis=1)
+    ln = m.norm(vrl_e_all - vrl_o_all)
     vv = flat_vrl(deps.vrl_valid) & (ln > 1e-6)
+    vrl_cap = min(vrl_cap, vv.shape[0])
     n_vrl, vrl_vmask, (vrl_o, vrl_e, vrl_flux, vrl_medium, vrl_depth,
-                       vrl_direct) = _compact(
+                       vrl_direct) = _compact_dev(
         vv, [vrl_o_all, vrl_e_all, flat_vrl(deps.vrl_flux),
              flat_vrl(deps.vrl_medium), flat_vrl(deps.vrl_depth),
              flat_vrl(deps.vrl_direct)], vrl_cap)
@@ -467,23 +457,21 @@ def build_maps(scene, meta, deps: StepDeposits, n_paths: int,
     vrl_d = seg_c * m.safe_rcp(vrl_len)[:, None]
 
     lo = scene.bbox_lo
+    sp_caustic_b = sp_caustic.astype(bool) & sp_vmask
     return PhotonMaps(
         sp_pos=sp_pos, sp_power=sp_power, sp_dir=sp_dir,
         sp_normal=sp_normal, sp_depth=sp_depth,
-        sp_caustic=sp_caustic.astype(bool), sp_valid=sp_vmask,
-        global_grid=hashgrid.build(sp_pos,
-                                   sp_vmask & ~sp_caustic.astype(bool),
+        sp_caustic=sp_caustic_b, sp_valid=sp_vmask,
+        global_grid=hashgrid.build(sp_pos, sp_vmask & ~sp_caustic_b,
                                    lo, r_global),
-        caustic_grid=hashgrid.build(sp_pos,
-                                    sp_vmask & sp_caustic.astype(bool),
-                                    lo, r_caustic),
-        sp_scale=jnp.float32(1.0 / sp_paths),
+        caustic_grid=hashgrid.build(sp_pos, sp_caustic_b, lo, r_caustic),
+        sp_scale=1.0 / sp_paths.astype(jnp.float32),
         vp_pos=vp_pos, vp_power=vp_power, vp_dir=vp_dir,
         vp_depth=vp_depth, vp_valid=vp_vmask,
         vp_grid=hashgrid.build(vp_pos, vp_vmask, lo, r_volume),
-        vp_scale=jnp.float32(1.0 / vp_paths),
+        vp_scale=1.0 / vp_paths.astype(jnp.float32),
         vrl_o=vrl_o, vrl_d=vrl_d, vrl_len=vrl_len, vrl_flux=vrl_flux,
         vrl_medium=vrl_medium, vrl_depth=vrl_depth,
         vrl_direct=vrl_direct.astype(bool), vrl_valid=vrl_vmask,
-        vrl_scale=jnp.float32(1.0 / vrl_paths),
-        vrl_count=jnp.int32(n_vrl))
+        vrl_scale=1.0 / vrl_paths.astype(jnp.float32),
+        vrl_count=n_vrl.astype(jnp.int32))

@@ -70,11 +70,11 @@ def preprocess(scene, meta, key, vp_all_scatters: bool = False):
         vp_all_scatters=vp_all_scatters), static_argnames=('meta',))
     deps = shoot_fn(scene, meta, key)
 
-    sr = float(scene_radius_of(scene))
-    r_global = float(meta.iprop('global_lookup_radius_relative', 0.05)) * sr
-    r_caustic = float(meta.iprop('caustic_lookup_radius_relative',
-                                 0.0125)) * sr
-    r_volume = float(meta.iprop('volume_lookup_radius_relative', 0.005)) * sr
+    # keep radii as device scalars: host pulls are expensive on remote TPUs
+    sr = scene_radius_of(scene)
+    r_global = meta.iprop('global_lookup_radius_relative', 0.05) * sr
+    r_caustic = meta.iprop('caustic_lookup_radius_relative', 0.0125) * sr
+    r_volume = meta.iprop('volume_lookup_radius_relative', 0.005) * sr
     # vp grid cell must cover the jittered query radius (<= 1.25 r_volume)
     maps = lighttrace.build_maps(
         scene, meta, deps, n_paths, r_global, r_caustic, 1.25 * r_volume,

@@ -27,6 +27,14 @@ from ..core.records import SurfaceInteraction
 
 TRI_CHUNK = 1024
 
+# Backend selection: the fused Pallas kernel (ops/pallas/intersect_tpu.py)
+# currently matches the component-wise XLA path on TPU (both VPU-bound);
+# opt in via MNT_INTERSECT=pallas. The BVH path (scene.bvh) wins on CPU and
+# is kept for very large meshes, but its gather/scatter traversal loses to
+# dense brute force on TPU at reference-scene sizes.
+import os
+_USE_PALLAS = os.environ.get('MNT_INTERSECT', '') == 'pallas'
+
 KIND_TRI = 0
 KIND_SPHERE = 1
 
@@ -138,8 +146,25 @@ def intersect_preliminary(scene, ray: Ray, maxt=None) -> PreliminaryHit:
     kind = jnp.zeros((N,), jnp.int32)
 
     if geo.v0.shape[0] > 0:
-        t, i, u, v, _ = _scan_tris(ray, geo.v0, geo.e1, geo.e2, False, maxt)
-        best_t, best_i, best_u, best_v = t, i, u, v
+        if _USE_PALLAS and jax.default_backend() == 'tpu':
+            from .pallas.intersect_tpu import intersect_tris
+            cols = [geo.v0[:, 0], geo.v0[:, 1], geo.v0[:, 2],
+                    geo.e1[:, 0], geo.e1[:, 1], geo.e1[:, 2],
+                    geo.e2[:, 0], geo.e2[:, 1], geo.e2[:, 2]]
+            t, i, u, v = intersect_tris(cols, ray.o, ray.d, ray.mint, maxt)
+            best_t = jnp.where(jnp.isfinite(t), t, jnp.inf)
+            best_i, best_u, best_v = i, u, v
+        elif scene.bvh is not None and jax.default_backend() != 'tpu':
+            from . import bvh as bvh_mod
+            t, i, u, v = bvh_mod.traverse(
+                scene.bvh, geo.v0, geo.e1, geo.e2, ray.o, ray.d, ray.mint,
+                maxt, any_hit=False)
+            best_t = jnp.where(jnp.isfinite(t), t, jnp.inf)
+            best_i, best_u, best_v = i, u, v
+        else:
+            t, i, u, v, _ = _scan_tris(ray, geo.v0, geo.e1, geo.e2, False,
+                                       maxt)
+            best_t, best_i, best_u, best_v = t, i, u, v
 
     if geo.sph_center.shape[0] > 0:
         tn, tf, hit = _sphere_hits(ray.o[:, None], ray.d[:, None],
@@ -165,8 +190,24 @@ def ray_test(scene, ray: Ray, maxt=None) -> jnp.ndarray:
     maxt = ray.maxt if maxt is None else maxt
     occluded = jnp.zeros((ray.o.shape[0],), bool)
     if geo.v0.shape[0] > 0:
-        _, _, _, _, occ = _scan_tris(ray, geo.v0, geo.e1, geo.e2, True, maxt)
-        occluded = occluded | occ
+        if _USE_PALLAS and jax.default_backend() == 'tpu':
+            from .pallas.intersect_tpu import intersect_tris
+            cols = [geo.v0[:, 0], geo.v0[:, 1], geo.v0[:, 2],
+                    geo.e1[:, 0], geo.e1[:, 1], geo.e1[:, 2],
+                    geo.e2[:, 0], geo.e2[:, 1], geo.e2[:, 2]]
+            t, _, _, _ = intersect_tris(cols, ray.o, ray.d, ray.mint, maxt,
+                                        any_hit=True)
+            occluded = occluded | jnp.isfinite(t)
+        elif scene.bvh is not None and jax.default_backend() != 'tpu':
+            from . import bvh as bvh_mod
+            t, _, _, _ = bvh_mod.traverse(
+                scene.bvh, geo.v0, geo.e1, geo.e2, ray.o, ray.d, ray.mint,
+                maxt, any_hit=True)
+            occluded = occluded | jnp.isfinite(t)
+        else:
+            _, _, _, _, occ = _scan_tris(ray, geo.v0, geo.e1, geo.e2, True,
+                                         maxt)
+            occluded = occluded | occ
     if geo.sph_center.shape[0] > 0:
         tn, tf, hit = _sphere_hits(ray.o[:, None], ray.d[:, None],
                                    geo.sph_center[None], geo.sph_radius[None])

@@ -6,8 +6,9 @@ sweep tiled so each ray block stays in VMEM while triangle chunks stream
 through, with the running best-hit reduction fused in-kernel — one HBM
 write per ray instead of XLA's materialized (N, T) planes.
 
-Layout: rays SoA as 8 flat (N,) arrays; triangles as a (T, 9) packed
-[v0 | e1 | e2] table replicated to every grid step.
+Layout: rays AND triangles as flat SoA (N,)/(T,) arrays — 1D f32 streams
+tile cleanly onto the (8, 128) VPU registers; everything in the inner loop
+is (RAY_BLOCK, TRI_TILE) elementwise work.
 """
 from __future__ import annotations
 
@@ -19,10 +20,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 RAY_BLOCK = 1024
-TRI_TILE = 512
+TRI_TILE = 128
 
 
-def _mt_kernel(tri_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+def _mt_kernel(v0x_ref, v0y_ref, v0z_ref, e1x_ref, e1y_ref, e1z_ref,
+               e2x_ref, e2y_ref, e2z_ref,
+               ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                mint_ref, maxt_ref, t_ref, i_ref, u_ref, v_ref,
                *, n_tris: int, any_hit: bool):
     B = ox_ref.shape[0]
@@ -35,22 +38,20 @@ def _mt_kernel(tri_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
     mint = mint_ref[:]
     maxt = maxt_ref[:]
 
-    T = tri_ref.shape[0]
-    n_chunks = T // TRI_TILE
+    n_chunks = v0x_ref.shape[0]          # triangle rows of width TRI_TILE
 
     def chunk_body(c, carry):
         best_t, best_i, best_u, best_v = carry
         base = c * TRI_TILE
-        tri = tri_ref[pl.ds(base, TRI_TILE), :]        # (TC, 9)
-        v0x = tri[:, 0][None, :]
-        v0y = tri[:, 1][None, :]
-        v0z = tri[:, 2][None, :]
-        e1x = tri[:, 3][None, :]
-        e1y = tri[:, 4][None, :]
-        e1z = tri[:, 5][None, :]
-        e2x = tri[:, 6][None, :]
-        e2y = tri[:, 7][None, :]
-        e2z = tri[:, 8][None, :]
+        v0x = v0x_ref[c, :][None, :]
+        v0y = v0y_ref[c, :][None, :]
+        v0z = v0z_ref[c, :][None, :]
+        e1x = e1x_ref[c, :][None, :]
+        e1y = e1y_ref[c, :][None, :]
+        e1z = e1z_ref[c, :][None, :]
+        e2x = e2x_ref[c, :][None, :]
+        e2y = e2y_ref[c, :][None, :]
+        e2z = e2z_ref[c, :][None, :]
 
         px = dy * e2z - dz * e2y
         py = dz * e2x - dx * e2z
@@ -73,8 +74,7 @@ def _mt_kernel(tri_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
             & (tri_ids < n_tris)
         t = jnp.where(valid, t, jnp.inf)
         if any_hit:
-            hit_any = jnp.min(t, axis=1)
-            best_t = jnp.minimum(best_t, hit_any)
+            best_t = jnp.minimum(best_t, jnp.min(t, axis=1))
             return best_t, best_i, best_u, best_v
         # reduction-only best-hit select (no gathers: Mosaic-friendly)
         tj = jnp.min(t, axis=1)
@@ -103,32 +103,30 @@ def _mt_kernel(tri_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
 
 
 @functools.partial(jax.jit, static_argnames=('any_hit',))
-def intersect_tris(tri_table, o, d, mint, maxt, any_hit: bool = False):
-    """Nearest (or any) hit of N rays against the packed (T, 9) triangle
-    table. Returns (t, idx, u, v); for any_hit, t < inf marks occlusion.
-
-    Pads rays to RAY_BLOCK and triangles to TRI_TILE internally.
-    """
+def intersect_tris(tri_cols, o, d, mint, maxt, any_hit: bool = False):
+    """Nearest (or any) hit of N rays against triangles given as 9 flat
+    (T,) arrays (v0x..v0z, e1x..e1z, e2x..e2z). Returns (t, idx, u, v);
+    for any_hit, finite t marks occlusion."""
     N = o.shape[0]
-    T = tri_table.shape[0]
+    T = tri_cols[0].shape[0]
     n_tris = T
     Tpad = max(TRI_TILE, -(-T // TRI_TILE) * TRI_TILE)
-    if Tpad != T:
-        tri_table = jnp.pad(tri_table, ((0, Tpad - T), (0, 0)))
+    tri_cols = [(jnp.pad(c, (0, Tpad - T)) if Tpad != T else c
+                 ).reshape(-1, TRI_TILE) for c in tri_cols]
     Npad = max(RAY_BLOCK, -(-N // RAY_BLOCK) * RAY_BLOCK)
 
     def padr(x, val=0.0):
         return jnp.pad(x, (0, Npad - N), constant_values=val) \
             if Npad != N else x
 
-    args = (padr(o[:, 0]), padr(o[:, 1]), padr(o[:, 2]),
+    rays = (padr(o[:, 0]), padr(o[:, 1]), padr(o[:, 2]),
             padr(d[:, 0]), padr(d[:, 1]), padr(d[:, 2], 1.0),
             padr(mint), padr(maxt, -1.0))
 
     grid = (Npad // RAY_BLOCK,)
     ray_spec = pl.BlockSpec((RAY_BLOCK,), lambda i: (i,),
                             memory_space=pltpu.VMEM)
-    tri_spec = pl.BlockSpec((Tpad, 9), lambda i: (0, 0),
+    tri_spec = pl.BlockSpec((Tpad // TRI_TILE, TRI_TILE), lambda i: (0, 0),
                             memory_space=pltpu.VMEM)
     out_specs = [pl.BlockSpec((RAY_BLOCK,), lambda i: (i,),
                               memory_space=pltpu.VMEM)] * 4
@@ -136,7 +134,7 @@ def intersect_tris(tri_table, o, d, mint, maxt, any_hit: bool = False):
     t, idx, u, v = pl.pallas_call(
         functools.partial(_mt_kernel, n_tris=n_tris, any_hit=any_hit),
         grid=grid,
-        in_specs=[tri_spec] + [ray_spec] * 8,
+        in_specs=[tri_spec] * 9 + [ray_spec] * 8,
         out_specs=out_specs,
         out_shape=[
             jax.ShapeDtypeStruct((Npad,), jnp.float32),
@@ -144,5 +142,5 @@ def intersect_tris(tri_table, o, d, mint, maxt, any_hit: bool = False):
             jax.ShapeDtypeStruct((Npad,), jnp.float32),
             jax.ShapeDtypeStruct((Npad,), jnp.float32),
         ],
-    )(tri_table, *args)
+    )(*tri_cols, *rays)
     return t[:N], idx[:N], u[:N], v[:N]

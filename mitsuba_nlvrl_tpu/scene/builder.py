@@ -277,6 +277,22 @@ class SceneBuilder:
             TS = np.zeros((0,), np.int32)
         T = len(V)
 
+        # --- BVH for larger scenes: Morton-reorder triangles and build the
+        # node arrays (ops/bvh.py); emitter tri indices are remapped below.
+        bvh_arrays = None
+        tri_perm_inv = None
+        if T >= 1024:
+            from ..ops import bvh as bvh_mod
+            e1_np = V[:, 1] - V[:, 0]
+            e2_np = V[:, 2] - V[:, 0]
+            bvh_np = bvh_mod.build(V[:, 0], e1_np, e2_np)
+            perm = bvh_np.order
+            tri_perm_inv = np.empty(T, np.int64)
+            tri_perm_inv[perm] = np.arange(T)
+            V, Nrm, UV, TS = V[perm], Nrm[perm], UV[perm], TS[perm]
+            bvh_arrays = bvh_mod.BVHArrays(
+                *[jnp.asarray(x) for x in bvh_np])
+
         # --- emitters --------------------------------------------------------
         emitter_rows = []       # (type, params, shape_idx)
         em_tri_idx, em_tri_cdf, em_area = [], [], []
@@ -285,6 +301,8 @@ class SceneBuilder:
             code, params = emitter_mod.pack_params(props)
             start, count = shape_tri_ranges[shape_idx]
             idxs = np.arange(start, start + count, dtype=np.int32)
+            if tri_perm_inv is not None:
+                idxs = tri_perm_inv[idxs].astype(np.int32)
             e1 = V[idxs, 1] - V[idxs, 0]
             e2 = V[idxs, 2] - V[idxs, 0]
             areas = 0.5 * np.linalg.norm(np.cross(e1, e2), axis=1)
@@ -547,7 +565,7 @@ class SceneBuilder:
         iprops = tuple(sorted((k, v) for k, v in integ.items() if k != 'type'))
 
         scene = SceneData(
-            geo=geo, bvh=None, shapes=shapes_t, bsdfs=bsdfs_t,
+            geo=geo, bvh=bvh_arrays, shapes=shapes_t, bsdfs=bsdfs_t,
             emitters=emitters_t, media=media_t, sensor=sensor_data,
             bbox_lo=jnp.asarray(lo, jnp.float32),
             bbox_hi=jnp.asarray(hi, jnp.float32),
@@ -568,6 +586,7 @@ class SceneBuilder:
             sensor_type=sensor_type, film=film,
             sampler=sampler_desc.get('type', 'independent'), spp=spp,
             integrator=integ.get('type', 'path'), integrator_props=iprops,
+            has_bvh=bvh_arrays is not None,
             has_media=M_n > 0)
         return scene, meta
 

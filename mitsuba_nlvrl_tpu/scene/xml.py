@@ -279,6 +279,13 @@ def _parse_scene_elem(root, ctx: XMLContext, desc: dict, declared=None):
                 e = _parse_object(ch, ctx, within_emitter=True)
                 e['_tag'] = 'emitter'
                 desc.setdefault('emitters', []).append(e)
+            else:
+                # id'd scene-level emitters were predeclared; non-area ones
+                # (envmap/constant/point/...) are still scene emitters —
+                # only id'd AREA emitters get attached via shape <ref>s
+                e = ctx.named[ch.get('id')]
+                if e.get('type') != 'area':
+                    desc.setdefault('emitters', []).append(e)
         elif tag == 'alias':
             ctx.named[ch.get('as')] = ctx.named[ch.get('id')]
         else:
