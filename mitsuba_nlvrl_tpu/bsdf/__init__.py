@@ -63,15 +63,17 @@ def pack_params(props: dict) -> Tuple[int, int, list]:
 
     def rgb(key, default):
         v = props.get(key, default)
-        if isinstance(v, dict):      # textured — texture id in slot 15
-            raise NotImplementedError("textured bsdf params: use builder path")
+        if isinstance(v, dict):
+            # textured param: the builder registered a texture and set
+            # _texture_id; the packed value is only the untextured fallback
+            return [0.5, 0.5, 0.5]
         if isinstance(v, (int, float)):
             return [float(v)] * 3
         return [float(x) for x in v]
 
     if t == 'diffuse':
         p[0:3] = rgb('reflectance', 0.5)
-        p[15] = props.get('_texture_id', -1)
+        p[15] = float(props.get('_texture_id', -1))
         return BSDF_TYPES[t], F_SMOOTH | twosided, p
     if t == 'conductor':
         p[0:3] = rgb('eta', 0.0)
@@ -421,11 +423,23 @@ def _maybe_flip(flags, wi, *others):
     return (wi * fv,) + tuple(o * fv for o in others)
 
 
+def _textured_reflectance(scene, meta, si, P):
+    """Diffuse reflectance with optional texture (slot 15 = texture id)."""
+    if not getattr(meta, 'has_textures', False):
+        return None
+    from .. import texture as tex_mod
+    tex_id = P[:, 15].astype(jnp.int32)
+    tex = tex_mod.eval(scene, tex_id, si.uv)
+    return jnp.where((tex_id >= 0)[:, None], tex, P[:, 0:3])
+
+
 def eval(scene, meta, si, wo, mode=RADIANCE, textures=None):
     """f(wi, wo) * |cos_theta_o| for each lane (zero for pure-delta lanes)."""
     btype = scene.bsdfs.type[si.bsdf_idx]
     flags = scene.bsdfs.flags[si.bsdf_idx]
     P = scene.bsdfs.params[si.bsdf_idx]
+    if textures is None:
+        textures = _textured_reflectance(scene, meta, si, P)
     wi, wo = _maybe_flip(flags, si.wi, wo)
     out = jnp.zeros(wo.shape[:-1] + (3,), jnp.float32)
     for code in meta.bsdf_types:
@@ -461,6 +475,8 @@ def sample(scene, meta, si, u1, u2, mode=RADIANCE, textures=None):
     btype = scene.bsdfs.type[si.bsdf_idx]
     flags = scene.bsdfs.flags[si.bsdf_idx]
     P = scene.bsdfs.params[si.bsdf_idx]
+    if textures is None:
+        textures = _textured_reflectance(scene, meta, si, P)
     (wi,) = _maybe_flip(flags, si.wi)
     N = wi.shape[0]
     zero3 = jnp.zeros((N, 3), jnp.float32)

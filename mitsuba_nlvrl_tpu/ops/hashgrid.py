@@ -68,17 +68,22 @@ def fold_neighbors(grid: HashGrid, x: jnp.ndarray, active, fold_fn: Callable,
     P = grid.keys_sorted.shape[0]
     K = max_per_cell
     base = jnp.floor((x - grid.origin) / grid.cell_size).astype(jnp.int32)
-    acc = init
     offs = jnp.arange(K, dtype=jnp.int32)[None, :]
-    for dz in (-1, 0, 1):
-        for dy in (-1, 0, 1):
-            for dx in (-1, 0, 1):
-                c = base + jnp.asarray([dx, dy, dz], jnp.int32)
-                k = _hash_cell(c)
-                start = jnp.searchsorted(grid.keys_sorted, k, side='left')
-                end = jnp.searchsorted(grid.keys_sorted, k, side='right')
-                slots = start[:, None] + offs                   # (N, K)
-                ok = active[:, None] & (slots < end[:, None])
-                idx = grid.order[jnp.clip(slots, 0, P - 1)]
-                acc = fold_fn(acc, idx, ok)
-    return acc
+    neighbor = jnp.asarray([[dx, dy, dz]
+                            for dz in (-1, 0, 1)
+                            for dy in (-1, 0, 1)
+                            for dx in (-1, 0, 1)], jnp.int32)  # (27, 3)
+
+    # fori over the 27 neighbor cells: ONE traced fold graph (27 unrolled
+    # copies made every map-query compile pathologically slow)
+    def body(i, acc):
+        c = base + neighbor[i]
+        k = _hash_cell(c)
+        start = jnp.searchsorted(grid.keys_sorted, k, side='left')
+        end = jnp.searchsorted(grid.keys_sorted, k, side='right')
+        slots = start[:, None] + offs                   # (N, K)
+        ok = active[:, None] & (slots < end[:, None])
+        idx = grid.order[jnp.clip(slots, 0, P - 1)]
+        return fold_fn(acc, idx, ok)
+
+    return jax.lax.fori_loop(0, neighbor.shape[0], body, init)

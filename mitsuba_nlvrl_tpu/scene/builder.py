@@ -165,6 +165,20 @@ class SceneBuilder:
         self.bsdf_rows: List[Tuple[int, int, list]] = []
         self.media_cache: Dict[int, int] = {}
         self.media_rows: List[dict] = []
+        self.tex_rows: List[Tuple[int, list]] = []
+        self.tex_bitmaps: List[np.ndarray] = []
+        self.tex_cache: Dict[int, int] = {}
+
+    def _texture_index(self, props: dict) -> int:
+        from .. import texture as tex_mod
+        key = id(props)
+        if key in self.tex_cache:
+            return self.tex_cache[key]
+        row = tex_mod.pack(props, self.tex_bitmaps)
+        idx = len(self.tex_rows)
+        self.tex_rows.append(row)
+        self.tex_cache[key] = idx
+        return idx
 
     def _bsdf_index(self, props: Optional[dict]) -> int:
         if props is None:
@@ -172,6 +186,12 @@ class SceneBuilder:
         key = id(props)
         if key in self.bsdf_cache:
             return self.bsdf_cache[key]
+        # textured diffuse reflectance -> register texture, record its id
+        if isinstance(props.get('reflectance'), dict) \
+                and '_texture_id' not in props:
+            props = dict(props,
+                         _texture_id=self._texture_index(
+                             props['reflectance']))
         row = bsdf_mod.pack_params(props)
         idx = len(self.bsdf_rows)
         self.bsdf_rows.append(row)
@@ -561,12 +581,43 @@ class SceneBuilder:
             nl_ior=jnp.asarray(nl_ior),
             nl_medium=jnp.asarray(nl_medium, jnp.int32))
 
+        # --- textures --------------------------------------------------------
+        from .types import TextureTable, TEX_NPARAM
+        if self.tex_rows:
+            ttype = np.asarray([r[0] for r in self.tex_rows], np.int32)
+            tparams = np.asarray([r[1] for r in self.tex_rows], np.float32)
+            if self.tex_bitmaps:
+                Hm = max(b.shape[0] for b in self.tex_bitmaps)
+                Wm = max(b.shape[1] for b in self.tex_bitmaps)
+                data = np.zeros((len(self.tex_bitmaps), Hm, Wm, 3),
+                                np.float32)
+                sizes = np.zeros((len(self.tex_rows), 2), np.int32)
+                for bi, b in enumerate(self.tex_bitmaps):
+                    data[bi, :b.shape[0], :b.shape[1]] = b
+                for ti, (tc, tp) in enumerate(self.tex_rows):
+                    if tc == 0:  # bitmap
+                        b = self.tex_bitmaps[int(tp[0])]
+                        sizes[ti] = (b.shape[0], b.shape[1])
+            else:
+                data = np.zeros((1, 1, 1, 3), np.float32)
+                sizes = np.zeros((len(self.tex_rows), 2), np.int32)
+            textures_t = TextureTable(
+                type=jnp.asarray(ttype), params=jnp.asarray(tparams),
+                data=jnp.asarray(data), size=jnp.asarray(sizes))
+        else:
+            textures_t = TextureTable(
+                type=jnp.zeros((1,), jnp.int32),
+                params=jnp.zeros((1, TEX_NPARAM), jnp.float32),
+                data=jnp.zeros((1, 1, 1, 3), jnp.float32),
+                size=jnp.zeros((1, 2), jnp.int32))
+
         integ = desc.get('integrator', {'type': 'path'})
         iprops = tuple(sorted((k, v) for k, v in integ.items() if k != 'type'))
 
         scene = SceneData(
             geo=geo, bvh=bvh_arrays, shapes=shapes_t, bsdfs=bsdfs_t,
-            emitters=emitters_t, media=media_t, sensor=sensor_data,
+            emitters=emitters_t, media=media_t, textures=textures_t,
+            sensor=sensor_data,
             bbox_lo=jnp.asarray(lo, jnp.float32),
             bbox_hi=jnp.asarray(hi, jnp.float32),
             bsphere_c=jnp.asarray(center, jnp.float32),
@@ -587,7 +638,8 @@ class SceneBuilder:
             sampler=sampler_desc.get('type', 'independent'), spp=spp,
             integrator=integ.get('type', 'path'), integrator_props=iprops,
             has_bvh=bvh_arrays is not None,
-            has_media=M_n > 0)
+            has_media=M_n > 0,
+            has_textures=len(self.tex_rows) > 0)
         return scene, meta
 
 

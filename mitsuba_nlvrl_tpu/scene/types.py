@@ -144,6 +144,21 @@ class MediumTable(NamedTuple):
     nl_medium: jnp.ndarray      # () int32 which medium is nonlinear (-1 none)
 
 
+TEXTURE_TYPES = {'bitmap': 0, 'checkerboard': 1, 'constant': 2}
+TEX_NPARAM = 10
+
+
+class TextureTable(NamedTuple):
+    """Textures for spatially varying BSDF parameters (reference
+    src/textures/{bitmap,checkerboard}.cpp). Bitmaps are stacked padded to
+    the largest resolution; checkerboard params: color0[0:3], color1[3:6],
+    uv scale [6:8]."""
+    type: jnp.ndarray       # (Tx,) int32
+    params: jnp.ndarray     # (Tx, TEX_NPARAM)
+    data: jnp.ndarray       # (Tx, Hmax, Wmax, 3) float32
+    size: jnp.ndarray       # (Tx, 2) int32 (H, W) actual
+
+
 class SensorData(NamedTuple):
     to_world: Transform
     tan_fov_x: jnp.ndarray   # () tan(fov_x / 2)
@@ -161,6 +176,7 @@ class SceneData(NamedTuple):
     bsdfs: BSDFTable
     emitters: EmitterTable
     media: MediumTable
+    textures: 'TextureTable'
     sensor: SensorData
     bbox_lo: jnp.ndarray     # (3,)
     bbox_hi: jnp.ndarray     # (3,)
@@ -199,6 +215,7 @@ class SceneMeta:
     integrator_props: Tuple[Tuple[str, object], ...] = ()
     has_bvh: bool = False
     has_media: bool = False
+    has_textures: bool = False
     camera_medium: int = -1    # medium the camera starts in (-1 vacuum)
 
     def iprop(self, name, default=None):
