@@ -93,3 +93,53 @@ def estimate_volume(scene, meta, maps, x, wo, medium_idx, active, radius,
     return hashgrid.fold_neighbors(maps.vp_grid, x, active, fold,
                                    jnp.zeros(x.shape[:-1] + (3,)),
                                    max_per_cell)
+
+
+def estimate_beam(scene, meta, maps, o, d, t_max, wo, medium_idx, active,
+                  radius, n_steps: int, max_per_cell: int = 32):
+    """Beam radiance estimate along a ray segment (the reference BRE,
+    src/integrators/photonmapper/bre.h:88-195, rebuilt on the hash grid):
+    photons within ``radius`` of the LINE contribute
+    power * phase * K2(d_perp/r) / r^2 * Tr(t_closest); the ray marches in
+    grid-cell steps and each step folds its 27-cell neighborhood, counting
+    a photon only when its closest approach lies inside the step interval
+    (no double counting). Returns in-scattered radiance (N, 3)
+    pre-multiplied by the segment transmittance at each photon."""
+    import jax
+    from .. import medium as medium_mod
+
+    N = o.shape[0]
+    r2 = jnp.broadcast_to(jnp.asarray(radius) ** 2, (N,))
+    step = 2.0 * jnp.broadcast_to(jnp.asarray(radius), (N,))
+    majorant = medium_mod.get_majorant(scene, medium_idx)
+
+    def step_body(g, acc):
+        t0 = g * step
+        t1 = jnp.minimum(t0 + step, t_max)
+        ok_step = active & (t0 < t_max)
+        x = o + d * (0.5 * (t0 + t1))[:, None]
+
+        def fold(inner, idx, okk):
+            ppos = maps.vp_pos[idx]                   # (N, K, 3)
+            rel = ppos - o[:, None, :]
+            t_p = jnp.sum(rel * d[:, None, :], -1)    # closest approach
+            perp2 = m.squared_norm(rel) - t_p * t_p
+            sel = okk & maps.vp_valid[idx] & (perp2 <= r2[:, None]) \
+                & (t_p >= t0[:, None]) & (t_p < t1[:, None]) \
+                & (t_p >= 0) & (t_p <= t_max[:, None])
+            K = idx.shape[1]
+            pdir = maps.vp_dir[idx]
+            pf = phase_mod.eval(
+                scene, meta, jnp.repeat(medium_idx, K, axis=0),
+                -pdir.reshape(-1, 3), jnp.repeat(wo, K, axis=0),
+                jnp.ones((idx.size,), bool)).reshape(idx.shape)
+            kern = m.sqr(1.0 - perp2 / r2[:, None]) / r2[:, None] \
+                * m.InvPi * 3.0
+            tr = jnp.exp(-t_p[..., None] * majorant[:, None, :])
+            contrib = maps.vp_power[idx] * (pf * kern)[..., None] * tr
+            return inner + jnp.where(sel[..., None], contrib, 0.0).sum(1)
+
+        return acc + hashgrid.fold_neighbors(
+            maps.vp_grid, x, ok_step, fold, jnp.zeros((N, 3)), max_per_cell)
+
+    return jax.lax.fori_loop(0, n_steps, step_body, jnp.zeros((N, 3)))

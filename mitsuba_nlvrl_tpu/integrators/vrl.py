@@ -225,6 +225,7 @@ def make_sample(use_vrls: bool):
         max_depth = min(int(meta.iprop('max_depth', 512)), 16)
         spq = int(meta.iprop('samples_per_query', 2))
         use_direct = bool(meta.iprop('use_direct_illum', True)) or not use_vrls
+        use_bre = bool(meta.iprop('use_bre', False))
         nl_cam = bool(meta.iprop('use_non_linear_camera', True)) \
             and bool(meta.iprop('use_non_linear', True)) \
             and MEDIUM_TYPES['nonlinear'] in meta.medium_types
@@ -284,7 +285,31 @@ def make_sample(use_vrls: bool):
             # direct: volume photon gathering along the bent ray
             u_r, smp = smp.next_1d()
             radius = r_volume * m.lerp(0.75, 1.25, u_r)
-            if use_direct:
+            if use_direct and use_bre:
+                # beam radiance estimate per bent segment (reference BRE)
+                S = bent.seg_len.shape[1]
+
+                def seg_body(s_i, carry):
+                    acc, seg_tr = carry
+                    so = jax.lax.dynamic_index_in_dim(bent.seg_o, s_i, 1,
+                                                      False)
+                    sd = jax.lax.dynamic_index_in_dim(bent.seg_d, s_i, 1,
+                                                      False)
+                    sl = jax.lax.dynamic_index_in_dim(bent.seg_len, s_i, 1,
+                                                      False)
+                    ok = in_medium & (s_i < bent.count) & (sl > 0)
+                    est = photon_est.estimate_beam(
+                        scene, meta, maps, so, sd, sl, -sd, st.medium_idx,
+                        ok, radius, n_steps=g_cap)
+                    acc = acc + jnp.where(ok[:, None], seg_tr * est, 0.0)
+                    seg_tr = seg_tr * medium_mod.homogeneous_transmittance(
+                        scene, st.medium_idx, sl, ok)
+                    return acc, seg_tr
+
+                direct_v, _ = jax.lax.fori_loop(
+                    0, S, seg_body, (jnp.zeros((N, 3)), jnp.ones((N, 3))))
+                result = result + throughput * direct_v * maps.vp_scale
+            elif use_direct:
                 def gather_body(g, carry):
                     acc, tr_run, last_t = carry
                     t_g = radius + 2.0 * radius * g

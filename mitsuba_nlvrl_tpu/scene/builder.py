@@ -417,7 +417,9 @@ class SceneBuilder:
             ph = props.get('phase', {'type': 'isotropic'})
             med_phase[mi] = PHASE_TYPES[ph.get('type', 'isotropic')]
             phase_types_present.add(int(med_phase[mi]))
-            med_params[mi, M_PHASE_G] = float(ph.get('g', 0.0))
+            # reference HG default asymmetry g=0.8 (src/phase/hg.cpp:43)
+            med_params[mi, M_PHASE_G] = float(ph.get('g', 0.8)) \
+                if ph.get('type') == 'hg' else float(ph.get('g', 0.0))
             scale_v = float(props.get('scale', 1.0))
             med_params[mi, M_SCALE] = scale_v
 

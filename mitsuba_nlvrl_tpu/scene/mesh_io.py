@@ -206,8 +206,10 @@ def load_serialized(path: str, shape_index: int = 0) -> MeshData:
     if mesh_count == 1:
         offset = 0
     else:
-        table = len(data) - 4 - 8 * mesh_count
-        (offset,) = struct.unpack_from('<Q', data, table + 8 * shape_index)
+        # footer offset width: uint64 from format v4, uint32 before
+        osize, ofmt = (8, '<Q') if version >= 4 else (4, '<I')
+        table = len(data) - 4 - osize * mesh_count
+        (offset,) = struct.unpack_from(ofmt, data, table + osize * shape_index)
     # stream begins after per-mesh header (magic+version repeated at offset)
     stream = zlib.decompressobj().decompress(data[offset + 4:])
     pos = 0

@@ -1,0 +1,67 @@
+"""Mesh/volume/EXR loader tests against reference assets (analog of
+src/libcore/tests + src/shapes/tests)."""
+import os
+
+import numpy as np
+import pytest
+
+DATA = '/root/reference/data'
+needs_data = pytest.mark.skipif(not os.path.isdir(DATA),
+                                reason="reference data unavailable")
+
+
+@needs_data
+def test_load_obj():
+    from mitsuba_nlvrl_tpu.scene.mesh_io import load_obj
+    m = load_obj(f'{DATA}/cbox/meshes/cbox_floor.obj')
+    assert m.faces.shape[1] == 3 and len(m.faces) >= 1
+    assert np.isfinite(m.vertices).all()
+    big = load_obj(f'{DATA}/glass/glass.obj')
+    # 12544 quads fan-triangulated -> 25088 triangles
+    assert len(big.faces) == 25088
+
+
+@needs_data
+def test_load_ply():
+    from mitsuba_nlvrl_tpu.scene.mesh_io import load_ply
+    m = load_ply(f'{DATA}/common/meshes/bunny_lowres.ply')
+    assert len(m.faces) > 100
+    assert np.isfinite(m.vertices).all()
+    # bbox sane
+    ext = m.vertices.max(0) - m.vertices.min(0)
+    assert (ext > 0).all()
+
+
+@needs_data
+def test_load_serialized():
+    from mitsuba_nlvrl_tpu.scene.mesh_io import load_serialized
+    m = load_serialized(f'{DATA}/common/meshes/matpreview.serialized')
+    assert len(m.faces) > 100
+    assert np.isfinite(m.vertices).all()
+
+
+@needs_data
+def test_load_vol():
+    from mitsuba_nlvrl_tpu.scene.vol_io import load_vol
+    vg = load_vol(f'{DATA}/hetvol/smoke.vol')
+    assert vg.data.shape == (50, 128, 128, 1)
+    assert 0 <= vg.data.min() and vg.data.max() <= 1.0 + 1e-5
+    assert (vg.bbox_max > vg.bbox_min).all()
+
+
+@needs_data
+def test_read_exr_piz():
+    from mitsuba_nlvrl_tpu.utils.io import read_exr
+    img, names = read_exr(f'{DATA}/envmap.exr')
+    assert img.shape == (256, 512, 3)
+    assert np.isfinite(img).all() and img.max() > 1.0  # HDR content
+
+
+def test_exr_roundtrip(tmp_path, rng):
+    from mitsuba_nlvrl_tpu.utils.io import write_exr, read_exr
+    img = rng.random((17, 23, 3)).astype(np.float32)
+    p = str(tmp_path / 'x.exr')
+    write_exr(p, img)
+    back, names = read_exr(p)
+    order = [names.index(c) for c in 'RGB']
+    assert np.array_equal(back[:, :, order], img)
