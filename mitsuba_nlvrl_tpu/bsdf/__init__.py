@@ -113,7 +113,7 @@ def pack_params(props: dict) -> Tuple[int, int, list]:
         p[5] = 1.0 if props.get('nonlinear', False) else 0.0
         p[6:9] = rgb('specular_reflectance', 1.0)
         p[9] = float(props.get('alpha', 0.1))
-        flags = F_SMOOTH | (F_DELTA if t == 'plastic' else 0)
+        flags = F_SMOOTH | (F_DELTA if t == 'plastic' else 0)  # rough: pure smooth
         return BSDF_TYPES[t], flags, p
     raise NotImplementedError(f"bsdf type {t}")
 
@@ -388,19 +388,69 @@ def _plastic_pdf(P, wi, wo):
     return jnp.where(act, (1.0 - Fi) * warp.square_to_cosine_hemisphere_pdf(wo), 0.0)
 
 
+def _roughplastic_eval(P, wi, wo):
+    """GGX specular + fresnel-attenuated diffuse (reference
+    src/bsdfs/roughplastic.cpp)."""
+    cos_i, cos_o = fr.cos_theta(wi), fr.cos_theta(wo)
+    act = (cos_i > 0) & (cos_o > 0)
+    eta = P[:, 3] / P[:, 4]
+    ax = ay = P[:, 9]
+    h = m.normalize(wi + wo)
+    D = mf.ggx_d(h, ax, ay)
+    G = mf.smith_g1(wi, h, ax, ay) * mf.smith_g1(wo, h, ax, ay)
+    Fh, _, _, _ = fresnel_dielectric(m.dot(wi, h), eta)
+    spec = P[:, 6:9] * (Fh * D * G / (4.0 * jnp.maximum(cos_i, 1e-9)))[:, None]
+    diff = _plastic_eval(P, wi, wo)
+    return jnp.where(act[:, None], spec + diff, 0.0)
+
+
+def _roughplastic_pdf(P, wi, wo):
+    cos_i, cos_o = fr.cos_theta(wi), fr.cos_theta(wo)
+    act = (cos_i > 0) & (cos_o > 0)
+    eta = P[:, 3] / P[:, 4]
+    ax = ay = P[:, 9]
+    Fi, _, _, _ = fresnel_dielectric(cos_i, eta)
+    h = m.normalize(wi + wo)
+    pdf_spec = mf.vndf_pdf(wi, h, ax, ay) \
+        / (4.0 * jnp.maximum(jnp.abs(m.dot(wo, h)), 1e-9))
+    pdf_diff = warp.square_to_cosine_hemisphere_pdf(wo)
+    return jnp.where(act, Fi * pdf_spec + (1.0 - Fi) * pdf_diff, 0.0)
+
+
+def _roughplastic_sample(P, wi, u1, u2, mode):
+    cos_i = fr.cos_theta(wi)
+    eta = P[:, 3] / P[:, 4]
+    ax = ay = P[:, 9]
+    Fi, _, _, _ = fresnel_dielectric(cos_i, eta)
+    sel_spec = u1 < Fi
+    h, _ = mf.sample_vndf(wi, u2, ax, ay)
+    wo_spec = 2.0 * m.dot(wi, h, keepdims=True) * h - wi
+    # reuse u2 for the diffuse lobe (rescaled by the lobe choice)
+    wo_diff = warp.square_to_cosine_hemisphere(u2)
+    wo = jnp.where(sel_spec[:, None], wo_spec, wo_diff)
+    pdf = _roughplastic_pdf(P, wi, wo)
+    f = _roughplastic_eval(P, wi, wo)
+    act = (cos_i > 0) & (fr.cos_theta(wo) > 0) & (pdf > 1e-12)
+    weight = jnp.where(act[:, None], f * m.safe_rcp(pdf)[:, None], 0.0)
+    bs = BSDFSample(wo=wo, pdf=jnp.where(act, pdf, 0.0),
+                    eta=jnp.ones_like(pdf),
+                    delta=jnp.zeros_like(act), null=jnp.zeros_like(act))
+    return bs, weight
+
+
 _EVAL = {
     BSDF_TYPES['diffuse']: _diffuse_eval,
     BSDF_TYPES['roughconductor']: _roughconductor_eval,
     BSDF_TYPES['roughdielectric']: _roughdielectric_eval,
     BSDF_TYPES['plastic']: _plastic_eval,
-    BSDF_TYPES['roughplastic']: _plastic_eval,
+    BSDF_TYPES['roughplastic']: _roughplastic_eval,
 }
 _PDF = {
     BSDF_TYPES['diffuse']: _diffuse_pdf,
     BSDF_TYPES['roughconductor']: _roughconductor_pdf,
     BSDF_TYPES['roughdielectric']: _roughdielectric_pdf,
     BSDF_TYPES['plastic']: _plastic_pdf,
-    BSDF_TYPES['roughplastic']: _plastic_pdf,
+    BSDF_TYPES['roughplastic']: _roughplastic_pdf,
 }
 _SAMPLE = {
     BSDF_TYPES['diffuse']: _diffuse_sample,
@@ -411,7 +461,7 @@ _SAMPLE = {
     BSDF_TYPES['roughconductor']: _roughconductor_sample,
     BSDF_TYPES['roughdielectric']: _roughdielectric_sample,
     BSDF_TYPES['plastic']: _plastic_sample,
-    BSDF_TYPES['roughplastic']: _plastic_sample,
+    BSDF_TYPES['roughplastic']: _roughplastic_sample,
 }
 
 

@@ -289,6 +289,10 @@ def sample(scene, meta, sampler: Sampler, ray: Ray, active=None,
         max_depth = 64
     rr_depth = meta.iprop('rr_depth', 5)
     wavefront_cap = MAX_WAVEFRONT_ITERS * (4 if _has_hetero(meta) else 1)
+    # volpathmis (reference volpathmis.cpp): full MIS between phase
+    # sampling and NEE at medium vertices; plain volpath uses NEE only
+    # (specular_chain gating) there.
+    phase_mis = meta.integrator == 'volpathmis'
 
     u_ch, sampler = sampler.next_1d()
     channel = jnp.minimum((u_ch * 3).astype(jnp.int32), 2)
@@ -393,14 +397,28 @@ def sample(scene, meta, sampler: Sampler, ray: Ray, active=None,
             act_real & (ds.pdf > 0), jnp.ones((N,), bool))
         phase_val = phase_mod.eval(scene, meta, st.medium_idx, mi.wi, ds.d,
                                    act_real)
+        w_med_nee = mis_weight(ds.pdf, jnp.where(ds.delta, 0.0, phase_val)) \
+            if phase_mis else jnp.ones((N,))
         result = result + jnp.where(
             (act_real & (ds.pdf > 0))[:, None],
-            throughput * phase_val[:, None] * tr_nee * em_weight, 0.0)
+            throughput * (phase_val * w_med_nee)[:, None] * tr_nee
+            * em_weight, 0.0)
 
         # --- phase sampling -------------------------------------------------
         u2p, smp = smp.next_2d()
         wo_med, phase_pdf = phase_mod.sample(scene, meta, st.medium_idx,
                                              mi.wi, u2p, act_real)
+        if phase_mis:
+            # MIS phase arm: follow the phase-sampled ray to emission
+            ph_ray = Ray(mi.p, wo_med, jnp.zeros((N,)),
+                         jnp.full((N,), jnp.inf))
+            ph_emitted, ph_em_pdf, smp = trace_emission(
+                scene, meta, smp, ph_ray, st.medium_idx, mi.p, st.channel,
+                act_real & (phase_pdf > 0))
+            result = result + jnp.where(
+                act_real[:, None],
+                mis_weight(phase_pdf, ph_em_pdf)[:, None] * throughput
+                * ph_emitted, 0.0)
 
         # --- surface interactions ------------------------------------------
         active_surface = active_surface | escaped_medium

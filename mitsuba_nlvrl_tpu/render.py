@@ -55,19 +55,73 @@ def preprocess(scene, meta, seed: int = 0, integrator: Optional[str] = None):
     return pre(scene, meta, key)
 
 
+@partial(jax.jit, static_argnames=('meta', 'integrator', 'band_h'))
+def _render_band(scene, meta, key, y0, band_h: int,
+                 integrator: Optional[str] = None, aux=None, pass_idx=0):
+    """Render one horizontal film band (rows y0..y0+band_h) at 1 spp.
+    Bounded-size dispatches keep per-kernel runtime short — the remote TPU
+    worker kills very long single kernels (heavy VRL passes)."""
+    from .sampler import film_jitter
+    integ = get_integrator(integrator or meta.integrator)
+    W = meta.film.width
+    N = W * band_h
+    pos_key, samp_key = jax.random.split(key)
+    xs = jnp.arange(W, dtype=jnp.float32)
+    ys = y0.astype(jnp.float32) + jnp.arange(band_h, dtype=jnp.float32)
+    gx, gy = jnp.meshgrid(xs, ys)
+    base = jnp.stack([gx.ravel(), gy.ravel()], axis=-1)
+    jitter = film_jitter(meta.sampler, pos_key, pass_idx, meta.spp, N)
+    pos = base + jitter
+    scale = jnp.asarray([1.0 / W, 1.0 / meta.film.height], jnp.float32)
+    ray, sensor_weight = sensor_mod.sample_ray(
+        scene, meta, pos * scale,
+        jax.random.uniform(jax.random.fold_in(pos_key, 1), (N, 2)))
+    sampler = Sampler.make(jax.random.fold_in(samp_key, y0), N)
+    L, valid, sampler = integ(scene, meta, sampler, ray, aux=aux)
+    L = jnp.where(jnp.isfinite(L), L, 0.0) * sensor_weight
+    return (L * 1.0).reshape(band_h, W, 3), jitter.reshape(band_h, W, 2)
+
+
 def render(scene, meta, seed: int = 0, spp: Optional[int] = None,
            integrator: Optional[str] = None, verbose: bool = False,
-           aux=None):
-    """Full render: preprocess (if needed) + spp passes -> (H, W, 3)."""
+           aux=None, max_band_rays: Optional[int] = None):
+    """Full render: preprocess (if needed) + spp passes -> (H, W, 3).
+
+    Two-pass integrators on the (remote) TPU render in row bands so no
+    single dispatch runs for minutes (worker watchdog safety)."""
     spp = spp or meta.spp
     key = jax.random.PRNGKey(seed)
     if aux is None:
         aux = preprocess(scene, meta, seed, integrator)
+    name = integrator or meta.integrator
+    heavy = name in ('vrl', 'photonmapper')
+    if max_band_rays is None:
+        max_band_rays = 16384 if (heavy and
+                                  jax.default_backend() == 'tpu') else None
+
     acc = None
     t0 = time.time()
+    W, H = meta.film.width, meta.film.height
     for p in range(spp):
-        img = render_pass(scene, meta, jax.random.fold_in(key, p), integrator,
-                          aux, jnp.uint32(p))
+        kp = jax.random.fold_in(key, p)
+        if max_band_rays is not None and W * H > max_band_rays:
+            band_h = max(1, max_band_rays // W)
+            rows = []
+            for y0 in range(0, H, band_h):
+                bh = min(band_h, H - y0)
+                L, jit2 = _render_band(scene, meta,
+                                       jax.random.fold_in(kp, y0),
+                                       jnp.uint32(y0), bh, name, aux,
+                                       jnp.uint32(p))
+                rows.append((L, jit2))
+            Lfull = jnp.concatenate([r[0] for r in rows], axis=0)
+            jfull = jnp.concatenate([r[1] for r in rows], axis=0)
+            img = film_mod.new_image(meta.film)
+            img = film_mod.splat_pixel_ordered(
+                meta.film, jfull.reshape(-1, 2), Lfull.reshape(-1, 3), img)
+        else:
+            img = render_pass(scene, meta, kp, integrator, aux,
+                              jnp.uint32(p))
         acc = img if acc is None else acc + img
         if verbose and (p == 0 or (p + 1) % 16 == 0):
             acc.block_until_ready()
