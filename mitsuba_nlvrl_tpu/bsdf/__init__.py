@@ -483,13 +483,31 @@ def _textured_reflectance(scene, meta, si, P):
     return jnp.where((tex_id >= 0)[:, None], tex, P[:, 0:3])
 
 
-def eval(scene, meta, si, wo, mode=RADIANCE, textures=None):
+_BLEND = BSDF_TYPES['blendbsdf']
+
+
+def _blend_sub(si, P, which):
+    row = P[:, which].astype(jnp.int32)
+    is_blend_row = None
+    return si._replace(bsdf_idx=row)
+
+
+def eval(scene, meta, si, wo, mode=RADIANCE, textures=None,
+         _depth: int = 0):
     """f(wi, wo) * |cos_theta_o| for each lane (zero for pure-delta lanes)."""
     btype = scene.bsdfs.type[si.bsdf_idx]
     flags = scene.bsdfs.flags[si.bsdf_idx]
     P = scene.bsdfs.params[si.bsdf_idx]
     if textures is None:
         textures = _textured_reflectance(scene, meta, si, P)
+    if _BLEND in meta.bsdf_types and _depth == 0:
+        is_b = btype == _BLEND
+        w = P[:, 2]
+        fa = eval(scene, meta, _blend_sub(si, P, 0), wo, mode, None, 1)
+        fb = eval(scene, meta, _blend_sub(si, P, 1), wo, mode, None, 1)
+        blend_val = (1.0 - w)[:, None] * fa + w[:, None] * fb
+        base = eval(scene, meta, si, wo, mode, textures, 1)
+        return jnp.where(is_b[:, None], blend_val, base)
     wi, wo = _maybe_flip(flags, si.wi, wo)
     out = jnp.zeros(wo.shape[:-1] + (3,), jnp.float32)
     for code in meta.bsdf_types:
@@ -506,10 +524,17 @@ def eval(scene, meta, si, wo, mode=RADIANCE, textures=None):
     return out
 
 
-def pdf(scene, meta, si, wo):
+def pdf(scene, meta, si, wo, _depth: int = 0):
     btype = scene.bsdfs.type[si.bsdf_idx]
     flags = scene.bsdfs.flags[si.bsdf_idx]
     P = scene.bsdfs.params[si.bsdf_idx]
+    if _BLEND in meta.bsdf_types and _depth == 0:
+        is_b = btype == _BLEND
+        w = P[:, 2]
+        pa = pdf(scene, meta, _blend_sub(si, P, 0), wo, 1)
+        pb = pdf(scene, meta, _blend_sub(si, P, 1), wo, 1)
+        base = pdf(scene, meta, si, wo, 1)
+        return jnp.where(is_b, (1.0 - w) * pa + w * pb, base)
     wi, wo = _maybe_flip(flags, si.wi, wo)
     out = jnp.zeros(wo.shape[:-1], jnp.float32)
     for code in meta.bsdf_types:
@@ -521,12 +546,30 @@ def pdf(scene, meta, si, wo):
     return out
 
 
-def sample(scene, meta, si, u1, u2, mode=RADIANCE, textures=None):
+def sample(scene, meta, si, u1, u2, mode=RADIANCE, textures=None,
+           _depth: int = 0):
     btype = scene.bsdfs.type[si.bsdf_idx]
     flags = scene.bsdfs.flags[si.bsdf_idx]
     P = scene.bsdfs.params[si.bsdf_idx]
     if textures is None:
         textures = _textured_reflectance(scene, meta, si, P)
+    if _BLEND in meta.bsdf_types and _depth == 0:
+        # lobe selection by blend weight (reference blendbsdf.cpp); the
+        # chosen sub-bsdf's sample is reused with pdf scaled by the
+        # selection probability (unbiased; sub rows may not be blends)
+        is_b = btype == _BLEND
+        w = P[:, 2]
+        pick_b = u1 < w
+        sub_row = jnp.where(pick_b, P[:, 1], P[:, 0]).astype(jnp.int32)
+        si_sub = si._replace(bsdf_idx=jnp.where(is_b, sub_row, si.bsdf_idx))
+        u1r = jnp.where(is_b,
+                        jnp.where(pick_b, u1 / jnp.maximum(w, 1e-6),
+                                  (u1 - w) / jnp.maximum(1.0 - w, 1e-6)),
+                        u1)
+        bs, weight = sample(scene, meta, si_sub, u1r, u2, mode, None, 1)
+        prob = jnp.where(is_b, jnp.where(pick_b, w, 1.0 - w), 1.0)
+        bs = bs._replace(pdf=bs.pdf * prob)
+        return bs, weight
     (wi,) = _maybe_flip(flags, si.wi)
     N = wi.shape[0]
     zero3 = jnp.zeros((N, 3), jnp.float32)

@@ -186,6 +186,22 @@ class SceneBuilder:
         key = id(props)
         if key in self.bsdf_cache:
             return self.bsdf_cache[key]
+        if props.get('type') == 'blendbsdf':
+            subs = props.get('bsdf', [])
+            if isinstance(subs, dict):
+                subs = [subs, {'type': 'diffuse'}]
+            rowA = self._bsdf_index(subs[0])
+            rowB = self._bsdf_index(subs[1])
+            from .types import BSDF_TYPES, F_SMOOTH, BSDF_NPARAM
+            w = props.get('weight', 0.5)
+            p = [0.0] * BSDF_NPARAM
+            p[0], p[1] = float(rowA), float(rowB)
+            p[2] = float(w if isinstance(w, (int, float)) else 0.5)
+            fl = self.bsdf_rows[rowA][1] | self.bsdf_rows[rowB][1]
+            idx = len(self.bsdf_rows)
+            self.bsdf_rows.append((BSDF_TYPES['blendbsdf'], fl, p))
+            self.bsdf_cache[key] = idx
+            return idx
         # textured diffuse reflectance -> register texture, record its id
         if isinstance(props.get('reflectance'), dict) \
                 and '_texture_id' not in props:
@@ -232,7 +248,27 @@ class SceneBuilder:
         area_emitters = []  # (props, shape_idx)
         shape_tri_ranges = []
 
-        shapes = desc.get('shapes', [])
+        # expand instances (reference src/shapes/{instance,shapegroup}.cpp:
+        # instancing is flattened — geometry duplicated with the composed
+        # transform; shapegroups are never drawn directly)
+        shapes = []
+        for sh in desc.get('shapes', []):
+            t = sh.get('type')
+            if t == 'shapegroup':
+                continue
+            if t == 'instance':
+                grp = sh.get('shapegroup', {})
+                subs = grp.get('shape', [])
+                if isinstance(subs, dict):
+                    subs = [subs]
+                T_inst = sh.get('to_world', Transform.identity())
+                for sub in subs:
+                    sub2 = dict(sub)
+                    sub2['to_world'] = T_inst @ sub.get(
+                        'to_world', Transform.identity())
+                    shapes.append(sub2)
+                continue
+            shapes.append(sh)
         for sh in shapes:
             to_world: Transform = sh.get('to_world', Transform.identity())
             shape_idx = len(shape_rows)

@@ -193,7 +193,8 @@ def _parse_object(elem, ctx: XMLContext, within_emitter=False) -> dict:
                 raise KeyError(f"<ref id={rid!r}>: unknown id")
             target = ctx.named[rid]
             refname = name or {'bsdf': 'bsdf', 'medium': 'interior',
-                               'emitter': 'emitter'}.get(
+                               'emitter': 'emitter',
+                               'shape': 'shapegroup'}.get(
                                    target.get('_tag', ''), 'bsdf')
             props[refname] = target
         elif ctag in _OBJECT_TAGS:
@@ -205,7 +206,12 @@ def _parse_object(elem, ctx: XMLContext, within_emitter=False) -> dict:
             key = name if name else ctag
             if ctag == 'medium' and name in ('interior', 'exterior'):
                 key = name
-            props[key] = sub
+            if key in props:  # repeated children (e.g. blendbsdf's 2 bsdfs)
+                cur = props[key]
+                props[key] = (cur + [sub]) if isinstance(cur, list) \
+                    else [cur, sub]
+            else:
+                props[key] = sub
         elif ctag == 'default':
             ctx.defaults.setdefault(ch.get('name'), ch.get('value'))
         elif ctag == 'include':
