@@ -33,13 +33,16 @@ def _ensure(name: str):
         from . import volpath as _volpath
         _REGISTRY['volpath'] = _volpath.sample
         _REGISTRY['volpathmis'] = _volpath.sample
-    elif name in ('vrl', 'photonmapper'):
+    elif name in ('vrl', 'photonmapper', 'photonmap'):
         from . import vrl as _vrl
         from . import photonmapper as _pm
         _REGISTRY['vrl'] = _vrl.sample
         _PREPROCESS['vrl'] = _vrl.preprocess
         _REGISTRY['photonmapper'] = _pm.sample
         _PREPROCESS['photonmapper'] = _pm.preprocess
+        # legacy scene files use the 0.6-era name "photonmap"
+        _REGISTRY['photonmap'] = _pm.sample
+        _PREPROCESS['photonmap'] = _pm.preprocess
     elif name in ('aov', 'moment'):
         from . import aov as _aov
         _REGISTRY['aov'] = _aov.sample_aov

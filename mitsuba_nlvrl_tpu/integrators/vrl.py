@@ -55,8 +55,12 @@ def scene_radius_of(scene):
 def preprocess(scene, meta, key, vp_all_scatters: bool = False):
     """Shoot light paths and build the photon/VRL maps."""
     target_vrls = int(meta.iprop('target_vrls', 1000))
-    n_paths = max(1024, min(1 << (max(target_vrls - 1, 1)).bit_length(),
-                            65536))
+    target_vp = int(meta.iprop('volume_photons', 1000))
+    # size the wavefront from whichever map the scene actually uses
+    # (photonmapper configs ask for millions of volume photons; capped at a
+    # 64k-path wavefront per shot — scale factors keep estimates unbiased)
+    want = max(target_vrls, target_vp // 8 if vp_all_scatters else 0, 1024)
+    n_paths = min(1 << (max(want - 1, 1)).bit_length(), 65536)
     max_depth = min(int(meta.iprop('max_depth', 512)), 12)
     rr_depth = int(meta.iprop('rr_depth', 5))
     min_vrl = float(meta.iprop('min_vrl_length', 5.0))
@@ -79,7 +83,8 @@ def preprocess(scene, meta, key, vp_all_scatters: bool = False):
     maps = lighttrace.build_maps(
         scene, meta, deps, n_paths, r_global, r_caustic, 1.25 * r_volume,
         vrl_cap=max(target_vrls, 8),
-        photon_cap=int(meta.iprop('global_photons', 250000)))
+        photon_cap=max(int(meta.iprop('global_photons', 250000)),
+                       target_vp))
     return maps
 
 
