@@ -234,8 +234,15 @@ def sample_direction(scene, meta, ref_p, u_sel, u2, active
         # sample a triangle from the emitter's area distribution
         off = scene.emitters.tri_offset[e_idx]
         cnt = jnp.maximum(scene.emitters.tri_count[e_idx], 1)
-        pos = _segment_searchsorted(scene.emitters.em_tri_cdf, off, cnt,
-                                    u2[:, 0])
+        if E == 1:
+            # single-emitter fast path: direct vectorized searchsorted
+            pos = jnp.clip(
+                jnp.searchsorted(scene.emitters.em_tri_cdf, u2[:, 0],
+                                 side='right'),
+                0, scene.emitters.em_tri_cdf.shape[0] - 1).astype(jnp.int32)
+        else:
+            pos = _segment_searchsorted(scene.emitters.em_tri_cdf, off, cnt,
+                                        u2[:, 0])
         tri = scene.emitters.em_tri_idx[pos]
         # remap u within the cdf cell for the barycentric sample
         cdf_hi = scene.emitters.em_tri_cdf[pos]
