@@ -30,7 +30,7 @@ import functools
 
 
 @functools.lru_cache(maxsize=2)
-def _render_small(f=16, spp=8):
+def _render_small(f=16, spp=4):
     from mitsuba_nlvrl_tpu.utils.io import read_exr
     from mitsuba_nlvrl_tpu.scene.xml import load_file
     from mitsuba_nlvrl_tpu import build_scene, render
