@@ -185,24 +185,108 @@ def vrl_contrib(scene, meta, maps, seg_o, seg_d, seg_len, cam_medium,
     return jnp.where(act_tr[:, None], contrib, 0.0), sampler
 
 
+VRL_RIS_CHUNK = 512
+
+
+def _vrl_ris_weights(maps, seg_o, seg_d, seg_len, sl):
+    """Selection weights for a VRL chunk vs each camera segment: VRL power
+    luminance over squared distance between the VRL midpoint and the
+    segment (the TPU-native replacement for the lightcut's per-cluster
+    upper bound, vrl_lightcut.h:429-512 — a dense resampled-importance
+    pass instead of a priority-queue tree cut)."""
+    vo = maps.vrl_o[sl]
+    vd = maps.vrl_d[sl]
+    vl = maps.vrl_len[sl]
+    lum = (maps.vrl_flux[sl] * jnp.asarray([0.2126, 0.7152, 0.0722])).sum(-1)
+    ok = maps.vrl_valid[sl]
+    mid = vo + vd * (0.5 * vl)[:, None]                      # (C, 3)
+    # closest point on the camera segment to each VRL midpoint
+    rel = mid[None, :, :] - seg_o[:, None, :]                # (N, C, 3)
+    t = jnp.sum(rel * seg_d[:, None, :], -1)
+    t = jnp.clip(t, 0.0, seg_len[:, None])
+    d2 = m.squared_norm(rel - t[..., None] * seg_d[:, None, :])
+    w = (lum * vl)[None, :] / (d2 + 1e-3 * (1.0 + d2))
+    return jnp.where(ok[None, :], jnp.maximum(w, 0.0), 0.0)   # (N, C)
+
+
 def query_vrls(scene, meta, maps, seg_o, seg_d, seg_len, cam_medium, channel,
-               sampler, active, samples_per_query: int):
-    """Stochastic brute-force VRL query: draw M uniform VRLs, scale by
-    count/M * vrl_scale (unbiased version of vrl_map.h:133-211)."""
+               sampler, active, samples_per_query: int,
+               use_ris: bool = True):
+    """VRL query: ``samples_per_query`` draws, each evaluated with the full
+    Kulla sampling + transmittances. Selection is either uniform (the
+    reference's no-acceleration default) or two-pass resampled importance
+    over ALL VRLs (dense (N, V) weight sweeps — wavefront-regular, the
+    role the lightcut tree plays in the reference)."""
     N = seg_o.shape[0]
+    V = maps.vrl_o.shape[0]
     count = jnp.maximum(maps.vrl_count, 1)
     acc = jnp.zeros((N, 3))
+
+    if not use_ris or V < 64:
+        for _ in range(samples_per_query):
+            u_sel, sampler = sampler.next_1d()
+            u1, sampler = sampler.next_1d()
+            u2, sampler = sampler.next_1d()
+            vi = jnp.minimum((u_sel * count).astype(jnp.int32), count - 1)
+            c, sampler = vrl_contrib(scene, meta, maps, seg_o, seg_d,
+                                     seg_len, cam_medium, vi, u1, u2,
+                                     channel, sampler, active)
+            acc = acc + c
+        scale = count.astype(jnp.float32) / samples_per_query \
+            * maps.vrl_scale
+        return acc * scale, sampler
+
+    # --- pass 1: total selection weight per lane -------------------------
+    n_chunks = -(-V // VRL_RIS_CHUNK)
+
+    def wsum_body(c, acc_w):
+        sl = jax.lax.dynamic_slice_in_dim(
+            jnp.arange(V, dtype=jnp.int32), c * VRL_RIS_CHUNK,
+            VRL_RIS_CHUNK)
+        w = _vrl_ris_weights(maps, seg_o, seg_d, seg_len, sl)
+        return acc_w + w.sum(axis=1)
+
+    w_total = jax.lax.fori_loop(0, n_chunks, wsum_body, jnp.zeros((N,)))
+    ok_lane = active & (w_total > 0)
+
     for _ in range(samples_per_query):
         u_sel, sampler = sampler.next_1d()
         u1, sampler = sampler.next_1d()
         u2, sampler = sampler.next_1d()
-        vi = jnp.minimum((u_sel * count).astype(jnp.int32), count - 1)
+        thresh = u_sel * w_total
+
+        # --- pass 2: invert the running-sum "CDF" ------------------------
+        def find_body(c, carry):
+            run, sel_i, sel_w = carry
+            sl = jax.lax.dynamic_slice_in_dim(
+                jnp.arange(V, dtype=jnp.int32), c * VRL_RIS_CHUNK,
+                VRL_RIS_CHUNK)
+            w = _vrl_ris_weights(maps, seg_o, seg_d, seg_len, sl)
+            cw = jnp.cumsum(w, axis=1) + run[:, None]
+            hit = (cw >= thresh[:, None]) & (sel_i < 0)[:, None]
+            first = jnp.argmax(hit, axis=1)
+            found = jnp.any(hit, axis=1)
+            take = found & (sel_i < 0)
+            sel_i = jnp.where(take, sl[first], sel_i)
+            sel_w = jnp.where(take,
+                              jnp.take_along_axis(w, first[:, None],
+                                                  1)[:, 0], sel_w)
+            return cw[:, -1], sel_i, sel_w
+
+        run0 = jnp.zeros((N,))
+        _, sel_i, sel_w = jax.lax.fori_loop(
+            0, n_chunks, find_body,
+            (run0, jnp.full((N,), -1, jnp.int32), jnp.zeros((N,))))
+        vi = jnp.maximum(sel_i, 0)
+        lane_ok = ok_lane & (sel_i >= 0) & (sel_w > 0)
         c, sampler = vrl_contrib(scene, meta, maps, seg_o, seg_d, seg_len,
                                  cam_medium, vi, u1, u2, channel, sampler,
-                                 active)
-        acc = acc + c
-    scale = count.astype(jnp.float32) / samples_per_query * maps.vrl_scale
-    return acc * scale, sampler
+                                 lane_ok)
+        # importance weight: 1 / p(vi) = w_total / w_vi
+        inv_p = jnp.where(lane_ok, w_total * m.safe_rcp(sel_w), 0.0)
+        acc = acc + c * inv_p[:, None]
+
+    return acc * (maps.vrl_scale / samples_per_query), sampler
 
 
 class VRLCamState(NamedTuple):
@@ -231,6 +315,11 @@ def make_sample(use_vrls: bool):
         spq = int(meta.iprop('samples_per_query', 2))
         use_direct = bool(meta.iprop('use_direct_illum', True)) or not use_vrls
         use_bre = bool(meta.iprop('use_bre', False))
+        # RIS selection (dense importance resampling) is available as the
+        # lightcut-analog but defaults OFF: on the validation scenes the
+        # per-sample noise is dominated by Kulla sampling + transmittance,
+        # not VRL selection, and the two dense (N, V) passes cost ~2.5x.
+        use_ris = bool(meta.iprop('vrl_ris', False))
         nl_cam = bool(meta.iprop('use_non_linear_camera', True)) \
             and bool(meta.iprop('use_non_linear', True)) \
             and MEDIUM_TYPES['nonlinear'] in meta.medium_types
@@ -348,7 +437,8 @@ def make_sample(use_vrls: bool):
                     q, smp = query_vrls(
                         scene, meta, maps, bent.seg_o[:, s_i],
                         bent.seg_d[:, s_i], bent.seg_len[:, s_i],
-                        st.medium_idx, st.channel, smp, seg_ok, spq)
+                        st.medium_idx, st.channel, smp, seg_ok, spq,
+                        use_ris=use_ris)
                     vrl_acc = vrl_acc + jnp.where(seg_ok[:, None],
                                                   seg_tr * q, 0.0)
                     seg_tr = seg_tr * medium_mod.homogeneous_transmittance(
