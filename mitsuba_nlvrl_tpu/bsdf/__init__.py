@@ -484,6 +484,64 @@ def _textured_reflectance(scene, meta, si, P):
 
 
 _BLEND = BSDF_TYPES['blendbsdf']
+_NORMALMAP = BSDF_TYPES['normalmap']
+_BUMPMAP = BSDF_TYPES['bumpmap']
+
+
+def _has_perturb(meta):
+    return _NORMALMAP in meta.bsdf_types or _BUMPMAP in meta.bsdf_types
+
+
+def _perturb_si(scene, meta, si):
+    """Resolve normalmap/bumpmap wrapper rows: perturb the shading frame
+    from the row's texture and forward to the nested BSDF row (reference
+    src/bsdfs/normalmap.cpp:82-118, bumpmap.cpp:83-135).
+
+    normalmap: tangent-space normal = 2*rgb - 1. bumpmap: central
+    differences of the height texture in uv space tilt the normal by
+    -scale*(dh/du, dh/dv) along the tangents (deviation: the reference
+    chains through dp_du surface partials; the wavefront SI carries unit
+    tangents, so uv-space differences stand in — standard bump mapping).
+    The new tangent Gram-Schmidts the original one against the perturbed
+    normal, keeping anisotropy alignment."""
+    from .. import texture as tex_mod
+    from ..core.frame import Frame
+    btype = scene.bsdfs.type[si.bsdf_idx]
+    P = scene.bsdfs.params[si.bsdf_idx]
+    is_nm = btype == _NORMALMAP
+    is_bm = btype == _BUMPMAP
+    is_pert = is_nm | is_bm
+    tex_id = jnp.where(is_pert, P[:, 1].astype(jnp.int32), -1)
+
+    n_local = jnp.concatenate(
+        [jnp.zeros((btype.shape[0], 2)), jnp.ones((btype.shape[0], 1))], -1)
+    if _NORMALMAP in meta.bsdf_types:
+        rgb = tex_mod.eval(scene, tex_id, si.uv)
+        n_local = jnp.where(is_nm[:, None], 2.0 * rgb - 1.0, n_local)
+    if _BUMPMAP in meta.bsdf_types:
+        scale = P[:, 2]
+        eps = 5e-4
+        du = jnp.asarray([eps, 0.0], jnp.float32)
+        dv = jnp.asarray([0.0, eps], jnp.float32)
+
+        def h(uv):
+            return tex_mod.eval(scene, tex_id, uv)[:, 0]
+
+        dh_du = (h(si.uv + du) - h(si.uv - du)) / (2.0 * eps)
+        dh_dv = (h(si.uv + dv) - h(si.uv - dv)) / (2.0 * eps)
+        n_bm = jnp.stack([-scale * dh_du, -scale * dh_dv,
+                          jnp.ones_like(dh_du)], -1)
+        n_local = jnp.where(is_bm[:, None], n_bm, n_local)
+
+    f = si.sh_frame
+    n_w = m.normalize(f.to_world(m.normalize(n_local)))
+    n_w = jnp.where(is_pert[:, None], n_w, f.n)
+    s = m.normalize(f.s - n_w * m.dot(n_w, f.s)[:, None])
+    t = jnp.cross(n_w, s)
+    newf = Frame(s, t, n_w)
+    nested = jnp.where(is_pert, P[:, 0].astype(jnp.int32), si.bsdf_idx)
+    return si._replace(bsdf_idx=nested, sh_frame=newf,
+                       wi=newf.to_local(f.to_world(si.wi)))
 
 
 def _blend_sub(si, P, which):
@@ -495,6 +553,10 @@ def _blend_sub(si, P, which):
 def eval(scene, meta, si, wo, mode=RADIANCE, textures=None,
          _depth: int = 0):
     """f(wi, wo) * |cos_theta_o| for each lane (zero for pure-delta lanes)."""
+    if _depth == 0 and _has_perturb(meta):
+        f0 = si.sh_frame
+        si = _perturb_si(scene, meta, si)
+        wo = si.sh_frame.to_local(f0.to_world(wo))
     btype = scene.bsdfs.type[si.bsdf_idx]
     flags = scene.bsdfs.flags[si.bsdf_idx]
     P = scene.bsdfs.params[si.bsdf_idx]
@@ -525,6 +587,10 @@ def eval(scene, meta, si, wo, mode=RADIANCE, textures=None,
 
 
 def pdf(scene, meta, si, wo, _depth: int = 0):
+    if _depth == 0 and _has_perturb(meta):
+        f0 = si.sh_frame
+        si = _perturb_si(scene, meta, si)
+        wo = si.sh_frame.to_local(f0.to_world(wo))
     btype = scene.bsdfs.type[si.bsdf_idx]
     flags = scene.bsdfs.flags[si.bsdf_idx]
     P = scene.bsdfs.params[si.bsdf_idx]
@@ -546,8 +612,20 @@ def pdf(scene, meta, si, wo, _depth: int = 0):
     return out
 
 
+def _unperturb_wo(f_orig, si, bs):
+    # map a sampled direction from the perturbed shading frame back into
+    # the caller's original frame (callers hold the unresolved si)
+    if f_orig is None:
+        return bs
+    return bs._replace(wo=f_orig.to_local(si.sh_frame.to_world(bs.wo)))
+
+
 def sample(scene, meta, si, u1, u2, mode=RADIANCE, textures=None,
            _depth: int = 0):
+    _f_orig = None
+    if _depth == 0 and _has_perturb(meta):
+        _f_orig = si.sh_frame
+        si = _perturb_si(scene, meta, si)
     btype = scene.bsdfs.type[si.bsdf_idx]
     flags = scene.bsdfs.flags[si.bsdf_idx]
     P = scene.bsdfs.params[si.bsdf_idx]
@@ -569,7 +647,7 @@ def sample(scene, meta, si, u1, u2, mode=RADIANCE, textures=None,
         bs, weight = sample(scene, meta, si_sub, u1r, u2, mode, None, 1)
         prob = jnp.where(is_b, jnp.where(pick_b, w, 1.0 - w), 1.0)
         bs = bs._replace(pdf=bs.pdf * prob)
-        return bs, weight
+        return _unperturb_wo(_f_orig, si, bs), weight
     (wi,) = _maybe_flip(flags, si.wi)
     N = wi.shape[0]
     zero3 = jnp.zeros((N, 3), jnp.float32)
@@ -613,7 +691,7 @@ def sample(scene, meta, si, u1, u2, mode=RADIANCE, textures=None,
             null=jnp.where(pass_thru, True, bs.null))
         weight = jnp.where(pass_thru[:, None], jnp.ones((N, 3)), weight)
         # nested lobe keeps weight (pdf scaling by opacity cancels f*opacity)
-    return bs, weight
+    return _unperturb_wo(_f_orig, si, bs), weight
 
 
 def eval_null_transmission(scene, meta, si):

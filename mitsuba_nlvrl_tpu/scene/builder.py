@@ -186,6 +186,36 @@ class SceneBuilder:
         key = id(props)
         if key in self.bsdf_cache:
             return self.bsdf_cache[key]
+        if props.get('type') in ('normalmap', 'bumpmap'):
+            # frame-perturbing wrapper (reference src/bsdfs/normalmap.cpp:
+            # 82-118 and bumpmap.cpp:83-135): row stores the nested bsdf
+            # index, the perturbation texture id, and the bump scale; the
+            # dispatch (_resolve_perturb) rewrites the shading frame and
+            # forwards to the nested row.
+            from .types import BSDF_TYPES, BSDF_NPARAM
+            kind = props['type']
+            nested = props.get('bsdf', {'type': 'diffuse'})
+            if isinstance(nested, list):
+                nested = nested[0]
+            row_n = self._bsdf_index(nested)
+            tex = props.get(kind) or props.get('texture')
+            if tex is None:  # any remaining dict child with a texture type
+                from .types import TEXTURE_TYPES
+                for v in props.values():
+                    if isinstance(v, dict) \
+                            and v.get('type') in TEXTURE_TYPES:
+                        tex = v
+                        break
+            tex_id = self._texture_index(tex) if tex is not None else -1
+            p = [0.0] * BSDF_NPARAM
+            p[0] = float(row_n)
+            p[1] = float(tex_id)
+            p[2] = float(props.get('scale', 1.0))
+            fl = self.bsdf_rows[row_n][1]
+            idx = len(self.bsdf_rows)
+            self.bsdf_rows.append((BSDF_TYPES[kind], fl, p))
+            self.bsdf_cache[key] = idx
+            return idx
         if props.get('type') == 'blendbsdf':
             subs = props.get('bsdf', [])
             if isinstance(subs, dict):
