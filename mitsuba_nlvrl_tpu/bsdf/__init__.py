@@ -106,13 +106,25 @@ def pack_params(props: dict) -> Tuple[int, int, list]:
         return BSDF_TYPES[t], F_SMOOTH | F_TRANSMISSION, p
     if t == 'null':
         return BSDF_TYPES[t], F_DELTA | F_NULL | F_TRANSMISSION, p
-    if t in ('plastic', 'roughplastic'):
+    if t in ('polarizer', 'retarder', 'circular'):
+        # polarization optical elements: the reference's RGB (unpolarized)
+        # variant — the one the thesis builds — reduces them to null
+        # pass-through attenuators (polarizer.cpp:130, retarder.cpp:116,
+        # circular.cpp:110): weight 0.5*T / T / 0.5*T respectively.
+        fac = 1.0 if t == 'retarder' else 0.5
+        p[0:3] = [fac * c for c in rgb('transmittance', 1.0)]
+        return BSDF_TYPES[t], F_DELTA | F_NULL | F_TRANSMISSION, p
+    if t in ('plastic', 'roughplastic', 'pplastic'):
+        # pplastic (src/bsdfs/pplastic.cpp) is polarized plastic; in the
+        # unpolarized variant its lobes reduce to rough plastic
         p[0:3] = rgb('diffuse_reflectance', 0.5)
         p[3] = float(props.get('int_ior', 1.49))
         p[4] = float(props.get('ext_ior', 1.000277))
         p[5] = 1.0 if props.get('nonlinear', False) else 0.0
         p[6:9] = rgb('specular_reflectance', 1.0)
         p[9] = float(props.get('alpha', 0.1))
+        if t == 'pplastic':
+            t = 'roughplastic'
         flags = F_SMOOTH | (F_DELTA if t == 'plastic' else 0)  # rough: pure smooth
         return BSDF_TYPES[t], flags, p
     raise NotImplementedError(f"bsdf type {t}")
@@ -196,6 +208,14 @@ def _null_sample(P, wi, u1, u2, mode):
     tru = jnp.ones((N,), bool)
     bs = BSDFSample(wo=-wi, pdf=one, eta=one, delta=tru, null=tru)
     return bs, jnp.ones((N, 3), wi.dtype)
+
+
+def _attenuator_sample(P, wi, u1, u2, mode):
+    """Null pass-through with spectral attenuation in P[0:3] — the
+    unpolarized reduction of polarizer/retarder/circular (see
+    pack_params)."""
+    bs, _ = _null_sample(P, wi, u1, u2, mode)
+    return bs, P[:, 0:3]
 
 
 def _roughconductor_eval(P, wi, wo):
@@ -462,6 +482,9 @@ _SAMPLE = {
     BSDF_TYPES['roughdielectric']: _roughdielectric_sample,
     BSDF_TYPES['plastic']: _plastic_sample,
     BSDF_TYPES['roughplastic']: _roughplastic_sample,
+    BSDF_TYPES['polarizer']: _attenuator_sample,
+    BSDF_TYPES['retarder']: _attenuator_sample,
+    BSDF_TYPES['circular']: _attenuator_sample,
 }
 
 
@@ -700,10 +723,17 @@ def eval_null_transmission(scene, meta, si):
     masked bsdfs, 0 otherwise."""
     flags = scene.bsdfs.flags[si.bsdf_idx]
     P = scene.bsdfs.params[si.bsdf_idx]
+    btype = scene.bsdfs.type[si.bsdf_idx]
     is_mask = (flags & F_MASK) > 0
     is_null = ((flags & F_NULL) > 0) & ~is_mask
     out = jnp.where(is_null[:, None], jnp.ones((si.wi.shape[0], 3)), 0.0)
     out = jnp.where(is_mask[:, None], 1.0 - P[:, 14:15], out)
+    # polarization elements attenuate straight-through rays by their packed
+    # unpolarized weight (polarizer.cpp:184 etc.)
+    is_att = ((btype == BSDF_TYPES['polarizer'])
+              | (btype == BSDF_TYPES['retarder'])
+              | (btype == BSDF_TYPES['circular']))
+    out = jnp.where(is_att[:, None], P[:, 0:3], out)
     return out
 
 

@@ -43,10 +43,11 @@ def _ensure(name: str):
         # legacy scene files use the 0.6-era name "photonmap"
         _REGISTRY['photonmap'] = _pm.sample
         _PREPROCESS['photonmap'] = _pm.preprocess
-    elif name in ('aov', 'moment'):
+    elif name in ('aov', 'moment', 'stokes'):
         from . import aov as _aov
         _REGISTRY['aov'] = _aov.sample_aov
         _REGISTRY['moment'] = _aov.sample_moment
+        _REGISTRY['stokes'] = _aov.sample_stokes
 
 
 def get_integrator(name: str):

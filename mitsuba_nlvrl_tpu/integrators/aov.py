@@ -44,12 +44,44 @@ def sample_aov(scene, meta, sampler: Sampler, ray: Ray, active=None,
     return out, si.valid, sampler
 
 
+def _nested(meta, default='path'):
+    """Resolve a wrapped <integrator> prop (frozen to tuples by the scene
+    builder) into (sample_fn, meta-with-nested-props)."""
+    v = meta.iprop('integrator', default)
+    if isinstance(v, str):
+        name, props = v, ()
+    elif isinstance(v, tuple):
+        d = dict(v)
+        name = d.pop('type', default)
+        props = tuple(sorted(d.items()))
+    else:
+        name, props = default, ()
+    import dataclasses
+    meta2 = dataclasses.replace(meta, integrator=name,
+                                integrator_props=props)
+    return get_integrator(name), meta2
+
+
 def sample_moment(scene, meta, sampler: Sampler, ray: Ray, active=None,
                   diff: bool = False, aux=None):
-    inner_name = meta.iprop('integrator', 'path')
-    if not isinstance(inner_name, str):
-        inner_name = 'path'
-    inner = get_integrator(inner_name)
-    L, valid, sampler = inner(scene, meta, sampler, ray, active, diff=diff,
+    inner, meta2 = _nested(meta)
+    L, valid, sampler = inner(scene, meta2, sampler, ray, active, diff=diff,
                               aux=aux)
     return L * L, valid, sampler
+
+
+def sample_stokes(scene, meta, sampler: Sampler, ray: Ray, active=None,
+                  diff: bool = False, aux=None):
+    """Stokes-vector wrapper (reference src/integrators/stokes.cpp): runs
+    the nested integrator and emits one Stokes component image selected by
+    the ``component`` prop (0 = S0 radiance, 1-3 = S1/S2/S3). The RGB
+    render mode carries unpolarized radiance — matching the reference
+    compiled in its non-polarized variants (the thesis build), S0 is the
+    nested radiance and S1..S3 are zero."""
+    inner, meta2 = _nested(meta)
+    L, valid, sampler = inner(scene, meta2, sampler, ray, active, diff=diff,
+                              aux=aux)
+    comp = int(meta.iprop('component', 0))
+    if comp != 0:
+        L = jnp.zeros_like(L)
+    return L, valid, sampler

@@ -680,7 +680,19 @@ class SceneBuilder:
                 size=jnp.zeros((1, 2), jnp.int32))
 
         integ = desc.get('integrator', {'type': 'path'})
-        iprops = tuple(sorted((k, v) for k, v in integ.items() if k != 'type'))
+
+        # SceneMeta is a jit static argument — every prop value must be
+        # hashable. Nested dicts (e.g. moment/stokes wrapper integrators)
+        # freeze into sorted (key, value) tuples.
+        def _freeze(v):
+            if isinstance(v, dict):
+                return tuple(sorted((k, _freeze(x)) for k, x in v.items()))
+            if isinstance(v, list):
+                return tuple(_freeze(x) for x in v)
+            return v
+
+        iprops = tuple(sorted((k, _freeze(v)) for k, v in integ.items()
+                              if k != 'type'))
 
         scene = SceneData(
             geo=geo, bvh=bvh_arrays, shapes=shapes_t, bsdfs=bsdfs_t,
