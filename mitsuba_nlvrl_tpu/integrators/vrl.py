@@ -85,7 +85,57 @@ def preprocess(scene, meta, key, vp_all_scatters: bool = False):
         vrl_cap=max(target_vrls, 8),
         photon_cap=max(int(meta.iprop('global_photons', 250000)),
                        target_vp))
+    if bool(meta.iprop('long_vrl', False)):
+        maps = jax.jit(_lengthen_vrls)(scene, maps)
+    dice = int(meta.iprop('dice_vrl', 1))
+    if dice > 1:
+        maps = jax.jit(partial(_dice_vrls, dice=dice))(scene, maps)
     return maps
+
+
+def _lengthen_vrls(scene, maps):
+    """long_vrl: extend every VRL to the first surface along its ray
+    (convertToLong, vrl_struct.h:146-154; vrl_map.h toLong :57). The
+    estimator already integrates Tr from the VRL origin, so only the
+    length changes."""
+    ray = Ray.make(maps.vrl_o + maps.vrl_d * 1e-4, maps.vrl_d)
+    si = isect.ray_intersect(scene, ray)
+    new_len = jnp.where(si.valid & maps.vrl_valid, si.t + 1e-4,
+                        maps.vrl_len)
+    return maps._replace(vrl_len=new_len)
+
+
+def _dice_vrls(scene, maps, dice: int):
+    """dice_vrl > 1: re-chunk every VRL into sub-VRLs of uniform length
+    avg_len/dice; each sub-VRL's flux pre-absorbs Tr(origin -> sub start)
+    so energy stays exact (dice(), vrl_struct.h:88-128; dicingVRL,
+    vrl_map.h:104-129). TPU deviation: a static budget of 2*dice slots
+    per VRL (tails beyond 2x the average length truncate) keeps the
+    wavefront shape static; the diced map is re-compacted on device."""
+    V = maps.vrl_len.shape[0]
+    K = 2 * dice
+    nvalid = jnp.maximum(maps.vrl_count.astype(jnp.float32), 1.0)
+    avg = jnp.sum(jnp.where(maps.vrl_valid, maps.vrl_len, 0.0)) / nvalid
+    chunk = jnp.maximum(avg / dice, 1e-4)
+    start = chunk * jnp.arange(K, dtype=jnp.float32)          # (K,)
+    sub_len = jnp.clip(maps.vrl_len[:, None] - start[None, :], 0.0, chunk)
+    valid = maps.vrl_valid[:, None] & (sub_len > 1e-5)        # (V, K)
+
+    rep = lambda a: jnp.repeat(a, K, axis=0)
+    med = rep(maps.vrl_medium)
+    start_f = jnp.broadcast_to(start[None, :], (V, K)).reshape(V * K)
+    tr = medium_mod.homogeneous_transmittance(scene, med, start_f,
+                                              valid.reshape(V * K))
+    o = (maps.vrl_o[:, None, :]
+         + maps.vrl_d[:, None, :] * start[None, :, None]).reshape(V * K, 3)
+    n, vmask, (o, d, ln, flux, med, dep, direct) = lighttrace._compact_dev(
+        valid.reshape(V * K),
+        [o, rep(maps.vrl_d), sub_len.reshape(V * K),
+         rep(maps.vrl_flux) * tr, med, rep(maps.vrl_depth),
+         rep(maps.vrl_direct)], V * K)
+    return maps._replace(vrl_o=o, vrl_d=d, vrl_len=ln, vrl_flux=flux,
+                         vrl_medium=med, vrl_depth=dep, vrl_direct=direct,
+                         vrl_valid=vmask, vrl_count=n)
 
 
 def vrl_contrib(scene, meta, maps, seg_o, seg_d, seg_len, cam_medium,
@@ -194,11 +244,13 @@ def _vrl_ris_weights(maps, seg_o, seg_d, seg_len, sl):
     segment (the TPU-native replacement for the lightcut's per-cluster
     upper bound, vrl_lightcut.h:429-512 — a dense resampled-importance
     pass instead of a priority-queue tree cut)."""
-    vo = maps.vrl_o[sl]
-    vd = maps.vrl_d[sl]
-    vl = maps.vrl_len[sl]
-    lum = (maps.vrl_flux[sl] * jnp.asarray([0.2126, 0.7152, 0.0722])).sum(-1)
-    ok = maps.vrl_valid[sl]
+    sl_c = jnp.maximum(sl, 0)
+    vo = maps.vrl_o[sl_c]
+    vd = maps.vrl_d[sl_c]
+    vl = maps.vrl_len[sl_c]
+    lum = (maps.vrl_flux[sl_c]
+           * jnp.asarray([0.2126, 0.7152, 0.0722])).sum(-1)
+    ok = maps.vrl_valid[sl_c] & (sl >= 0)
     mid = vo + vd * (0.5 * vl)[:, None]                      # (C, 3)
     # closest point on the camera segment to each VRL midpoint
     rel = mid[None, :, :] - seg_o[:, None, :]                # (N, C, 3)
@@ -237,12 +289,17 @@ def query_vrls(scene, meta, maps, seg_o, seg_d, seg_len, cam_medium, channel,
         return acc * scale, sampler
 
     # --- pass 1: total selection weight per lane -------------------------
-    n_chunks = -(-V // VRL_RIS_CHUNK)
+    # pad the index list with -1 sentinels so every chunk has a static size
+    # (dynamic_slice CLAMPS out-of-range starts, which would double-count
+    # the tail for V not a multiple of the chunk)
+    ch = min(VRL_RIS_CHUNK, V)
+    n_chunks = -(-V // ch)
+    idx_all = jnp.concatenate(
+        [jnp.arange(V, dtype=jnp.int32),
+         jnp.full((n_chunks * ch - V,), -1, jnp.int32)])
 
     def wsum_body(c, acc_w):
-        sl = jax.lax.dynamic_slice_in_dim(
-            jnp.arange(V, dtype=jnp.int32), c * VRL_RIS_CHUNK,
-            VRL_RIS_CHUNK)
+        sl = jax.lax.dynamic_slice_in_dim(idx_all, c * ch, ch)
         w = _vrl_ris_weights(maps, seg_o, seg_d, seg_len, sl)
         return acc_w + w.sum(axis=1)
 
@@ -258,9 +315,7 @@ def query_vrls(scene, meta, maps, seg_o, seg_d, seg_len, cam_medium, channel,
         # --- pass 2: invert the running-sum "CDF" ------------------------
         def find_body(c, carry):
             run, sel_i, sel_w = carry
-            sl = jax.lax.dynamic_slice_in_dim(
-                jnp.arange(V, dtype=jnp.int32), c * VRL_RIS_CHUNK,
-                VRL_RIS_CHUNK)
+            sl = jax.lax.dynamic_slice_in_dim(idx_all, c * ch, ch)
             w = _vrl_ris_weights(maps, seg_o, seg_d, seg_len, sl)
             cw = jnp.cumsum(w, axis=1) + run[:, None]
             hit = (cw >= thresh[:, None]) & (sel_i < 0)[:, None]
@@ -319,7 +374,11 @@ def make_sample(use_vrls: bool):
         # lightcut-analog but defaults OFF: on the validation scenes the
         # per-sample noise is dominated by Kulla sampling + transmittance,
         # not VRL selection, and the two dense (N, V) passes cost ~2.5x.
-        use_ris = bool(meta.iprop('vrl_ris', False))
+        # rr_vrl (EDistanceRoulette, vrl_map.h:133-211) culls VRL
+        # evaluations by squared segment distance; masked lanes save no
+        # work on a wavefront, so its TPU analog is the RIS selection
+        # driven by the same 1/d^2 metric.
+        use_ris = bool(meta.iprop('vrl_ris', meta.iprop('rr_vrl', False)))
         nl_cam = bool(meta.iprop('use_non_linear_camera', True)) \
             and bool(meta.iprop('use_non_linear', True)) \
             and MEDIUM_TYPES['nonlinear'] in meta.medium_types

@@ -182,3 +182,25 @@ def test_nlvrl_headline_scene_smoke():
     img = np.asarray(render(scene, meta, spp=1, seed=0))
     assert np.isfinite(img).all()
     assert img.max() > 0  # the laser lights up something
+
+
+def test_vrl_dice_long_rr_unbiased():
+    """dice_vrl / long_vrl / rr_vrl (vrl_struct.h dice:88-128,
+    convertToLong:146-154; vrl_map.h EDistanceRoulette) must leave the
+    estimate unbiased."""
+    import scenes as _scenes
+    from mitsuba_nlvrl_tpu import build_scene as _bs, render as _render
+
+    def mk(**extra):
+        d = _scenes.cornell_box(spp=4, res=14, medium={
+            'type': 'homogeneous', 'sigma_t': 0.4, 'albedo': 0.8})
+        d['integrator'] = {'type': 'vrl', 'target_vrls': 64, 'max_depth': 6,
+                          'min_vrl_length': 0.05, **extra}
+        return _bs(d)
+
+    s0, m0 = mk()
+    base = np.asarray(_render(s0, m0, spp=4, seed=7))
+    s1, m1 = mk(long_vrl=True, dice_vrl=3, rr_vrl=True)
+    img = np.asarray(_render(s1, m1, spp=4, seed=7))
+    assert np.isfinite(img).all()
+    assert abs(img.mean() / base.mean() - 1.0) < 0.05
