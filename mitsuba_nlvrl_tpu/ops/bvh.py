@@ -46,6 +46,20 @@ def _morton3(x: np.ndarray) -> np.ndarray:
 
 
 def build(v0: np.ndarray, e1: np.ndarray, e2: np.ndarray) -> BVHArrays:
+    """Build the BVH on host. Prefers the native binned-SAH builder
+    (native/bvh_native.cpp — the C++ counterpart of the reference's
+    TShapeKDTree::build, kdtree.h:676-1908); falls back to the numpy
+    Morton median-split build when no toolchain is available."""
+    from .. import native as native_mod
+    nb = native_mod.bvh_builder()
+    if nb is not None:
+        lo, hi, a, b, leaf, order = nb(v0, e1, e2, LEAF_SIZE)
+        return BVHArrays(node_lo=lo, node_hi=hi, node_a=a, node_b=b,
+                         node_leaf=leaf, order=order)
+    return _build_numpy(v0, e1, e2)
+
+
+def _build_numpy(v0: np.ndarray, e1: np.ndarray, e2: np.ndarray) -> BVHArrays:
     """Median-split BVH over Morton-sorted triangle centroids (host)."""
     v0 = np.asarray(v0, np.float64)
     e1 = np.asarray(e1, np.float64)
