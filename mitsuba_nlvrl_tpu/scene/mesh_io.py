@@ -114,6 +114,7 @@ def load_ply(path: str) -> MeshData:
 
     verts = normals = uvs = None
     faces = []
+    face_arrays = []  # vectorized chunks from the uniform-arity fast path
     if fmt == 'ascii':
         body = data[header_end:].decode('ascii', errors='replace').split()
         pos = 0
@@ -148,13 +149,31 @@ def load_ply(path: str) -> MeshData:
             elif name == 'face':
                 ct = np.dtype(endian + type_map[props[0][1]])
                 it = np.dtype(endian + type_map[props[0][2]])
-                for _ in range(count):
-                    n = int(np.frombuffer(data, ct, 1, off)[0])
-                    off += ct.itemsize
-                    ids = np.frombuffer(data, it, n, off).astype(np.int64)
-                    off += it.itemsize * n
-                    for k in range(1, n - 1):
-                        faces.append([ids[0], ids[k], ids[k + 1]])
+                # uniform-arity fast path: nearly every PLY has all-tri or
+                # all-quad faces — reinterpret the whole block with a
+                # strided record dtype instead of a per-face python loop
+                n0 = int(np.frombuffer(data, ct, 1, off)[0]) if count else 0
+                rec = ct.itemsize + n0 * it.itemsize
+                uniform = False
+                if count and off + rec * count <= len(data):
+                    fdt = np.dtype([('n', ct), ('ids', it, (n0,))])
+                    block = np.frombuffer(data, fdt, count, off)
+                    if (block['n'] == n0).all():
+                        ids = block['ids'].astype(np.int64)   # (count, n0)
+                        face_arrays.extend(
+                            np.stack([ids[:, 0], ids[:, k], ids[:, k + 1]],
+                                     -1)                      # fan-triangulate
+                            for k in range(1, n0 - 1))
+                        off += rec * count
+                        uniform = True
+                if not uniform:
+                    for _ in range(count):
+                        n = int(np.frombuffer(data, ct, 1, off)[0])
+                        off += ct.itemsize
+                        ids = np.frombuffer(data, it, n, off).astype(np.int64)
+                        off += it.itemsize * n
+                        for k in range(1, n - 1):
+                            faces.append([ids[0], ids[k], ids[k + 1]])
             else:
                 row = sum(np.dtype(type_map[p[0]]).itemsize for p in props
                           if p[0] != 'list')
@@ -162,7 +181,9 @@ def load_ply(path: str) -> MeshData:
 
     if verts is None:
         raise ValueError(f"{path}: no vertex element")
-    return MeshData(verts, np.asarray(faces, np.int32), normals, uvs)
+    all_faces = np.vstack(
+        [np.asarray(faces, np.int64).reshape(-1, 3)] + face_arrays)
+    return MeshData(verts, all_faces.astype(np.int32), normals, uvs)
 
 
 def _ply_vertex_cols(cols):
