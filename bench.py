@@ -1,8 +1,14 @@
-"""Benchmark: flagship path-tracer throughput on the reference cbox scene.
+"""Benchmark: measured-ray throughput on the BASELINE anchor configs.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-The reference publishes no numbers (BASELINE.md); vs_baseline is reported
-against a fixed internal target of 10 Mrays/s/chip for the cbox config.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
+The headline metric is the cbox path config (vs a fixed internal target of
+10 Mrays/s/chip — the reference publishes no numbers, BASELINE.md); extra
+carries the volumetric configs BASELINE names (hetvol volpath + the
+cbox-nonlinear-homo NLVRL headline scene).
+
+Ray counts are MEASURED on device (live lanes summed at every
+scene-intersection site, incl. shadow and transmittance-walk rays —
+Sampler.count_rays), not analytic upper bounds.
 """
 import json
 import os
@@ -12,53 +18,74 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-def main():
+def _bench_render(desc, passes, max_band_rays=None, seed=0):
+    """Render `passes` spp with measured rays. Returns (mrays, mean)."""
     import jax
     import numpy as np
     from mitsuba_nlvrl_tpu import build_scene
-    from mitsuba_nlvrl_tpu.render import render_pass
-    from mitsuba_nlvrl_tpu import film as film_mod
+    from mitsuba_nlvrl_tpu.render import render, preprocess
 
+    scene, meta = build_scene(desc)
+    aux = preprocess(scene, meta, seed)
+    # warmup pass: compile everything (excluded from timing)
+    img = render(scene, meta, seed=seed, spp=1, aux=aux,
+                 max_band_rays=max_band_rays)
+    np.asarray(img)
+
+    stats = []
+    t0 = time.time()
+    img = render(scene, meta, seed=seed + 1, spp=passes, aux=aux,
+                 max_band_rays=max_band_rays, ray_stats=stats)
+    img.block_until_ready()
+    dt = time.time() - t0
+    rays = float(np.asarray(sum(stats)))
+    im = np.asarray(img)
+    assert np.isfinite(im).all() and im.mean() > 0, "render invalid"
+    return rays / dt / 1e6, float(im.mean())
+
+
+def main():
+    from mitsuba_nlvrl_tpu.scene.xml import load_file
+
+    extra = {}
+
+    # --- headline: cbox path 512x512 (BASELINE PR1 config) -----------------
     cbox = '/root/reference/data/cbox/cbox.xml'
     if os.path.exists(cbox):
-        from mitsuba_nlvrl_tpu.scene.xml import load_file
         desc = load_file(cbox)
-        desc['integrator']['max_depth'] = 8
     else:
         from __graft_entry__ import _tiny_scene
         desc = _tiny_scene(res=512)
-        desc['integrator']['max_depth'] = 8
-    scene, meta = build_scene(desc)
-    W, H = meta.film.width, meta.film.height
+    desc['integrator']['max_depth'] = 8
+    path_mrays, _ = _bench_render(desc, passes=16)
 
-    key = jax.random.PRNGKey(0)
-    img = render_pass(scene, meta, key)
-    img.block_until_ready()  # compile
+    # --- hetvol volpath (BASELINE anchor) ----------------------------------
+    hetvol = '/root/reference/data/hetvol/hetvol.xml'
+    if os.path.exists(hetvol):
+        try:
+            desc = load_file(hetvol)
+            mrays, _ = _bench_render(desc, passes=2, max_band_rays=131072)
+            extra['hetvol_volpath_mrays'] = round(mrays, 3)
+        except Exception as e:  # keep the headline metric alive
+            extra['hetvol_volpath_error'] = str(e)[:200]
 
-    passes = 16
-    t0 = time.time()
-    for i in range(passes):
-        img = img + render_pass(scene, meta, jax.random.fold_in(key, i + 1))
-    img.block_until_ready()
-    dt = time.time() - t0
-
-    im = np.asarray(film_mod.develop(img))
-    assert np.isfinite(im).all() and im.mean() > 0, "render invalid"
-
-    # rays/sec: camera paths * (avg bounces ~ depth bound) is integrator
-    # dependent; report camera paths/s * max_depth as ray upper bound and
-    # Mrays/s from primary+shadow rays per bounce (2 rays/bounce measured
-    # via the depth cap).
-    max_depth = 8
-    rays = W * H * passes * max_depth * 2  # intersect + shadow per bounce
-    mrays = rays / dt / 1e6
+    # --- cbox-nonlinear-homo-vrl (thesis headline config) ------------------
+    nlvrl = '/root/reference/data/scenes/cbox/cbox-nonlinear-homo-vrl.xml'
+    if os.path.exists(nlvrl):
+        try:
+            desc = load_file(nlvrl)
+            mrays, _ = _bench_render(desc, passes=2)
+            extra['cbox_nlvrl_mrays'] = round(mrays, 3)
+        except Exception as e:
+            extra['cbox_nlvrl_error'] = str(e)[:200]
 
     baseline = 10.0  # internal target Mrays/s/chip (no published reference)
     print(json.dumps({
-        "metric": "cbox_path_throughput",
-        "value": round(mrays, 3),
+        "metric": "cbox_path_throughput_measured",
+        "value": round(path_mrays, 3),
         "unit": "Mrays/s/chip",
-        "vs_baseline": round(mrays / baseline, 3),
+        "vs_baseline": round(path_mrays / baseline, 3),
+        "extra": extra,
     }))
 
 

@@ -25,25 +25,34 @@ class Sampler:
     """Pytree with static ``lanes`` aux data (wavefront size must stay a
     Python int under jit)."""
 
-    def __init__(self, key, dim, lanes: int):
+    def __init__(self, key, dim, lanes: int, rays=None):
         self.key = key
         self.dim = dim
         self.lanes = lanes
+        # measured ray counter: integrators call .count_rays(mask) at every
+        # scene-intersection site so throughput benches report ACTUAL rays
+        # traced (live lanes incl. shadow/walk rays), not analytic bounds
+        self.rays = jnp.float32(0.0) if rays is None else rays
 
     def tree_flatten(self):
-        return (self.key, self.dim), self.lanes
+        return (self.key, self.dim, self.rays), self.lanes
 
     @classmethod
     def tree_unflatten(cls, lanes, children):
-        return cls(children[0], children[1], lanes)
+        return cls(children[0], children[1], lanes, children[2])
 
     def _replace(self, **kw) -> "Sampler":
         return Sampler(kw.get('key', self.key), kw.get('dim', self.dim),
-                       kw.get('lanes', self.lanes))
+                       kw.get('lanes', self.lanes), kw.get('rays', self.rays))
 
     @staticmethod
     def make(key, lanes: int) -> "Sampler":
         return Sampler(key=key, dim=jnp.int32(0), lanes=lanes)
+
+    def count_rays(self, mask) -> "Sampler":
+        """Record ``sum(mask)`` rays traced (float32 scalar: exact up to
+        2^24 per pass, then accumulated on host per pass)."""
+        return self._replace(rays=self.rays + mask.sum(dtype=jnp.float32))
 
     def next_1d(self) -> Tuple[jnp.ndarray, "Sampler"]:
         k = jax.random.fold_in(self.key, self.dim)

@@ -463,6 +463,42 @@ def sample_ray(scene, meta, u_sel, u_pos, u_dir, active
         w = jnp.where(sel[:, None], P[:, 6:9] * (falloff * inv_pdf)[:, None], w)
         n_o = jnp.where(sel[:, None], d_s, n_o)
 
+    if E_CONSTANT in meta.emitter_types:
+        # ConstantBackgroundEmitter::sample_ray (constant.cpp:60-79):
+        # origin uniform on the scene bounding sphere, direction cosine-
+        # sampled about the inward normal; weight = L * 4 pi^2 R^2
+        # (1/(4 pi R^2) position pdf x cos/pi direction pdf, cos cancels).
+        R = scene.bsphere_r
+        v0 = warp.square_to_uniform_sphere(u_pos)
+        v1 = warp.square_to_cosine_hemisphere(u_dir)
+        fr_c = Frame.from_normal(-v0)
+        o_c = scene.bsphere_c[None, :] + v0 * R
+        d_c = fr_c.to_world(v1)
+        w_c = P[:, 0:3] * (4.0 * m.sqr(m.Pi * R))
+        sel = etype == E_CONSTANT
+        o = jnp.where(sel[:, None], o_c, o)
+        d = jnp.where(sel[:, None], d_c, d)
+        w = jnp.where(sel[:, None], w_c, w)
+        n_o = jnp.where(sel[:, None], -v0, n_o)
+
+    if E_DIRECTIONAL in meta.emitter_types:
+        # DirectionalEmitter::sample_ray (directional.cpp:80-106): origin on
+        # the disk perpendicular to the beam on the bounding sphere, fixed
+        # direction; weight = E * pi R^2 (disk area / uniform-disk pdf).
+        R = scene.bsphere_r
+        d_dir = m.normalize(P[:, 0:3])
+        fr_d = Frame.from_normal(d_dir)
+        disk_d = warp.square_to_uniform_disk_concentric(u_pos) * R
+        perp = fr_d.to_world(jnp.concatenate(
+            [disk_d, jnp.zeros((N, 1))], axis=-1))
+        o_d = scene.bsphere_c[None, :] + perp - d_dir * R
+        w_d = P[:, 3:6] * (m.Pi * R * R)
+        sel = etype == E_DIRECTIONAL
+        o = jnp.where(sel[:, None], o_d, o)
+        d = jnp.where(sel[:, None], d_dir, d)
+        w = jnp.where(sel[:, None], w_d, w)
+        n_o = jnp.where(sel[:, None], d_dir, n_o)
+
     if E_ENVMAP in meta.emitter_types:
         # direction toward the envmap sampled by luminance; photons start on
         # the disk perpendicular to it on the bounding sphere and fly inward

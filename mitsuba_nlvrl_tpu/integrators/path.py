@@ -66,6 +66,7 @@ def sample(scene, meta, sampler: Sampler, ray: Ray, active=None,
 
     def body(st: PathState):
         si = isect.ray_intersect(scene, st.ray)
+        smp0 = st.sampler.count_rays(st.active)   # primary/bounce rays
 
         # --- hit emitter / environment accounting (MIS vs previous NEE) ----
         le = emitter_mod.eval_hit(scene, meta, si, st.active & si.valid)
@@ -83,13 +84,14 @@ def sample(scene, meta, sampler: Sampler, ray: Ray, active=None,
 
         active = st.active & si.valid & (st.depth + 1 < max_depth)
 
-        smp = st.sampler
+        smp = smp0
         # --- next event estimation -----------------------------------------
         u_sel, smp = smp.next_1d()
         u2, smp = smp.next_2d()
         ds, em_weight = emitter_mod.sample_direction(
             scene, meta, si.p, u_sel, u2, active)
         nee_active = active & (ds.pdf > 0)
+        smp = smp.count_rays(nee_active)          # shadow rays
         sh_ray = spawn_ray(si.p, ds.d,
                            maxt=ds.dist * (1.0 - m.ShadowEpsilon))
         occluded = isect.ray_test(scene, sh_ray)

@@ -166,6 +166,7 @@ def transmittance_to_point(scene, meta, sampler, p_ref, d, dist, medium_idx,
         tr_seg, smp = _medium_segment_tr(scene, meta, st.sampler, st.o, d,
                                          seg_end, st.medium_idx, channel,
                                          in_med)
+        smp = smp.count_rays(active)              # shadow-walk rays
         transmittance = st.transmittance * tr_seg
 
         # reached the target without a blocking surface?
@@ -225,6 +226,7 @@ def trace_emission(scene, meta, sampler, ray_in: Ray, medium_idx, p_ref,
         tr_seg, smp = _medium_segment_tr(scene, meta, st.sampler, st.o, d,
                                          seg_for_tr, st.medium_idx, channel,
                                          in_med)
+        smp = smp.count_rays(active)              # MIS-walk rays
         transmittance = st.transmittance * tr_seg
 
         # environment
@@ -334,6 +336,7 @@ def sample(scene, meta, sampler: Sampler, ray: Ray, active=None,
         # --- (cached) scene intersection -----------------------------------
         iray = Ray(st.ray.o, st.ray.d, st.ray.mint, jnp.full((N,), jnp.inf))
         si = _masked_intersect(scene, iray, st.si, st.needs_isect & active)
+        smp = smp.count_rays(st.needs_isect & active)
         needs_isect = st.needs_isect & ~active
 
         # --- medium free flight --------------------------------------------

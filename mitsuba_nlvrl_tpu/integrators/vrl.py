@@ -43,9 +43,6 @@ from . import lighttrace
 from . import photon_est
 from .volpath import transmittance_to_point
 
-MAX_CAM_ITERS = 24
-
-
 def scene_radius_of(scene):
     """Reference radius convention: |bbox.center - bbox.max|
     (vrl.cpp:448)."""
@@ -61,18 +58,27 @@ def preprocess(scene, meta, key, vp_all_scatters: bool = False):
     # 64k-path wavefront per shot — scale factors keep estimates unbiased)
     want = max(target_vrls, target_vp // 8 if vp_all_scatters else 0, 1024)
     n_paths = min(1 << (max(want - 1, 1)).bit_length(), 65536)
-    max_depth = min(int(meta.iprop('max_depth', 512)), 12)
+    # Light-path depth is config-driven (reference walks until RR kills,
+    # vrl.cpp:180-185). 'light_depth_cap' bounds the scan length; paths
+    # still alive at the cap are COUNTED (maps.trunc_paths) instead of
+    # silently dropped — raise the cap for optically thick media (brain
+    # marble scale 1000 needs O(100) scatters).
+    max_depth = min(int(meta.iprop('max_depth', 512)),
+                    int(meta.iprop('light_depth_cap', 64)))
     rr_depth = int(meta.iprop('rr_depth', 5))
     min_vrl = float(meta.iprop('min_vrl_length', 5.0))
     has_nl = MEDIUM_TYPES['nonlinear'] in meta.medium_types \
         and bool(meta.iprop('use_non_linear', True))
     max_bends = int(meta.iprop('max_nl_bends', 32)) if has_nl else 0
 
+    photon_cap = max(int(meta.iprop('global_photons', 250000)), target_vp)
     shoot_fn = jax.jit(partial(
         lighttrace.shoot, n_paths=n_paths, max_depth=max_depth,
         rr_depth=rr_depth, max_bends=max_bends, min_vrl_len=min_vrl,
-        vp_all_scatters=vp_all_scatters), static_argnames=('meta',))
-    deps = shoot_fn(scene, meta, key)
+        vp_all_scatters=vp_all_scatters, sp_cap=photon_cap,
+        vp_cap=photon_cap, vrl_cap=max(target_vrls, 8)),
+        static_argnames=('meta',))
+    raw = shoot_fn(scene, meta, key)
 
     # keep radii as device scalars: host pulls are expensive on remote TPUs
     sr = scene_radius_of(scene)
@@ -81,15 +87,17 @@ def preprocess(scene, meta, key, vp_all_scatters: bool = False):
     r_volume = meta.iprop('volume_lookup_radius_relative', 0.005) * sr
     # vp grid cell must cover the jittered query radius (<= 1.25 r_volume)
     maps = lighttrace.build_maps(
-        scene, meta, deps, n_paths, r_global, r_caustic, 1.25 * r_volume,
-        vrl_cap=max(target_vrls, 8),
-        photon_cap=max(int(meta.iprop('global_photons', 250000)),
-                       target_vp))
+        scene, meta, raw, r_global, r_caustic, 1.25 * r_volume)
     if bool(meta.iprop('long_vrl', False)):
         maps = jax.jit(_lengthen_vrls)(scene, maps)
     dice = int(meta.iprop('dice_vrl', 1))
     if dice > 1:
         maps = jax.jit(partial(_dice_vrls, dice=dice))(scene, maps)
+    if bool(meta.iprop('use_light_cut', True)):
+        n_cl = int(meta.iprop('vrl_clusters', 512))
+        clusters = jax.jit(partial(build_vrl_clusters, n_clusters=n_cl))(
+            scene, maps)
+        maps = maps._replace(clusters=clusters)
     return maps
 
 
@@ -235,6 +243,128 @@ def vrl_contrib(scene, meta, maps, seg_o, seg_d, seg_len, cam_medium,
     return jnp.where(act_tr[:, None], contrib, 0.0), sampler
 
 
+class VRLClusters(NamedTuple):
+    """TPU-native replacement for the reference's VRL lightcut
+    (vrl_lightcut.h). Instead of a binary tree refined per-query with a
+    priority queue (pointer-chasing-hostile), VRLs are Morton-sorted by
+    midpoint and chunked into K equal-count spatial clusters; a query
+    importance-samples a cluster ~ flux / centroid-distance^2 (the role
+    of getClusterUpperBound, vrl_lightcut.h:429-512), then a member
+    within the chosen cluster with EXACT per-member flux/distance^2
+    weights (M is small, so the (N, M) sweep is cheap). Dividing by the
+    exact discrete pdf keeps the estimator unbiased. Cost per draw is
+    O(K + M) per lane instead of the dense-RIS O(V), with near-RIS
+    variance."""
+    member: jnp.ndarray    # (K, M) int32 VRL indices (V = OOB pad)
+    centroid: jnp.ndarray  # (K, 3) flux-weighted member midpoint
+    radius2: jnp.ndarray   # (K,) squared cluster radius (softening)
+    lum: jnp.ndarray       # (K,) total member flux luminance
+    mid: jnp.ndarray       # (K, M, 3) member VRL midpoints
+    mlum: jnp.ndarray      # (K, M) member flux luminance (0 = invalid/pad)
+
+
+_LUM = jnp.asarray([0.2126, 0.7152, 0.0722])
+
+
+def _morton3(q):
+    """Interleave 10-bit coords -> 30-bit Morton code."""
+    def spread(x):
+        x = x & 0x3ff
+        x = (x | (x << 16)) & 0x30000ff
+        x = (x | (x << 8)) & 0x300f00f
+        x = (x | (x << 4)) & 0x30c30c3
+        x = (x | (x << 2)) & 0x9249249
+        return x
+    return spread(q[:, 0]) | (spread(q[:, 1]) << 1) | (spread(q[:, 2]) << 2)
+
+
+def build_vrl_clusters(scene, maps, n_clusters: int) -> VRLClusters:
+    """Morton-sort VRL midpoints, chunk into K equal-count clusters, and
+    precompute per-cluster AABB + flux luminance + member CDF (the analog
+    of buildLightTree, vrl_lightcut.h:515-627, as a sort instead of an
+    agglomerative build)."""
+    V = maps.vrl_o.shape[0]
+    K = int(max(1, min(n_clusters, max(V // 4, 1))))
+    M = -(-V // K)
+    mid = maps.vrl_o + maps.vrl_d * (0.5 * maps.vrl_len)[:, None]
+    ext = jnp.maximum(scene.bbox_hi - scene.bbox_lo, 1e-9)
+    qm = jnp.clip(((mid - scene.bbox_lo) / ext * 1023.0).astype(jnp.int32),
+                  0, 1023)
+    code = jnp.where(maps.vrl_valid, _morton3(qm), jnp.int32(0x7fffffff))
+    order = jnp.argsort(code).astype(jnp.int32)
+    member = jnp.concatenate(
+        [order, jnp.full((K * M - V,), V, jnp.int32)]).reshape(K, M)
+    mi = jnp.minimum(member, V - 1)
+    mvalid = (member < V) & maps.vrl_valid[mi]
+
+    lum_m = jnp.where(mvalid, jnp.sum(maps.vrl_flux[mi] * _LUM, -1)
+                      * jnp.maximum(maps.vrl_len[mi], 1e-6), 0.0)
+    lum = lum_m.sum(axis=1)
+
+    mid_m = maps.vrl_o[mi] + maps.vrl_d[mi] \
+        * (0.5 * maps.vrl_len[mi])[..., None]               # (K, M, 3)
+    mid_m = jnp.where(mvalid[..., None], mid_m, 0.0)
+    centroid = jnp.sum(mid_m * lum_m[..., None], axis=1) \
+        * m.safe_rcp(lum)[:, None]
+    r2 = jnp.sum(jnp.where(mvalid, m.squared_norm(
+        mid_m - centroid[:, None, :]) * lum_m, 0.0), axis=1) \
+        * m.safe_rcp(lum)
+    return VRLClusters(member=member, centroid=centroid, radius2=r2,
+                       lum=lum, mid=mid_m, mlum=lum_m)
+
+
+def _seg_point_dist2(seg_o, seg_d, seg_len, p):
+    """Squared distance from camera segments (N,3)+(N,) to points
+    (N, K, 3) -> (N, K)."""
+    rel = p - seg_o[:, None, :]
+    t = jnp.clip(jnp.sum(rel * seg_d[:, None, :], -1), 0.0,
+                 seg_len[:, None])
+    return m.squared_norm(rel - t[..., None] * seg_d[:, None, :])
+
+
+def _cluster_weights(clusters: VRLClusters, seg_o, seg_d, seg_len):
+    """(N, K) cluster selection weights: flux luminance over squared
+    segment-to-centroid distance, softened by the cluster radius (the
+    importance role of getClusterUpperBound, vrl_lightcut.h:441-456; the
+    Tr and phase bounds are constants for homogeneous/iso media and
+    cancel in the normalized pdf)."""
+    d2 = _seg_point_dist2(seg_o, seg_d, seg_len,
+                          clusters.centroid[None, :, :])
+    return clusters.lum[None, :] / (d2 + clusters.radius2[None, :] + 1e-4)
+
+
+def sample_cluster_vrl(clusters: VRLClusters, w, w_cdf, seg_o, seg_d,
+                       seg_len, u_c, u_m, V: int):
+    """Draw (cluster, member) per lane: cluster from the precomputed
+    (N, K) weights, member with exact per-member flux/dist^2 weights over
+    the chosen cluster's M members. Returns (vrl_index, inv_pdf, ok)."""
+    N, K = w.shape
+    # cluster pick: count of cdf entries below u (vectorized searchsorted)
+    u = u_c[:, None] * w_cdf[:, -1:]
+    c = jnp.sum((w_cdf < u).astype(jnp.int32), axis=1)
+    c = jnp.minimum(c, K - 1)
+    w_c = jnp.take_along_axis(w, c[:, None], 1)[:, 0]
+    w_tot = w_cdf[:, -1]
+    p_c = w_c * m.safe_rcp(w_tot)
+    # exact member weights within the chosen cluster (same softened 1/d^2
+    # as the dense-RIS metric, _vrl_ris_weights)
+    mid = clusters.mid[c]                                   # (N, M, 3)
+    mlum = clusters.mlum[c]                                 # (N, M)
+    d2 = _seg_point_dist2(seg_o, seg_d, seg_len, mid)
+    wm = mlum / (d2 + 1e-3 * (1.0 + d2))
+    wm_cdf = jnp.cumsum(wm, axis=1)
+    wm_tot = wm_cdf[:, -1]
+    um = u_m[:, None] * wm_tot[:, None]
+    j = jnp.sum((wm_cdf < um).astype(jnp.int32), axis=1)
+    j = jnp.minimum(j, wm.shape[1] - 1)
+    p_m = jnp.take_along_axis(wm, j[:, None], 1)[:, 0] \
+        * m.safe_rcp(wm_tot)
+    vi = clusters.member[c, j]
+    ok = (vi < V) & (p_c > 0) & (p_m > 0) & (w_tot > 0) & (wm_tot > 0)
+    inv_pdf = m.safe_rcp(p_c * p_m)
+    return jnp.minimum(vi, V - 1), inv_pdf, ok
+
+
 VRL_RIS_CHUNK = 512
 
 
@@ -263,18 +393,40 @@ def _vrl_ris_weights(maps, seg_o, seg_d, seg_len, sl):
 
 def query_vrls(scene, meta, maps, seg_o, seg_d, seg_len, cam_medium, channel,
                sampler, active, samples_per_query: int,
-               use_ris: bool = True):
+               strategy: str = 'cluster'):
     """VRL query: ``samples_per_query`` draws, each evaluated with the full
-    Kulla sampling + transmittances. Selection is either uniform (the
-    reference's no-acceleration default) or two-pass resampled importance
-    over ALL VRLs (dense (N, V) weight sweeps — wavefront-regular, the
-    role the lightcut tree plays in the reference)."""
+    Kulla sampling + transmittances. Selection strategies:
+      * 'uniform' — the reference's no-acceleration default
+        (ENoVRLAcceleration, vrl_map.h:133-211)
+      * 'cluster' — Morton cluster-then-member importance sampling, the
+        lightcut analog (vrl_lightcut.h); DEFAULT, like the thesis's
+        headline configs (use_light_cut=true)
+      * 'ris' — dense two-pass resampled importance over ALL VRLs
+        ((N, V) sweeps; highest quality, ~2.5x cost)"""
     N = seg_o.shape[0]
     V = maps.vrl_o.shape[0]
     count = jnp.maximum(maps.vrl_count, 1)
     acc = jnp.zeros((N, 3))
 
-    if not use_ris or V < 64:
+    if strategy == 'cluster' and maps.clusters is not None and V >= 64:
+        clusters: VRLClusters = maps.clusters
+        w = _cluster_weights(clusters, seg_o, seg_d, seg_len)
+        w_cdf = jnp.cumsum(w, axis=1)
+        for _ in range(samples_per_query):
+            u_c, sampler = sampler.next_1d()
+            u_m, sampler = sampler.next_1d()
+            u1, sampler = sampler.next_1d()
+            u2, sampler = sampler.next_1d()
+            vi, inv_pdf, ok = sample_cluster_vrl(clusters, w, w_cdf,
+                                                 seg_o, seg_d, seg_len,
+                                                 u_c, u_m, V)
+            c, sampler = vrl_contrib(scene, meta, maps, seg_o, seg_d,
+                                     seg_len, cam_medium, vi, u1, u2,
+                                     channel, sampler, active & ok)
+            acc = acc + c * jnp.where(ok, inv_pdf, 0.0)[:, None]
+        return acc * (maps.vrl_scale / samples_per_query), sampler
+
+    if strategy != 'ris' or V < 64:
         for _ in range(samples_per_query):
             u_sel, sampler = sampler.next_1d()
             u1, sampler = sampler.next_1d()
@@ -366,19 +518,27 @@ def make_sample(use_vrls: bool):
         N = ray.o.shape[0]
         if active is None:
             active = jnp.ones((N,), bool)
-        max_depth = min(int(meta.iprop('max_depth', 512)), 16)
+        # camera depth is config-driven; iterations also cover null-BSDF
+        # pass-throughs that don't advance depth, hence the +16 slack.
+        # 'max_cam_iters' overrides for pathological scenes.
+        max_depth = int(meta.iprop('max_depth', 512))
+        max_iters = int(meta.iprop('max_cam_iters',
+                                   min(max_depth + 16, 64)))
         spq = int(meta.iprop('samples_per_query', 2))
         use_direct = bool(meta.iprop('use_direct_illum', True)) or not use_vrls
         use_bre = bool(meta.iprop('use_bre', False))
-        # RIS selection (dense importance resampling) is available as the
-        # lightcut-analog but defaults OFF: on the validation scenes the
-        # per-sample noise is dominated by Kulla sampling + transmittance,
-        # not VRL selection, and the two dense (N, V) passes cost ~2.5x.
-        # rr_vrl (EDistanceRoulette, vrl_map.h:133-211) culls VRL
-        # evaluations by squared segment distance; masked lanes save no
-        # work on a wavefront, so its TPU analog is the RIS selection
-        # driven by the same 1/d^2 metric.
-        use_ris = bool(meta.iprop('vrl_ris', meta.iprop('rr_vrl', False)))
+        # VRL selection strategy. 'cluster' (the lightcut analog) is ON by
+        # default, matching the thesis headline configs (use_light_cut=true,
+        # cbox-nonlinear-homo-vrl.xml:13). 'ris' (dense resampled
+        # importance over all VRLs) is the opt-in high-quality path; it is
+        # also the TPU analog of rr_vrl / EDistanceRoulette
+        # (vrl_map.h:133-211) since both cull by squared segment distance.
+        if bool(meta.iprop('vrl_ris', meta.iprop('rr_vrl', False))):
+            strategy = 'ris'
+        elif bool(meta.iprop('use_light_cut', True)):
+            strategy = 'cluster'
+        else:
+            strategy = 'uniform'
         nl_cam = bool(meta.iprop('use_non_linear_camera', True)) \
             and bool(meta.iprop('use_non_linear', True)) \
             and MEDIUM_TYPES['nonlinear'] in meta.medium_types
@@ -402,7 +562,7 @@ def make_sample(use_vrls: bool):
             it=jnp.int32(0))
 
         def cond(st):
-            return jnp.any(st.active) & (st.it < MAX_CAM_ITERS)
+            return jnp.any(st.active) & (st.it < max_iters)
 
         def body(st: VRLCamState):
             smp = st.sampler
@@ -411,6 +571,7 @@ def make_sample(use_vrls: bool):
             active = st.active & (st.depth < max_depth)
 
             si = isect.ray_intersect(scene, st.ray)
+            smp = smp.count_rays(active)
             in_medium = active & (st.medium_idx >= 0) & si.valid
 
             # ---- medium leg: bend, gather photons, query VRLs -------------
@@ -419,6 +580,8 @@ def make_sample(use_vrls: bool):
                     scene, meta, Ray(st.ray.o, st.ray.d, st.ray.mint,
                                      jnp.full((N,), jnp.inf)),
                     st.medium_idx, in_medium, max_bends, stop_at_scene=True)
+                # each bent segment cost one scene intersect in the marcher
+                smp = smp.count_rays(jnp.where(in_medium, bent.count, 0))
                 bent_hit = in_medium & si_b.valid
                 si = jax.tree_util.tree_map(
                     lambda new, old: jnp.where(
@@ -497,7 +660,7 @@ def make_sample(use_vrls: bool):
                         scene, meta, maps, bent.seg_o[:, s_i],
                         bent.seg_d[:, s_i], bent.seg_len[:, s_i],
                         st.medium_idx, st.channel, smp, seg_ok, spq,
-                        use_ris=use_ris)
+                        strategy=strategy)
                     vrl_acc = vrl_acc + jnp.where(seg_ok[:, None],
                                                   seg_tr * q, 0.0)
                     seg_tr = seg_tr * medium_mod.homogeneous_transmittance(

@@ -60,7 +60,8 @@ def make_sharded_volume_estimate(meta, mesh: Mesh, axis: str = 'mp'):
         vrl_o=P(axis, None), vrl_d=P(axis, None), vrl_len=P(axis),
         vrl_flux=P(axis, None), vrl_medium=P(axis), vrl_depth=P(axis),
         vrl_direct=P(axis), vrl_valid=P(axis), vrl_scale=P(),
-        vrl_count=P())
+        vrl_count=P(), sp_lost=P(), vp_lost=P(), vrl_lost=P(),
+        trunc_paths=P())
 
     def body(scene, maps_local: PhotonMaps, x, wo, medium_idx, active,
              radius):

@@ -43,7 +43,9 @@ def render_pass(scene, meta, key, integrator: Optional[str] = None,
     # camera wavefront is pixel-ordered: dense shifted-add splat (no scatter)
     jitter = pos - jnp.floor(pos)
     image = film_mod.splat_pixel_ordered(meta.film, jitter, L, image)
-    return image
+    # sampler.rays = MEASURED rays traced this pass (live lanes at every
+    # intersection site incl. shadow/walk rays) — the honest bench metric
+    return image, sampler.rays
 
 
 def preprocess(scene, meta, seed: int = 0, integrator: Optional[str] = None):
@@ -79,16 +81,21 @@ def _render_band(scene, meta, key, y0, band_h: int,
     sampler = Sampler.make(jax.random.fold_in(samp_key, y0), N)
     L, valid, sampler = integ(scene, meta, sampler, ray, aux=aux)
     L = jnp.where(jnp.isfinite(L), L, 0.0) * sensor_weight
-    return (L * 1.0).reshape(band_h, W, 3), jitter.reshape(band_h, W, 2)
+    return (L * 1.0).reshape(band_h, W, 3), jitter.reshape(band_h, W, 2), \
+        sampler.rays
 
 
 def render(scene, meta, seed: int = 0, spp: Optional[int] = None,
            integrator: Optional[str] = None, verbose: bool = False,
-           aux=None, max_band_rays: Optional[int] = None):
+           aux=None, max_band_rays: Optional[int] = None,
+           ray_stats: Optional[list] = None):
     """Full render: preprocess (if needed) + spp passes -> (H, W, 3).
 
     Two-pass integrators on the (remote) TPU render in row bands so no
-    single dispatch runs for minutes (worker watchdog safety)."""
+    single dispatch runs for minutes (worker watchdog safety).
+    If ``ray_stats`` is a list, the per-pass measured ray-count device
+    scalars are appended to it (pull them AFTER the render: device->host
+    transfers are expensive on remote TPU links)."""
     spp = spp or meta.spp
     key = jax.random.PRNGKey(seed)
     if aux is None:
@@ -109,19 +116,23 @@ def render(scene, meta, seed: int = 0, spp: Optional[int] = None,
             rows = []
             for y0 in range(0, H, band_h):
                 bh = min(band_h, H - y0)
-                L, jit2 = _render_band(scene, meta,
-                                       jax.random.fold_in(kp, y0),
-                                       jnp.uint32(y0), bh, name, aux,
-                                       jnp.uint32(p))
+                L, jit2, nrays = _render_band(scene, meta,
+                                              jax.random.fold_in(kp, y0),
+                                              jnp.uint32(y0), bh, name, aux,
+                                              jnp.uint32(p))
                 rows.append((L, jit2))
+                if ray_stats is not None:
+                    ray_stats.append(nrays)
             Lfull = jnp.concatenate([r[0] for r in rows], axis=0)
             jfull = jnp.concatenate([r[1] for r in rows], axis=0)
             img = film_mod.new_image(meta.film)
             img = film_mod.splat_pixel_ordered(
                 meta.film, jfull.reshape(-1, 2), Lfull.reshape(-1, 3), img)
         else:
-            img = render_pass(scene, meta, kp, integrator, aux,
-                              jnp.uint32(p))
+            img, nrays = render_pass(scene, meta, kp, integrator, aux,
+                                     jnp.uint32(p))
+            if ray_stats is not None:
+                ray_stats.append(nrays)
         acc = img if acc is None else acc + img
         if verbose and (p == 0 or (p + 1) % 16 == 0):
             acc.block_until_ready()

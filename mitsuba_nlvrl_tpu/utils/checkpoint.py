@@ -62,8 +62,8 @@ def render_with_checkpoints(scene, meta, seed: int = 0, spp=None,
     if aux is None:
         aux = preprocess(scene, meta, seed, integrator)
     for p in range(start, spp):
-        img = render_pass(scene, meta, jax.random.fold_in(key, p),
-                          integrator, aux, jnp.uint32(p))
+        img, _ = render_pass(scene, meta, jax.random.fold_in(key, p),
+                             integrator, aux, jnp.uint32(p))
         acc = img if acc is None else acc + img
         if ckpt_path and ((p + 1) % ckpt_every == 0 or p + 1 == spp):
             save_render_state(ckpt_path, np.asarray(acc), p + 1, seed)

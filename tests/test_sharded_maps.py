@@ -18,12 +18,12 @@ def test_sharded_volume_estimate_matches_single():
     med = {'type': 'homogeneous', 'sigma_t': 0.4, 'albedo': 0.9}
     desc = cornell_box(spp=1, res=8, integrator={'type': 'vrl'}, medium=med)
     scene, meta = build_scene(desc)
-    deps = lighttrace.shoot(scene, meta, jax.random.PRNGKey(0),
-                            n_paths=1024, max_depth=6, min_vrl_len=0.0,
-                            vp_all_scatters=True)
+    raw = lighttrace.shoot(scene, meta, jax.random.PRNGKey(0),
+                           n_paths=1024, max_depth=6, min_vrl_len=0.0,
+                           vp_all_scatters=True, sp_cap=4096, vp_cap=4096,
+                           vrl_cap=1024)
     r = 0.12
-    maps = lighttrace.build_maps(scene, meta, deps, 1024, 0.2, 0.1, r,
-                                 photon_cap=4096, vrl_cap=1024)
+    maps = lighttrace.build_maps(scene, meta, raw, 0.2, 0.1, r)
 
     # query points inside the medium
     key = jax.random.PRNGKey(3)
