@@ -107,24 +107,42 @@ def pack_params(props: dict) -> Tuple[int, int, list]:
     if t == 'null':
         return BSDF_TYPES[t], F_DELTA | F_NULL | F_TRANSMISSION, p
     if t in ('polarizer', 'retarder', 'circular'):
-        # polarization optical elements: the reference's RGB (unpolarized)
-        # variant — the one the thesis builds — reduces them to null
-        # pass-through attenuators (polarizer.cpp:130, retarder.cpp:116,
-        # circular.cpp:110): weight 0.5*T / T / 0.5*T respectively.
+        # polarization optical elements. In unpolarized (RGB) transport the
+        # reference reduces them to null pass-through attenuators
+        # (polarizer.cpp:130, retarder.cpp:116, circular.cpp:110): weight
+        # 0.5*T / T / 0.5*T. Slot 0:3 keeps that reduction; the extra slots
+        # feed the polarized transport layer (bsdf/polarized.py):
+        #   p[3] = element rotation theta [rad] (polarizer.cpp:100)
+        #   p[4] = retarder phase delta [rad] / circular handedness (+1/-1)
+        #   p[5:8] = raw transmittance
+        import math as _math
         fac = 1.0 if t == 'retarder' else 0.5
-        p[0:3] = [fac * c for c in rgb('transmittance', 1.0)]
+        tr_rgb = rgb('transmittance', 1.0)
+        p[0:3] = [fac * c for c in tr_rgb]
+        p[3] = float(props.get('theta', 0.0)) * _math.pi / 180.0
+        if t == 'retarder':
+            p[4] = float(props.get('delta', 90.0)) * _math.pi / 180.0
+        elif t == 'circular':
+            p[4] = -1.0 if props.get('left_handed', False) else 1.0
+        p[5:8] = tr_rgb
         return BSDF_TYPES[t], F_DELTA | F_NULL | F_TRANSMISSION, p
     if t in ('plastic', 'roughplastic', 'pplastic'):
-        # pplastic (src/bsdfs/pplastic.cpp) is polarized plastic; in the
-        # unpolarized variant its lobes reduce to rough plastic
+        # pplastic (src/bsdfs/pplastic.cpp) is the polarized plastic: rough
+        # specular reflection + refract-scatter-refract diffuse, its own
+        # type so the polarized layer can build its Mueller lobes
         p[0:3] = rgb('diffuse_reflectance', 0.5)
         p[3] = float(props.get('int_ior', 1.49))
         p[4] = float(props.get('ext_ior', 1.000277))
         p[5] = 1.0 if props.get('nonlinear', False) else 0.0
         p[6:9] = rgb('specular_reflectance', 1.0)
-        p[9] = float(props.get('alpha', 0.1))
+        p[9] = float(props.get('alpha', 0.1 if t != 'pplastic' else 0.06))
         if t == 'pplastic':
-            t = 'roughplastic'
+            # specular sampling weight = s_mean / (d_mean + s_mean)
+            # (pplastic.cpp:392)
+            d_mean = sum(p[0:3]) / 3.0
+            s_mean = sum(p[6:9]) / 3.0
+            p[12] = s_mean / max(d_mean + s_mean, 1e-6)
+            return BSDF_TYPES[t], F_SMOOTH, p
         flags = F_SMOOTH | (F_DELTA if t == 'plastic' else 0)  # rough: pure smooth
         return BSDF_TYPES[t], flags, p
     raise NotImplementedError(f"bsdf type {t}")
@@ -458,12 +476,69 @@ def _roughplastic_sample(P, wi, u1, u2, mode):
     return bs, weight
 
 
+def _pplastic_eval(P, wi, wo):
+    """Polarized-plastic unpolarized arm (pplastic.cpp:303-332): GGX
+    specular reflection + Fresnel-attenuated Lambertian (refract in /
+    subsurface scatter / refract out, no internal-scattering series)."""
+    cos_i, cos_o = fr.cos_theta(wi), fr.cos_theta(wo)
+    act = (cos_i > 0) & (cos_o > 0)
+    eta = P[:, 3] / P[:, 4]
+    ax = ay = P[:, 9]
+    h = m.normalize(wi + wo)
+    D = mf.ggx_d(h, ax, ay)
+    G = mf.smith_g1(wi, h, ax, ay) * mf.smith_g1(wo, h, ax, ay)
+    Fh, _, _, _ = fresnel_dielectric(m.dot(wi, h), eta)
+    spec = P[:, 6:9] * (Fh * D * G
+                        / (4.0 * jnp.maximum(cos_i, 1e-9)))[:, None]
+    Fi, _, _, _ = fresnel_dielectric(cos_i, eta)
+    Fo, _, _, _ = fresnel_dielectric(cos_o, eta)
+    diff = P[:, 0:3] * ((1.0 - Fo) * (1.0 - Fi)
+                        * m.InvPi * cos_o)[:, None]
+    return jnp.where(act[:, None], spec + diff, 0.0)
+
+
+def _pplastic_pdf(P, wi, wo):
+    """Mixture pdf with the static specular sampling weight
+    (pplastic.cpp:345-368)."""
+    cos_i, cos_o = fr.cos_theta(wi), fr.cos_theta(wo)
+    act = (cos_i > 0) & (cos_o > 0)
+    ax = ay = P[:, 9]
+    prob_spec = P[:, 12]
+    h = m.normalize(wi + wo)
+    p_spec = mf.vndf_pdf(wi, h, ax, ay) \
+        / (4.0 * jnp.maximum(jnp.abs(m.dot(wo, h)), 1e-9))
+    p_spec = jnp.where((m.dot(wi, h) > 0) & (m.dot(wo, h) > 0), p_spec, 0.0)
+    p_diff = warp.square_to_cosine_hemisphere_pdf(wo)
+    return jnp.where(act, prob_spec * p_spec + (1.0 - prob_spec) * p_diff,
+                     0.0)
+
+
+def _pplastic_sample(P, wi, u1, u2, mode):
+    cos_i = fr.cos_theta(wi)
+    ax = ay = P[:, 9]
+    prob_spec = P[:, 12]
+    sel_spec = u1 < prob_spec
+    h, _ = mf.sample_vndf(wi, u2, ax, ay)
+    wo_spec = 2.0 * m.dot(wi, h, keepdims=True) * h - wi
+    wo_diff = warp.square_to_cosine_hemisphere(u2)
+    wo = jnp.where(sel_spec[:, None], wo_spec, wo_diff)
+    pdf = _pplastic_pdf(P, wi, wo)
+    f = _pplastic_eval(P, wi, wo)
+    act = (cos_i > 0) & (fr.cos_theta(wo) > 0) & (pdf > 1e-12)
+    weight = jnp.where(act[:, None], f * m.safe_rcp(pdf)[:, None], 0.0)
+    bs = BSDFSample(wo=wo, pdf=jnp.where(act, pdf, 0.0),
+                    eta=jnp.ones_like(pdf),
+                    delta=jnp.zeros_like(act), null=jnp.zeros_like(act))
+    return bs, weight
+
+
 _EVAL = {
     BSDF_TYPES['diffuse']: _diffuse_eval,
     BSDF_TYPES['roughconductor']: _roughconductor_eval,
     BSDF_TYPES['roughdielectric']: _roughdielectric_eval,
     BSDF_TYPES['plastic']: _plastic_eval,
     BSDF_TYPES['roughplastic']: _roughplastic_eval,
+    BSDF_TYPES['pplastic']: _pplastic_eval,
 }
 _PDF = {
     BSDF_TYPES['diffuse']: _diffuse_pdf,
@@ -471,6 +546,7 @@ _PDF = {
     BSDF_TYPES['roughdielectric']: _roughdielectric_pdf,
     BSDF_TYPES['plastic']: _plastic_pdf,
     BSDF_TYPES['roughplastic']: _roughplastic_pdf,
+    BSDF_TYPES['pplastic']: _pplastic_pdf,
 }
 _SAMPLE = {
     BSDF_TYPES['diffuse']: _diffuse_sample,
@@ -485,6 +561,7 @@ _SAMPLE = {
     BSDF_TYPES['polarizer']: _attenuator_sample,
     BSDF_TYPES['retarder']: _attenuator_sample,
     BSDF_TYPES['circular']: _attenuator_sample,
+    BSDF_TYPES['pplastic']: _pplastic_sample,
 }
 
 

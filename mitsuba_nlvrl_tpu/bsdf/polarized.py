@@ -1,0 +1,254 @@
+"""Polarized BSDF layer: Mueller-matrix weights over the wavefront.
+
+TPU-native analog of the reference's ``is_polarized_v<Spectrum>`` BSDF
+arms: the scalar dispatch in ``bsdf/__init__.py`` stays the source of
+directions / pdfs / unpolarized magnitudes, and this layer upgrades the
+returned weight to a world-frame Mueller matrix ``(N, 3, 4, 4)`` whose
+(0, 0) entry equals the unpolarized RGB weight.
+
+Polarization-aware types, matching the reference exactly:
+  * dielectric        — specular R/T Mueller (dielectric.cpp:250-287)
+  * conductor         — complex-IOR specular reflection (conductor.cpp:242-264)
+  * roughconductor    — same about the microfacet normal
+                        (roughconductor.cpp:245-264, :315-334)
+  * polarizer/retarder/circular — true optical elements with the Korger
+                        tilted-element axes (polarizer.cpp:94-127,
+                        retarder.cpp:85-118, circular.cpp:81-112)
+  * pplastic          — two-lobe Mueller eval (pplastic.cpp:232-301)
+All other types depolarize (``unpolarized<Spectrum>``), exactly like the
+reference (diffuse.cpp:103, roughdielectric.cpp:309, thindielectric.cpp:149).
+
+Deviation (documented): null/mask pass-through lanes keep polarization
+(identity Mueller) instead of the reference's depolarizer (null.cpp:56) —
+straight-through transmission does not physically depolarize, and this
+keeps polarized volpath null-walks meaningful. Twosided backface hits of
+aware types reuse the mirrored local frame of the scalar dispatch; the
+handedness flip of S3 there is accepted (twosided conductors viewed from
+behind).
+
+Mueller convention (mueller.h:247): a matrix maps Stokes vectors defined
+in ``stokes_basis(in_forward)`` to ``stokes_basis(out_forward)`` where the
+forward directions point along the propagation of light. In radiance
+transport light arrives along ``-wo`` and leaves along ``+si.wi``.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..core import math as m
+from ..core import frame as fr
+from ..core import microfacet as mf
+from ..core import mueller as mu
+from ..core.fresnel import fresnel_dielectric
+from ..scene.types import BSDF_TYPES, F_TWOSIDED
+from . import RADIANCE, eval as eval_unpol, pdf as pdf_unpol, \
+    sample as sample_unpol, _maybe_flip
+
+_AWARE_SCALAR = ('dielectric', 'polarizer', 'retarder', 'circular')
+_AWARE_RGB = ('conductor', 'roughconductor')
+_AWARE = _AWARE_SCALAR + _AWARE_RGB + ('pplastic',)
+
+
+def has_polarized_types(meta) -> bool:
+    """True if the scene contains any polarization-aware BSDF."""
+    return any(BSDF_TYPES[t] in meta.bsdf_types for t in _AWARE)
+
+
+def _safe_dir(v, fallback):
+    """normalize(v), falling back where v is (near-)degenerate."""
+    n = m.norm(v)
+    ok = n > 1e-6
+    safe = v / jnp.maximum(n, 1e-12)[..., None]
+    return jnp.where(ok[..., None], safe, fallback)
+
+
+def _norm00(M):
+    """Normalize a Mueller matrix by its (0,0) entry so the caller can
+    scale it with the (RGB) unpolarized weight; degenerate matrices
+    collapse to the depolarizer."""
+    m00 = M[..., 0:1, 0:1]
+    ok = m00 > 1e-12
+    Mn = jnp.where(ok, M / jnp.where(ok, m00, 1.0), 0.0)
+    return jnp.where(ok, Mn, mu.depolarizer(jnp.ones(M.shape[:-2])))
+
+
+def _rot_to_implicit(M, axis_n, wo_hat, wi_hat):
+    """Rotate a Mueller matrix whose s-axis lies perpendicular to the
+    plane of reflection about ``axis_n`` into the implicit Stokes bases of
+    -wo_hat / wi_hat (the common tail of all specular arms)."""
+    in_fwd, out_fwd = -wo_hat, wi_hat
+    in_basis = mu.stokes_basis(in_fwd)
+    out_basis = mu.stokes_basis(out_fwd)
+    s_in = _safe_dir(jnp.cross(axis_n, in_fwd), in_basis)
+    s_out = _safe_dir(jnp.cross(axis_n, out_fwd), out_basis)
+    return mu.rotate_mueller_basis(M, in_fwd, s_in, in_basis,
+                                   out_fwd, s_out, out_basis)
+
+
+def _element_mueller(P, btype, wi_loc, mode):
+    """Mueller matrix (normalized by its own M00) of the optical elements
+    polarizer/retarder/circular for the straight-through lobe."""
+    N = wi_loc.shape[0]
+    theta = P[:, 3]
+    forward = wi_loc if mode == RADIANCE else -wi_loc
+    is_pol = btype == BSDF_TYPES['polarizer']
+    is_ret = btype == BSDF_TYPES['retarder']
+    # retarder: cosine falloff of the phase with incidence (retarder.cpp:93)
+    delta = P[:, 4] * jnp.abs(fr.cos_theta(wi_loc))
+    M_pol = mu.linear_polarizer(jnp.ones((N,)))
+    M_ret = mu.linear_retarder(delta)
+    # circular: linear polarizer + quarter-wave plate at +-45 deg
+    # (circular.cpp:86-90); P[:,4] holds handedness +1 (right) / -1 (left)
+    qwp_rot = jnp.where(P[:, 4] < 0, 3.0 * jnp.pi / 4.0, jnp.pi / 4.0)
+    M_cir = mu.rotated_element(qwp_rot, mu.linear_retarder(
+        jnp.full((N,), 0.5 * jnp.pi))) @ M_pol
+    M = jnp.where(is_pol[:, None, None], M_pol,
+                  jnp.where(is_ret[:, None, None], M_ret, M_cir))
+    M = mu.rotated_element(theta, M)
+    # tilted-element effective axes (Korger et al. 2013; polarizer.cpp:116)
+    a_axis = jnp.broadcast_to(jnp.asarray([0.0, 1.0, 0.0]), forward.shape)
+    eff_a = _safe_dir(a_axis - m.dot(a_axis, forward)[:, None] * forward,
+                      mu.stokes_basis(forward))
+    eff_t = _safe_dir(jnp.cross(forward, eff_a), mu.stokes_basis(forward))
+    M = mu.rotate_mueller_basis_collinear(M, forward, eff_t,
+                                          mu.stokes_basis(forward))
+    return _norm00(M)
+
+
+def _pplastic_mueller_eval(P, wi_loc, wo_loc, mode):
+    """Full (N, 3, 4, 4) polarized pplastic eval (pplastic.cpp:232-301):
+    GGX specular reflection Mueller + refract-in / depolarized subsurface /
+    refract-out diffuse Mueller."""
+    cos_i, cos_o = fr.cos_theta(wi_loc), fr.cos_theta(wo_loc)
+    act = (cos_i > 0) & (cos_o > 0)
+    eta = P[:, 3] / P[:, 4]
+    ax = ay = P[:, 9]
+    wo_hat = wo_loc if mode == RADIANCE else wi_loc
+    wi_hat = wi_loc if mode == RADIANCE else wo_loc
+    # --- specular lobe -----------------------------------------------------
+    H = _safe_dir(wi_loc + wo_loc, jnp.asarray([0.0, 0.0, 1.0]))
+    D = mf.ggx_d(H, ax, ay)
+    G = mf.smith_g1(wi_loc, H, ax, ay) * mf.smith_g1(wo_loc, H, ax, ay)
+    F = mu.specular_reflection(m.dot(wo_hat, H), eta)
+    F = _rot_to_implicit(F, H, wo_hat, wi_hat)
+    val_spec = D * G / (4.0 * jnp.maximum(cos_i, 1e-9))
+    spec = (P[:, 6:9] * val_spec[:, None])[:, :, None, None] \
+        * F[:, None, :, :]
+    # --- diffuse lobe ------------------------------------------------------
+    To = mu.specular_transmission(jnp.abs(fr.cos_theta(wo_hat)), eta)
+    diff0 = mu.depolarizer(jnp.ones((wi_loc.shape[0],)))
+    # refract wi_hat to the inside; Ti transmits back out (eta reversed).
+    # In the local frame |cos_theta(refract(wi))| is just |cos_theta_t|
+    # (fresnel.h refract: z component = cos_theta_t), so the inside
+    # direction itself is not needed (pplastic.cpp:282-284).
+    n_loc = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), wi_loc.shape)
+    _, cos_t_i, _, _ = fresnel_dielectric(cos_i, eta)
+    Ti = mu.specular_transmission(jnp.abs(cos_t_i), 1.0 / eta)
+    Mdiff = Ti @ diff0 @ To
+    Mdiff = _rot_to_implicit(Mdiff, n_loc, wo_hat, wi_hat)
+    diff = (P[:, 0:3] * (m.InvPi * cos_o)[:, None])[:, :, None, None] \
+        * Mdiff[:, None, :, :]
+    out = spec + diff
+    return jnp.where(act[:, None, None, None], out, 0.0)
+
+
+def _to_world_mueller(si, M, in_fwd_local, out_fwd_local):
+    """interaction.h:275 — re-express a local-frame Mueller matrix in the
+    implicit world-frame Stokes bases. M: (N, C, 4, 4), rotations are
+    channel-independent."""
+    f = si.sh_frame
+    in_w = f.to_world(in_fwd_local)
+    out_w = f.to_world(out_fwd_local)
+    R_in = mu.rotate_stokes_basis(
+        in_w, f.to_world(mu.stokes_basis(in_fwd_local)),
+        mu.stokes_basis(in_w))
+    R_out = mu.rotate_stokes_basis(
+        out_w, f.to_world(mu.stokes_basis(out_fwd_local)),
+        mu.stokes_basis(out_w))
+    return R_out[:, None] @ M @ jnp.swapaxes(R_in, -1, -2)[:, None]
+
+
+def _polarize_weight(scene, meta, si, wo_loc, w_unpol, mode,
+                     null_lane=None, pdf_val=None):
+    """Upgrade an unpolarized RGB weight to (N, 3, 4, 4) world Mueller."""
+    btype = scene.bsdfs.type[si.bsdf_idx]
+    flags = scene.bsdfs.flags[si.bsdf_idx]
+    P = scene.bsdfs.params[si.bsdf_idx]
+    wi_loc, wo_l = _maybe_flip(flags, si.wi, wo_loc)
+    N = wi_loc.shape[0]
+    wo_hat = wo_l if mode == RADIANCE else wi_loc
+    wi_hat = wi_loc if mode == RADIANCE else wo_l
+    n_loc = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), wi_loc.shape)
+
+    # default: depolarizer (C-independent)
+    Mhat = jnp.broadcast_to(mu.depolarizer(jnp.ones((N,)))[:, None],
+                            (N, 3, 4, 4))
+    if null_lane is not None:
+        # pass-through lanes keep polarization (identity; see module doc)
+        eye = jnp.broadcast_to(jnp.eye(4), (N, 3, 4, 4))
+        Mhat = jnp.where(null_lane[:, None, None, None], eye, Mhat)
+
+    def put(sel, Mtype):
+        nonlocal Mhat
+        if Mtype.ndim == 3:
+            Mtype = jnp.broadcast_to(Mtype[:, None], (N, 3, 4, 4))
+        Mhat = jnp.where(sel[:, None, None, None], Mtype, Mhat)
+
+    types = meta.bsdf_types
+    if BSDF_TYPES['dielectric'] in types:
+        eta = P[:, 0] / P[:, 1]
+        coh = fr.cos_theta(wo_hat)
+        transmitted = fr.cos_theta(wi_loc) * fr.cos_theta(wo_l) < 0
+        R = _norm00(mu.specular_reflection(coh, eta))
+        T = _norm00(mu.specular_transmission(coh, eta))
+        Md = jnp.where(transmitted[:, None, None], T, R)
+        put(btype == BSDF_TYPES['dielectric'],
+            _rot_to_implicit(Md, n_loc, wo_hat, wi_hat))
+    if BSDF_TYPES['conductor'] in types:
+        Mc = _norm00(mu.specular_reflection_conductor(
+            fr.cos_theta(wo_hat), P[:, 0:3], P[:, 3:6]))  # (N, 3, 4, 4)
+        put(btype == BSDF_TYPES['conductor'],
+            _rot_to_implicit(Mc, n_loc[:, None], wo_hat[:, None],
+                             wi_hat[:, None]))
+    if BSDF_TYPES['roughconductor'] in types:
+        H = _safe_dir(wi_loc + wo_l, n_loc)
+        Mr = _norm00(mu.specular_reflection_conductor(
+            m.dot(wo_hat, H), P[:, 0:3], P[:, 3:6]))
+        put(btype == BSDF_TYPES['roughconductor'],
+            _rot_to_implicit(Mr, H[:, None], wo_hat[:, None],
+                             wi_hat[:, None]))
+    el_codes = [BSDF_TYPES[t] for t in ('polarizer', 'retarder', 'circular')
+                if BSDF_TYPES[t] in types]
+    if el_codes:
+        sel = jnp.zeros((N,), bool)
+        for c in el_codes:
+            sel = sel | (btype == c)
+        put(sel, _element_mueller(P, btype, wi_loc, mode))
+
+    weight = w_unpol[:, :, None, None] * Mhat
+
+    if BSDF_TYPES['pplastic'] in types:
+        # direct two-lobe Mueller eval; divided by the pdf when this is a
+        # sampling weight
+        Mpp = _pplastic_mueller_eval(P, wi_loc, wo_l, mode)
+        if pdf_val is not None:
+            Mpp = Mpp * m.safe_rcp(pdf_val)[:, None, None, None]
+        weight = jnp.where((btype == BSDF_TYPES['pplastic'])
+                           [:, None, None, None], Mpp, weight)
+
+    return _to_world_mueller(si, weight, -wo_hat, wi_hat)
+
+
+def eval_pol(scene, meta, si, wo_loc, mode=RADIANCE):
+    """Polarized f(wi, wo)*cos: (N, 3, 4, 4) world-frame Mueller whose
+    (0, 0) entries reproduce ``bsdf.eval``."""
+    f = eval_unpol(scene, meta, si, wo_loc, mode)
+    return _polarize_weight(scene, meta, si, wo_loc, f, mode)
+
+
+def sample_pol(scene, meta, si, u1, u2, mode=RADIANCE):
+    """Polarized BSDF sampling: (bs, weight Mueller (N, 3, 4, 4))."""
+    bs, w = sample_unpol(scene, meta, si, u1, u2, mode)
+    M = _polarize_weight(scene, meta, si, bs.wo, w, mode,
+                         null_lane=bs.null, pdf_val=bs.pdf)
+    return bs, M

@@ -157,6 +157,36 @@ def specular_transmission(cos_theta_i, eta):
                  0, 0, 0, c], a)
 
 
+def specular_reflection_conductor(cos_theta_i, eta, k):
+    """Mueller matrix of specular reflection off a conductor with complex
+    IOR eta + i*k (mueller.h:160 with Complex eta; elementwise — eta/k may
+    carry a trailing RGB axis that cos_theta_i lacks)."""
+    ci = jnp.asarray(cos_theta_i, jnp.float32)
+    eta = jnp.asarray(eta, jnp.float32)
+    k = jnp.asarray(k, jnp.float32)
+    if jnp.ndim(eta) > jnp.ndim(ci):
+        ci = ci[..., None]
+    ci = jnp.abs(ci)
+    eta_c = (eta + 1j * k).astype(jnp.complex64)
+    st2 = (1.0 - ci * ci).astype(jnp.complex64) / (eta_c * eta_c)
+    ct = jnp.sqrt(1.0 - st2)
+    a_s = (ci - eta_c * ct) / (ci + eta_c * ct)
+    a_p = (eta_c * ci - ct) / (eta_c * ci + ct)
+    r_s = jnp.abs(a_s) ** 2
+    r_p = jnp.abs(a_p) ** 2
+    a = 0.5 * (r_s + r_p)
+    b = 0.5 * (r_s - r_p)
+    c = jnp.sqrt(jnp.maximum(r_s * r_p, 0.0))
+    prod = a_p * jnp.conj(a_s)
+    mag = jnp.maximum(jnp.abs(prod), 1e-20)
+    cos_d = jnp.real(prod) / mag
+    sin_d = jnp.imag(prod) / mag
+    return _mat([a, b, 0, 0,
+                 b, a, 0, 0,
+                 0, 0, c * cos_d, -c * sin_d,
+                 0, 0, c * sin_d, c * cos_d], a)
+
+
 def stokes_basis(forward):
     """Reference horizontal basis vector for a Stokes frame around the
     propagation direction (mueller.h:247)."""

@@ -72,16 +72,24 @@ def sample_moment(scene, meta, sampler: Sampler, ray: Ray, active=None,
 
 def sample_stokes(scene, meta, sampler: Sampler, ray: Ray, active=None,
                   diff: bool = False, aux=None):
-    """Stokes-vector wrapper (reference src/integrators/stokes.cpp): runs
-    the nested integrator and emits one Stokes component image selected by
-    the ``component`` prop (0 = S0 radiance, 1-3 = S1/S2/S3). The RGB
-    render mode carries unpolarized radiance — matching the reference
-    compiled in its non-polarized variants (the thesis build), S0 is the
-    nested radiance and S1..S3 are zero."""
-    inner, meta2 = _nested(meta)
+    """Stokes-vector integrator (reference src/integrators/stokes.cpp):
+    runs the POLARIZED variant of the nested integrator and emits one
+    Stokes component image selected by the ``component`` prop (0 = S0
+    radiance, 1-3 = S1/S2/S3), already rotated into the sensor frame
+    (stokes.cpp:95-118). The polarized path variant exists for the ``path``
+    family; other nested integrators fall back to unpolarized transport
+    (S0 = radiance, S1..S3 = 0), like nesting them in a non-polarized
+    reference build."""
+    from . import path_polarized
+    _, meta2 = _nested(meta)
+    comp = int(meta.iprop('component', 0))
+    if meta2.integrator == 'path':
+        stokes, valid, sampler = path_polarized.sample_full(
+            scene, meta2, sampler, ray, active, diff=diff, aux=aux)
+        return stokes[:, :, comp], valid, sampler
+    inner = get_integrator(meta2.integrator)
     L, valid, sampler = inner(scene, meta2, sampler, ray, active, diff=diff,
                               aux=aux)
-    comp = int(meta.iprop('component', 0))
     if comp != 0:
         L = jnp.zeros_like(L)
     return L, valid, sampler

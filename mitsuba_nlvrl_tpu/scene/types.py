@@ -28,7 +28,7 @@ BSDF_TYPES = {
     'null': 4, 'roughconductor': 5, 'roughdielectric': 6, 'plastic': 7,
     'roughplastic': 8, 'blendbsdf': 9, 'mask': 10, 'twosided': 11,
     'normalmap': 12, 'bumpmap': 13, 'polarizer': 14, 'measured': 15,
-    'retarder': 16, 'circular': 17,
+    'retarder': 16, 'circular': 17, 'pplastic': 18,
 }
 
 EMITTER_TYPES = {

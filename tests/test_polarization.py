@@ -1,15 +1,46 @@
-"""Polarization components: Mueller calculus (core/mueller.py), the
-polarizer/retarder/circular optical-element BSDFs (unpolarized reduction),
-the stokes wrapper integrator, and the nested-integrator prop freezing.
-References: include/mitsuba/render/mueller.h, src/bsdfs/{polarizer,
-retarder,circular}.cpp, src/integrators/stokes.cpp.
+"""Polarization: Mueller calculus (core/mueller.py), the true polarized
+transport path (integrators/path_polarized.py + bsdf/polarized.py), the
+optical-element BSDFs, and the stokes integrator. References:
+include/mitsuba/render/mueller.h, src/bsdfs/{polarizer,retarder,circular,
+dielectric,conductor,pplastic}.cpp, src/integrators/stokes.cpp.
 """
+import math
+
 import numpy as np
 import jax.numpy as jnp
 
-from scenes import cornell_box
+from scenes import cornell_box, sphere_scene
 from mitsuba_nlvrl_tpu import build_scene, render
 from mitsuba_nlvrl_tpu.core import mueller as mu
+from mitsuba_nlvrl_tpu.core import transform as tr
+
+
+def _stack_scene(bsdfs, comp, spp=8, max_depth=6):
+    """Camera at -z looking +z through a stack of optical-element sheets
+    (listed near-camera first), constant environment behind."""
+    shapes = [{'type': 'rectangle', 'bsdf': b,
+               'to_world': tr.translate((0, 0, -1 + 2 * i)) @ tr.scale(4)}
+              for i, b in enumerate(bsdfs)]
+    return {
+        'integrator': {'type': 'stokes', 'component': comp,
+                       'integrator': {'type': 'path',
+                                      'max_depth': max_depth}},
+        'sensor': {'type': 'perspective', 'fov': 10.0,
+                   'to_world': tr.look_at((0, 0, -3), (0, 0, 0), (0, 1, 0)),
+                   'film': {'width': 6, 'height': 6,
+                            'rfilter': {'type': 'box'}},
+                   'sampler': {'type': 'independent', 'sample_count': spp}},
+        'shapes': shapes,
+        'emitters': [{'type': 'constant', 'radiance': (1.0, 1.0, 1.0)}],
+    }
+
+
+def _stokes_of(bsdfs, spp=8):
+    out = []
+    for comp in range(4):
+        s, m = build_scene(_stack_scene(bsdfs, comp, spp=spp))
+        out.append(float(np.asarray(render(s, m, spp=spp, seed=1)).mean()))
+    return out
 
 
 def test_polarizer_malus_law():
@@ -100,7 +131,8 @@ def test_stokes_wrapper_and_nested_props():
     d['integrator']['component'] = 2
     s2, m2 = build_scene(d)
     img2 = np.asarray(render(s2, m2, spp=4, seed=2))
-    assert np.abs(img2).max() == 0.0  # unpolarized: S1..S3 vanish
+    # diffuse-only scene: every bounce depolarizes, S1..S3 vanish
+    assert np.abs(img2).max() == 0.0
 
     # regression: nested integrator dicts must freeze into hashable meta
     d2 = cornell_box(spp=4, res=12)
@@ -111,10 +143,111 @@ def test_stokes_wrapper_and_nested_props():
     assert np.isfinite(mom).all() and mom.mean() > 0
 
 
-def test_pplastic_renders_as_rough_plastic():
+def test_pplastic_renders():
     d = cornell_box(spp=4, res=12)
     d['shapes'][0]['bsdf'] = {'type': 'pplastic',
                               'diffuse_reflectance': 0.4, 'alpha': 0.3}
     s, m = build_scene(d)
     img = np.asarray(render(s, m, spp=4, seed=2))
     assert np.isfinite(img).all() and img.mean() > 0
+
+
+# --- rendered polarized transport (VERDICT round-1 item 2) ------------------
+
+def test_malus_law_rendered():
+    """Two polarizer sheets in front of a constant emitter: transmitted S0
+    follows 0.5*cos^2(dtheta) (Malus), crossed polarizers extinguish."""
+    for t2 in (0.0, 30.0, 60.0, 90.0):
+        s, m = build_scene(_stack_scene(
+            [{'type': 'polarizer', 'theta': 0.0},
+             {'type': 'polarizer', 'theta': t2}], comp=0))
+        img = np.asarray(render(s, m, spp=8, seed=1))
+        expect = 0.5 * math.cos(math.radians(t2)) ** 2
+        assert np.allclose(img.mean(), expect, atol=1e-4), t2
+
+
+def test_polarizer_fully_polarizes_rendered():
+    st = _stokes_of([{'type': 'polarizer', 'theta': 0.0}])
+    assert abs(st[0] - 0.5) < 1e-4
+    assert abs(st[1] / st[0] - 1.0) < 1e-3     # DOP = 1 along +S1
+    assert abs(st[2]) < 1e-4 and abs(st[3]) < 1e-4
+
+
+def test_qwp_and_circular_make_s3():
+    # linear polarizer (far) + quarter-wave plate at 45 deg (near camera)
+    st = _stokes_of([{'type': 'retarder', 'theta': 45.0, 'delta': 90.0},
+                     {'type': 'polarizer', 'theta': 0.0}])
+    assert abs(st[0] - 0.5) < 1e-4
+    assert abs(st[3] - 0.5) < 1e-3             # right-circular
+    # circular polarizer: S3 = +-S0 by handedness (circular.cpp:88)
+    st_r = _stokes_of([{'type': 'circular'}])
+    st_l = _stokes_of([{'type': 'circular', 'left_handed': True}])
+    assert abs(st_r[3] - 0.5) < 1e-3 and abs(st_l[3] + 0.5) < 1e-3
+
+
+def test_brewster_reflection_fully_polarized():
+    """Glass plate viewed at the Brewster angle over a black backing: the
+    reflected lobe is fully horizontally polarized (dielectric.cpp:250-287,
+    r_p = 0 at atan(eta))."""
+    eta = 1.5
+    brew = math.degrees(math.atan(eta))
+    dist = 3.0
+    cy = dist * math.cos(math.radians(brew))
+    cz = -dist * math.sin(math.radians(brew))
+    vals = []
+    for comp in (0, 1):
+        d = {
+            'integrator': {'type': 'stokes', 'component': comp,
+                           'integrator': {'type': 'path', 'max_depth': 3}},
+            'sensor': {'type': 'perspective', 'fov': 2.0,
+                       'to_world': tr.look_at((0, cy, cz), (0, 0, 0),
+                                              (0, 1, 0)),
+                       'film': {'width': 6, 'height': 6,
+                                'rfilter': {'type': 'box'}},
+                       'sampler': {'type': 'independent',
+                                   'sample_count': 16}},
+            'shapes': [
+                {'type': 'rectangle',
+                 'bsdf': {'type': 'dielectric', 'int_ior': eta,
+                          'ext_ior': 1.0},
+                 'to_world': tr.rotate((1, 0, 0), -90) @ tr.scale(2)},
+                {'type': 'rectangle',
+                 'bsdf': {'type': 'diffuse', 'reflectance': 0.0},
+                 'to_world': tr.translate((0, -0.05, 0))
+                 @ tr.rotate((1, 0, 0), -90) @ tr.scale(2)},
+            ],
+            'emitters': [{'type': 'constant', 'radiance': (1.0, 1.0, 1.0)}],
+        }
+        s, m = build_scene(d)
+        vals.append(float(np.asarray(render(s, m, spp=16, seed=3)).mean()))
+    s0, s1 = vals
+    assert s0 > 0.05                            # the reflected lobe is there
+    assert abs(s1 / s0 - 1.0) < 5e-3            # DOP ~ 1, horizontal
+
+
+def test_polarized_s0_matches_unpolarized_on_metal():
+    """The Mueller weights' (0,0) entries reproduce the scalar dispatch, so
+    S0 of the polarized path equals the unpolarized render bit-for-bit even
+    on polarization-aware scenes (same RNG stream)."""
+    for bsdf in ({'type': 'conductor', 'eta': 0.2, 'k': 3.9},
+                 {'type': 'pplastic', 'diffuse_reflectance': 0.4,
+                  'alpha': 0.1}):
+        d = sphere_scene(spp=4, res=10, bsdf=bsdf)
+        d['integrator'] = {'type': 'stokes', 'component': 0,
+                           'integrator': {'type': 'path', 'max_depth': 4}}
+        s, m = build_scene(d)
+        s0 = np.asarray(render(s, m, spp=4, seed=1))
+        d['integrator'] = {'type': 'path', 'max_depth': 4}
+        s2, m2 = build_scene(d)
+        ref = np.asarray(render(s2, m2, spp=4, seed=1))
+        assert np.allclose(s0, ref, atol=1e-5), bsdf['type']
+
+
+def test_metal_reflection_polarizes():
+    bsdf = {'type': 'conductor', 'eta': 0.2, 'k': 3.9}
+    d = sphere_scene(spp=8, res=10, bsdf=bsdf)
+    d['integrator'] = {'type': 'stokes', 'component': 1,
+                       'integrator': {'type': 'path', 'max_depth': 4}}
+    s, m = build_scene(d)
+    s1 = np.asarray(render(s, m, spp=8, seed=1))
+    assert np.isfinite(s1).all() and np.abs(s1).max() > 1e-3
