@@ -32,6 +32,9 @@ def main(argv=None):
     ap.add_argument('--res', default=None, metavar='WxH',
                     help='override film resolution')
     ap.add_argument('--seed', type=int, default=0)
+    ap.add_argument('--spectral', action='store_true',
+                    help='hero-wavelength spectral transport (the '
+                         'reference *_spectral variant analog)')
     ap.add_argument('--png', default=None, help='also write a tonemapped PNG')
     ap.add_argument('-v', '--verbose', action='store_true')
     args = ap.parse_args(argv)
@@ -54,6 +57,8 @@ def main(argv=None):
         w, _, h = args.res.partition('x')
         desc['sensor']['film']['width'] = int(w)
         desc['sensor']['film']['height'] = int(h)
+    if args.spectral:
+        desc['spectral'] = True
     scene, meta = build_scene(desc)
     print(f'[load] {args.scene}: {meta.n_tris} tris, {meta.n_emitters} '
           f'emitters, {meta.n_media} media, integrator={meta.integrator} '

@@ -102,33 +102,78 @@ def has_envmap(meta):
     return E_ENVMAP in meta.emitter_types
 
 
-def pack_params(props: dict) -> Tuple[int, list]:
+SPEC_RGB = 0        # srgb_d65 expansion of the packed RGB (spectral mode)
+SPEC_BLACKBODY = 1  # Planck's law at spec_param = temperature
+SPEC_TABLE = 2      # tabulated SPD row spec_param in the scene spectra table
+
+
+def pack_params(props: dict) -> Tuple[int, list, tuple]:
+    """Pack an emitter to (type_code, params, spec) where ``spec`` =
+    (kind, param, scale, table_row_or_None) records the emitter's true
+    spectrum for the spectral variant (RGB transport only uses the packed
+    load-time-integrated RGB, as the reference RGB variants do)."""
     t = props['type']
     p = [0.0] * EMITTER_NPARAM
+    spec = [SPEC_RGB, 0.0, 1.0, None]
 
     def rgb(key, default):
         v = props.get(key, default)
+        if isinstance(v, dict):
+            # spectrum plugin dict: integrate to RGB for the packed params
+            # and record the true SPD for spectral transport
+            from ..core.spectrum import (spectrum_to_rgb, blackbody_rgb,
+                                         CIE_Y_NORMALIZATION)
+            from ..core import spectral as sp_mod
+            import numpy as _np
+            st = v.get('type', 'spectrum')
+            scale = float(v.get('scale', 1.0))
+            if st == 'blackbody':
+                T = float(v.get('temperature', 6500.0))
+                spec[0], spec[1], spec[2] = SPEC_BLACKBODY, T, \
+                    scale * CIE_Y_NORMALIZATION
+                return [float(x) * scale for x in blackbody_rgb(T)]
+            if st == 'd65':
+                spec[0] = SPEC_TABLE
+                spec[3] = (sp_mod.D65_HAT * scale).astype(_np.float32)
+                return [scale] * 3
+            # regular / irregular / generic tabulated spectrum
+            if st == 'regular':
+                n = len(v['values'])
+                wav = _np.linspace(float(v.get('lambda_min', 360.0)),
+                                   float(v.get('lambda_max', 830.0)), n)
+                vals = _np.asarray(v['values'], _np.float64)
+            else:
+                pairs = v.get('value', v.get('values'))
+                wav = _np.asarray([q[0] for q in pairs], _np.float64)
+                vals = _np.asarray([q[1] for q in pairs], _np.float64)
+            grid = _np.linspace(sp_mod.CIE_MIN, sp_mod.CIE_MAX,
+                                sp_mod.CIE_SAMPLES)
+            row = _np.interp(grid, wav, vals, left=0.0, right=0.0)
+            spec[0] = SPEC_TABLE
+            spec[3] = (row * scale * CIE_Y_NORMALIZATION).astype(_np.float32)
+            return [float(x) * scale
+                    for x in spectrum_to_rgb(wav, vals, bounded=False)]
         if isinstance(v, (int, float)):
             return [float(v)] * 3
         return [float(x) for x in v]
 
     if t == 'area':
         p[0:3] = rgb('radiance', 1.0)
-        return E_AREA, p
+        return E_AREA, p, tuple(spec)
     if t == 'point':
         p[0:3] = [float(x) for x in props.get('position', (0, 0, 0))]
         p[3:6] = rgb('intensity', 1.0)
-        return E_POINT, p
+        return E_POINT, p, tuple(spec)
     if t == 'constant':
         p[0:3] = rgb('radiance', 1.0)
-        return E_CONSTANT, p
+        return E_CONSTANT, p, tuple(spec)
     if t == 'directional':
         p[0:3] = [float(x) for x in props.get('direction', (0, 0, 1))]
         p[3:6] = rgb('irradiance', 1.0)
-        return E_DIRECTIONAL, p
+        return E_DIRECTIONAL, p, tuple(spec)
     if t == 'envmap':
         p[0] = float(props.get('scale', 1.0))
-        return E_ENVMAP, p
+        return E_ENVMAP, p, tuple(spec)
     if t == 'spot':
         p[0:3] = [float(x) for x in props.get('position', (0, 0, 0))]
         p[3:6] = [float(x) for x in props.get('direction', (0, 0, 1))]
@@ -138,7 +183,7 @@ def pack_params(props: dict) -> Tuple[int, list]:
         beam = float(props.get('beam_width', cutoff * 0.75))
         p[9] = float(np.cos(np.deg2rad(cutoff)))
         p[10] = float(np.cos(np.deg2rad(beam)))
-        return E_SPOT, p
+        return E_SPOT, p, tuple(spec)
     raise NotImplementedError(f"emitter type {t}")
 
 
@@ -199,6 +244,46 @@ def env_emitter_idx(scene, meta):
     etypes = scene.emitters.type
     is_const = etypes == E_CONSTANT
     return jnp.argmax(is_const)  # only meaningful if present
+
+
+def spectral_radiance(scene, rgb, e_idx, lam):
+    """Promote an RGB emitter quantity (radiance, or radiance/pdf NEE
+    weight) to spectral samples at the hero wavelengths.
+
+    Emitters declared with an RGB value use the srgb_d65 expansion
+    (src/spectra/srgb_d65.cpp). Emitters declared with a true SPD
+    (blackbody / d65 / regular / irregular) evaluate it directly
+    (src/spectra/{blackbody,regular,irregular}.cpp); achromatic factors the
+    transport folded into ``rgb`` (pdfs, MIS weights, masks) are recovered
+    as the luminance ratio against the emitter's packed radiance."""
+    from ..core import spectral as sp
+    from ..core.spectrum import luminance
+    default = sp.emitter_spectrum(rgb, lam)
+    e = jnp.maximum(e_idx, 0)
+    em = scene.emitters
+    kind = em.spec_kind[e]
+    param = em.spec_param[e]
+    scale = em.spec_scale[e]
+    # the packed radiance slot varies by emitter type
+    etype = em.type[e]
+    offs = jnp.where((etype == E_POINT) | (etype == E_DIRECTIONAL), 3,
+                     jnp.where(etype == E_SPOT, 6, 0))
+    cols = offs[:, None] + jnp.arange(3)
+    base_rgb = jnp.take_along_axis(em.params[e], cols, axis=-1)
+    ratio = luminance(rgb) / jnp.maximum(luminance(base_rgb), 1e-12)
+    bb = sp.planck(lam, jnp.maximum(param, 1.0)[:, None]) * scale[:, None]
+    # tabulated SPD rows on the regular 360-830 grid
+    row = jnp.clip(param.astype(jnp.int32), 0, em.spec_table.shape[0] - 1)
+    t = (lam - sp.CIE_MIN) * ((sp.CIE_SAMPLES - 1)
+                              / (sp.CIE_MAX - sp.CIE_MIN))
+    ok = (lam >= sp.CIE_MIN) & (lam <= sp.CIE_MAX)
+    i0 = jnp.clip(t.astype(jnp.int32), 0, sp.CIE_SAMPLES - 2)
+    w1 = t - i0
+    v0 = em.spec_table[row[:, None], i0]
+    v1 = em.spec_table[row[:, None], i0 + 1]
+    tab = jnp.where(ok, v0 * (1.0 - w1) + v1 * w1, 0.0)
+    spd = jnp.where((kind == 1)[:, None], bb, tab) * ratio[:, None]
+    return jnp.where((kind == 0)[:, None], default, spd)
 
 
 def sample_direction(scene, meta, ref_p, u_sel, u2, active

@@ -46,6 +46,11 @@ def sample(scene, meta, sampler: Sampler, ray: Ray, active=None,
     ``jax.checkpoint`` so reverse-mode AD works with bounded memory — the
     analog of the reference's enoki autodiff wavefront
     (autodiff.py:6-41) rebuilt on JAX remat."""
+    if getattr(meta, 'spectral', False):
+        # the *_spectral variant: hero-wavelength transport
+        from . import path_spectral
+        return path_spectral.sample(scene, meta, sampler, ray, active,
+                                    diff=diff, aux=aux)
     N = ray.o.shape[0]
     if active is None:
         active = jnp.ones((N,), bool)

@@ -168,6 +168,7 @@ class SceneBuilder:
         self.tex_rows: List[Tuple[int, list]] = []
         self.tex_bitmaps: List[np.ndarray] = []
         self.tex_cache: Dict[int, int] = {}
+        self.measured: List[tuple] = []   # (MeasuredData, MeasuredMeta)
 
     def _texture_index(self, props: dict) -> int:
         from .. import texture as tex_mod
@@ -230,6 +231,23 @@ class SceneBuilder:
             fl = self.bsdf_rows[rowA][1] | self.bsdf_rows[rowB][1]
             idx = len(self.bsdf_rows)
             self.bsdf_rows.append((BSDF_TYPES['blendbsdf'], fl, p))
+            self.bsdf_cache[key] = idx
+            return idx
+        if props.get('type') == 'measured':
+            # data-driven BSDF (src/bsdfs/measured.cpp): the tensor-file
+            # warps live in scene.measured; the row stores the slot index
+            from ..bsdf import measured as meas_mod
+            from .types import BSDF_TYPES, F_SMOOTH, BSDF_NPARAM
+            if '_fields' in props:       # pre-parsed tensors (tests)
+                mdata, mmeta = meas_mod.load_fields(props['_fields'])
+            else:
+                mdata, mmeta = meas_mod.load(props['filename'])
+            slot = len(self.measured)
+            self.measured.append((mdata, mmeta))
+            p = [0.0] * BSDF_NPARAM
+            p[0] = float(slot)
+            idx = len(self.bsdf_rows)
+            self.bsdf_rows.append((BSDF_TYPES['measured'], F_SMOOTH, p))
             self.bsdf_cache[key] = idx
             return idx
         # textured diffuse reflectance -> register texture, record its id
@@ -383,8 +401,18 @@ class SceneBuilder:
         emitter_rows = []       # (type, params, shape_idx)
         em_tri_idx, em_tri_cdf, em_area = [], [], []
         tri_offsets, tri_counts = [], []
+        emitter_specs = []      # (kind, param, scale) per emitter
+        spd_rows = []           # tabulated SPDs referenced by SPEC_TABLE
+        def _reg_spec(spec):
+            kind, param, sscale, table = spec
+            if table is not None:
+                param = float(len(spd_rows))
+                spd_rows.append(np.asarray(table, np.float32))
+            emitter_specs.append((kind, param, sscale))
+
         for props, shape_idx in area_emitters:
-            code, params = emitter_mod.pack_params(props)
+            code, params, espec = emitter_mod.pack_params(props)
+            _reg_spec(espec)
             start, count = shape_tri_ranges[shape_idx]
             idxs = np.arange(start, start + count, dtype=np.int32)
             if tri_perm_inv is not None:
@@ -402,7 +430,8 @@ class SceneBuilder:
             em_area.append(total)
             emitter_rows.append((code, params, shape_idx))
         for props in desc.get('emitters', []):
-            code, params = emitter_mod.pack_params(props)
+            code, params, espec = emitter_mod.pack_params(props)
+            _reg_spec(espec)
             tw = props.get('to_world')
             if tw is not None and code == EMITTER_TYPES['point']:
                 M = np.asarray(tw.m)
@@ -638,7 +667,15 @@ class SceneBuilder:
             env_row_cdf=jnp.asarray(env_row_cdf),
             env_cond_cdf=jnp.asarray(env_cond_cdf),
             env_to_world=env_to_world,
-            env_scale=jnp.float32(env_scale))
+            env_scale=jnp.float32(env_scale),
+            spec_kind=jnp.asarray(np.asarray(
+                [s[0] for s in emitter_specs], np.int32).reshape(E)),
+            spec_param=jnp.asarray(np.asarray(
+                [s[1] for s in emitter_specs], np.float32).reshape(E)),
+            spec_scale=jnp.asarray(np.asarray(
+                [s[2] for s in emitter_specs], np.float32).reshape(E)),
+            spec_table=jnp.asarray(np.stack(spd_rows) if spd_rows
+                                   else np.zeros((1, 95), np.float32)))
 
         media_t = MediumTable(
             type=jnp.asarray(med_type), phase_type=jnp.asarray(med_phase),
@@ -701,7 +738,8 @@ class SceneBuilder:
             bbox_lo=jnp.asarray(lo, jnp.float32),
             bbox_hi=jnp.asarray(hi, jnp.float32),
             bsphere_c=jnp.asarray(center, jnp.float32),
-            bsphere_r=jnp.asarray(radius, jnp.float32))
+            bsphere_r=jnp.asarray(radius, jnp.float32),
+            measured=tuple(md for md, _ in self.measured))
 
         # camera medium: if the camera origin is inside a medium-bearing
         # shape's bbox and that shape has a null/transparent boundary we
@@ -719,7 +757,9 @@ class SceneBuilder:
             integrator=integ.get('type', 'path'), integrator_props=iprops,
             has_bvh=bvh_arrays is not None,
             has_media=M_n > 0,
-            has_textures=len(self.tex_rows) > 0)
+            has_textures=len(self.tex_rows) > 0,
+            spectral=bool(self.desc.get('spectral', False)),
+            measured_meta=tuple(mm for _, mm in self.measured))
         return scene, meta
 
 

@@ -130,6 +130,11 @@ class EmitterTable(NamedTuple):
     env_cond_cdf: jnp.ndarray  # (He, We) per-row conditional CDF
     env_to_world: 'Transform'  # emitter-to-world rotation
     env_scale: jnp.ndarray     # ()
+    # spectral-variant SPDs (emitter.SPEC_* kinds; RGB transport ignores)
+    spec_kind: jnp.ndarray     # (E,) int32
+    spec_param: jnp.ndarray    # (E,) float32 — blackbody T / table row
+    spec_scale: jnp.ndarray    # (E,) float32
+    spec_table: jnp.ndarray    # (max(1, n_spd), 95) tabulated SPDs
 
 
 class MediumTable(NamedTuple):
@@ -183,6 +188,9 @@ class SceneData(NamedTuple):
     bbox_hi: jnp.ndarray     # (3,)
     bsphere_c: jnp.ndarray   # (3,)
     bsphere_r: jnp.ndarray   # ()
+    # measured-BSDF warp tables, one MeasuredData per material
+    # (bsdf/measured.py); static facts live in SceneMeta.measured_meta
+    measured: Tuple = ()
 
 
 @dataclass(frozen=True)
@@ -218,6 +226,8 @@ class SceneMeta:
     has_media: bool = False
     has_textures: bool = False
     camera_medium: int = -1    # medium the camera starts in (-1 vacuum)
+    spectral: bool = False     # hero-wavelength spectral transport variant
+    measured_meta: Tuple = ()  # per-measured-material MeasuredMeta
 
     def iprop(self, name, default=None):
         for k, v in self.integrator_props:

@@ -49,7 +49,8 @@ def _parse_floats(s: str) -> List[float]:
 
 def _parse_spectrum(value: str, within_emitter: bool, name: str):
     """Parse a <spectrum value=...>: either wavelength:value pairs or a
-    uniform value. Returns an rgb triple."""
+    uniform value. Emitter SPDs stay dicts (the spectral variant samples
+    them; RGB mode integrates at pack time); others integrate to rgb."""
     if ':' in value:
         pairs = [p for p in re.split(r'[,\s]+', value.strip()) if p]
         wav, vals = [], []
@@ -57,7 +58,9 @@ def _parse_spectrum(value: str, within_emitter: bool, name: str):
             w, v = p.split(':')
             wav.append(float(w))
             vals.append(float(v))
-        bounded = not (within_emitter or name in _UNBOUNDED)
+        if within_emitter:
+            return {'type': 'irregular', 'value': list(zip(wav, vals))}
+        bounded = name not in _UNBOUNDED
         return tuple(spectrum_to_rgb(wav, vals, bounded=bounded))
     v = float(value)
     return (v, v, v)
@@ -177,14 +180,25 @@ def _parse_object(elem, ctx: XMLContext, within_emitter=False) -> dict:
                             continue
                         w, v = line.split()[:2]
                         wav.append(float(w)); vals.append(float(v))
-                bounded = not (is_emitter or name in _UNBOUNDED)
-                props[name] = tuple(spectrum_to_rgb(wav, vals, bounded=bounded))
+                if is_emitter:
+                    # keep the SPD so the spectral variant can sample it;
+                    # emitter pack_params integrates to RGB for RGB mode
+                    props[name] = {'type': 'irregular',
+                                   'value': list(zip(wav, vals))}
+                else:
+                    bounded = name not in _UNBOUNDED
+                    props[name] = tuple(spectrum_to_rgb(wav, vals,
+                                                        bounded=bounded))
             else:
                 props[name] = _parse_spectrum(g('value'), is_emitter, name)
         elif ctag == 'blackbody':
             temp = float(g('temperature'))
             scale_v = float(g('scale', '1'))
-            props[name] = tuple(scale_v * blackbody_rgb(temp))
+            if is_emitter:
+                props[name] = {'type': 'blackbody', 'temperature': temp,
+                               'scale': scale_v}
+            else:
+                props[name] = tuple(scale_v * blackbody_rgb(temp))
         elif ctag == 'transform':
             props[name or 'to_world'] = _parse_transform(ch, ctx)
         elif ctag == 'ref':
