@@ -681,6 +681,13 @@ def eval(scene, meta, si, wo, mode=RADIANCE, textures=None,
             kw['textured_refl'] = textures
         val = fn(P, wi, wo, **kw)
         out = jnp.where((btype == code)[:, None], val, out)
+    if BSDF_TYPES['measured'] in meta.bsdf_types:
+        from . import measured as meas_mod
+        slot = P[:, 0].astype(jnp.int32)
+        for k, mm in enumerate(meta.measured_meta):
+            val = meas_mod.eval(scene.measured[k], mm, wi, wo)
+            sel = (btype == BSDF_TYPES['measured']) & (slot == k)
+            out = jnp.where(sel[:, None], val, out)
     # opacity-masked rows: surface lobe is attenuated by opacity
     out = jnp.where(((flags & F_MASK) > 0)[:, None], out * P[:, 14:15], out)
     return out
@@ -708,6 +715,13 @@ def pdf(scene, meta, si, wo, _depth: int = 0):
         if fn is None:
             continue
         out = jnp.where(btype == code, fn(P, wi, wo), out)
+    if BSDF_TYPES['measured'] in meta.bsdf_types:
+        from . import measured as meas_mod
+        slot = P[:, 0].astype(jnp.int32)
+        for k, mm in enumerate(meta.measured_meta):
+            val = meas_mod.pdf(scene.measured[k], mm, wi, wo)
+            sel = (btype == BSDF_TYPES['measured']) & (slot == k)
+            out = jnp.where(sel, val, out)
     out = jnp.where((flags & F_MASK) > 0, out * P[:, 14], out)
     return out
 
@@ -771,6 +785,20 @@ def sample(scene, meta, si, u1, u2, mode=RADIANCE, textures=None,
             delta=jnp.where(sel, bs_c.delta, bs.delta),
             null=jnp.where(sel, bs_c.null, bs.null))
         weight = jnp.where(sel[:, None], w_c, weight)
+    if BSDF_TYPES['measured'] in meta.bsdf_types:
+        from . import measured as meas_mod
+        slot = P[:, 0].astype(jnp.int32)
+        for k, mm in enumerate(meta.measured_meta):
+            wo_k, pdf_k, w_k = meas_mod.sample(scene.measured[k], mm, wi,
+                                               u2)
+            sel = (btype == BSDF_TYPES['measured']) & (slot == k)
+            bs = BSDFSample(
+                wo=jnp.where(sel[:, None], wo_k, bs.wo),
+                pdf=jnp.where(sel, pdf_k, bs.pdf),
+                eta=jnp.where(sel, 1.0, bs.eta),
+                delta=jnp.where(sel, False, bs.delta),
+                null=jnp.where(sel, False, bs.null))
+            weight = jnp.where(sel[:, None], w_k, weight)
     # un-flip the sampled direction for twosided backfaces
     flip = ((flags & F_TWOSIDED) > 0) & (fr.cos_theta(si.wi) < 0)
     bs = bs._replace(wo=jnp.where(flip[:, None],
