@@ -509,6 +509,16 @@ class VRLCamState(NamedTuple):
     it: jnp.ndarray
 
 
+def _map_psum(x, meta):
+    """All-reduce a photon/VRL map estimate over the map-parallel mesh
+    axis. Outside shard_map (the single-chip path) this is the identity;
+    under parallel.sharded_maps the maps shard along 'mp' and every
+    map-derived estimate is a partial sum that rides ICI here (the
+    renderer analog of tensor-parallel activations)."""
+    ax = meta.iprop('map_psum_axis', None)
+    return jax.lax.psum(x, ax) if ax else x
+
+
 def make_sample(use_vrls: bool):
     """Build the camera-pass sample() for vrl (use_vrls) or photonmapper."""
 
@@ -614,9 +624,9 @@ def make_sample(use_vrls: bool):
                     sl = jax.lax.dynamic_index_in_dim(bent.seg_len, s_i, 1,
                                                       False)
                     ok = in_medium & (s_i < bent.count) & (sl > 0)
-                    est = photon_est.estimate_beam(
+                    est = _map_psum(photon_est.estimate_beam(
                         scene, meta, maps, so, sd, sl, -sd, st.medium_idx,
-                        ok, radius, n_steps=g_cap)
+                        ok, radius, n_steps=g_cap), meta)
                     acc = acc + jnp.where(ok[:, None], seg_tr * est, 0.0)
                     seg_tr = seg_tr * medium_mod.homogeneous_transmittance(
                         scene, st.medium_idx, sl, ok)
@@ -635,9 +645,9 @@ def make_sample(use_vrls: bool):
                     step_tr = medium_mod.homogeneous_transmittance(
                         scene, st.medium_idx, t_g - last_t, ok)
                     tr_run = jnp.where(ok[:, None], tr_run * step_tr, tr_run)
-                    est = photon_est.estimate_volume(
+                    est = _map_psum(photon_est.estimate_volume(
                         scene, meta, maps, p_g, -st.ray.d, st.medium_idx,
-                        ok, radius)
+                        ok, radius), meta)
                     acc = acc + jnp.where(ok[:, None], tr_run * est, 0.0)
                     last_t = jnp.where(ok, t_g, last_t)
                     return acc, tr_run, last_t
@@ -661,6 +671,7 @@ def make_sample(use_vrls: bool):
                         bent.seg_d[:, s_i], bent.seg_len[:, s_i],
                         st.medium_idx, st.channel, smp, seg_ok, spq,
                         strategy=strategy)
+                    q = _map_psum(q, meta)
                     vrl_acc = vrl_acc + jnp.where(seg_ok[:, None],
                                                   seg_tr * q, 0.0)
                     seg_tr = seg_tr * medium_mod.homogeneous_transmittance(
@@ -688,10 +699,10 @@ def make_sample(use_vrls: bool):
             flags = bsdf_mod.flags_of(scene, si)
             is_smooth = (flags & F_SMOOTH) > 0
             gather_here = active_surface & is_smooth
-            est_c = photon_est.estimate_surface(scene, meta, maps, si,
-                                                gather_here, r_caustic, True)
-            est_g = photon_est.estimate_surface(scene, meta, maps, si,
-                                                gather_here, r_global, False)
+            est_c = _map_psum(photon_est.estimate_surface(
+                scene, meta, maps, si, gather_here, r_caustic, True), meta)
+            est_g = _map_psum(photon_est.estimate_surface(
+                scene, meta, maps, si, gather_here, r_global, False), meta)
             result = result + jnp.where(gather_here[:, None],
                                         throughput * (est_c + est_g), 0.0)
             # smooth surfaces terminate (vrl.cpp:673-679)

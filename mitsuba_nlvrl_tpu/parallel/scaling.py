@@ -1,0 +1,100 @@
+"""Scaling-efficiency harness + multi-host entry.
+
+BASELINE's north star is >=80% throughput efficiency scaling from one chip
+to N hosts. ``measure_scaling`` renders the same scene on a 1-device and an
+n-device data-parallel mesh and reports measured rays/s for each plus the
+per-device efficiency. On CPU meshes this validates the sharding/collective
+program (compiles + executes + stays unbiased); the numbers only become a
+hardware statement on real chips.
+
+``init_distributed`` is the multi-host entry point: call it once per
+process under a launcher (one process per host), then build meshes over
+``jax.devices()`` as usual — jax.distributed wires the hosts into one
+global device set, and the same NamedSharding/psum code runs across DCN.
+"""
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> int:
+    """Initialize multi-host JAX (the reference's multi-machine analog —
+    it had none; NCCL/MPI scenes were single-host). With no arguments the
+    standard cluster env vars (JAX_COORDINATOR_ADDRESS etc. / TPU pod
+    metadata) are used. Returns the process index."""
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)
+    return jax.process_index()
+
+
+def _render_rays_per_s(scene, meta, mesh: Mesh, passes: int = 4,
+                       seed: int = 7):
+    """Measured rays/s of the DP-sharded path wavefront on ``mesh``."""
+    from functools import partial
+    from ..core.rng import Sampler
+    from ..integrators import get_integrator
+    from ..integrators.common import film_sample_positions
+    from .. import sensor as sensor_mod
+
+    integ = get_integrator(meta.integrator)
+    shard = NamedSharding(mesh, P('dp', None))
+    rep = NamedSharding(mesh, P())
+    scene_r = jax.device_put(scene, rep)
+
+    @partial(jax.jit, out_shardings=(rep, rep))
+    def one_pass(scene, pos01, key):
+        N = pos01.shape[0]
+        ray, w = sensor_mod.sample_ray(
+            scene, meta, pos01,
+            jax.random.uniform(jax.random.fold_in(key, 1), (N, 2)))
+        sampler = Sampler.make(jax.random.fold_in(key, 2), N)
+        L, _, sampler = integ(scene, meta, sampler, ray)
+        return jnp.sum(jnp.where(jnp.isfinite(L), L, 0.0)), sampler.rays
+
+    key = jax.random.PRNGKey(seed)
+    W, H = meta.film.width, meta.film.height
+    pos, pos01 = film_sample_positions(meta, key)
+    pos01 = jax.device_put(pos01, shard)
+
+    # warm-up compile
+    s, r = one_pass(scene_r, pos01, key)
+    s.block_until_ready()
+
+    t0 = time.time()
+    total_rays = 0.0
+    checksum = 0.0
+    for p in range(passes):
+        s, r = one_pass(scene_r, pos01, jax.random.fold_in(key, p))
+        checksum += float(s)
+        total_rays += float(r)
+    dt = time.time() - t0
+    return total_rays / max(dt, 1e-9), checksum / passes
+
+
+def measure_scaling(scene, meta, n_devices: Optional[int] = None,
+                    passes: int = 4) -> dict:
+    """Render on 1-device vs n-device 'dp' meshes; returns
+    {rays_per_s_1, rays_per_s_n, n, efficiency, checksum_rel_diff}."""
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    mesh1 = Mesh(np.asarray(devs[:1]), ('dp',))
+    meshn = Mesh(np.asarray(devs[:n]), ('dp',))
+    r1, c1 = _render_rays_per_s(scene, meta, mesh1, passes)
+    rn, cn = _render_rays_per_s(scene, meta, meshn, passes)
+    return {
+        'n': n,
+        'rays_per_s_1': r1,
+        'rays_per_s_n': rn,
+        'efficiency': rn / (n * r1) if r1 > 0 else 0.0,
+        # same program, same RNG: the estimates must agree exactly
+        'checksum_rel_diff': abs(cn - c1) / max(abs(c1), 1e-9),
+    }
