@@ -123,6 +123,10 @@ class PhotonMaps(NamedTuple):
     vp_lost: jnp.ndarray = ()
     vrl_lost: jnp.ndarray = ()
     trunc_paths: jnp.ndarray = ()
+    # per-photon BRE radius from local density (the kNN-radius analog of
+    # bre.h:39-73): shrinks in dense regions (no leaks), grows in sparse
+    # ones (no gaps); () until build_maps fills it
+    vp_radius: jnp.ndarray = ()
     # VRL cluster structure (vrl.VRLClusters) — the lightcut analog; None
     # until vrl.preprocess attaches it after dicing/lengthening
     clusters: object = None
@@ -503,6 +507,29 @@ def _compact_dev(valid, arrays, cap: int):
     return n, vmask, outs
 
 
+def photon_radii(grid: hashgrid.HashGrid, pos, valid, k: float = 8.0,
+                 max_per_cell: int = 32):
+    """Per-photon gather radius from local density — the TPU analog of the
+    reference BRE's kNN radius (bre.h:39-73): count neighbors within the
+    grid cell size r0 and set r = r0 * (k / count)^(1/3) (a k-th-neighbor
+    distance under locally uniform density), clamped to [r0/4, r0] so the
+    27-cell neighborhood still covers every contributing photon."""
+    r0 = grid.cell_size
+    r02 = r0 * r0
+
+    # query points ARE the photons
+    def fold2(acc, idx, ok):
+        d2 = m.squared_norm(pos[idx] - pos[:, None, :])
+        sel = ok & valid[idx] & (d2 <= r02)
+        return acc + sel.sum(axis=1)
+
+    counts = hashgrid.fold_neighbors(
+        grid, pos, valid, fold2,
+        jnp.zeros(pos.shape[:1], jnp.float32), max_per_cell)
+    r = r0 * jnp.cbrt(k / jnp.maximum(counts, 1.0))
+    return jnp.clip(r, 0.25 * r0, r0)
+
+
 def build_maps(scene, meta, raw: RawDeposits, r_global, r_caustic,
                r_volume) -> PhotonMaps:
     """Build hash grids + contributing-path scale factors over the already-
@@ -532,7 +559,9 @@ def build_maps(scene, meta, raw: RawDeposits, r_global, r_caustic,
         sp_scale=1.0 / sp_paths.astype(jnp.float32),
         vp_pos=raw.vp_pos, vp_power=raw.vp_power, vp_dir=raw.vp_dir,
         vp_depth=raw.vp_depth, vp_valid=vp_vmask,
-        vp_grid=hashgrid.build(raw.vp_pos, vp_vmask, lo, r_volume),
+        vp_grid=(vp_grid := hashgrid.build(raw.vp_pos, vp_vmask, lo,
+                                           r_volume)),
+        vp_radius=photon_radii(vp_grid, raw.vp_pos, vp_vmask),
         vp_scale=1.0 / vp_paths.astype(jnp.float32),
         vrl_o=raw.vrl_o, vrl_d=vrl_d, vrl_len=vrl_len, vrl_flux=raw.vrl_flux,
         vrl_medium=raw.vrl_medium, vrl_depth=raw.vrl_depth,

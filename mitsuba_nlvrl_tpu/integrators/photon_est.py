@@ -112,6 +112,11 @@ def estimate_beam(scene, meta, maps, o, d, t_max, wo, medium_idx, active,
     r2 = jnp.broadcast_to(jnp.asarray(radius) ** 2, (N,))
     step = 2.0 * jnp.broadcast_to(jnp.asarray(radius), (N,))
     majorant = medium_mod.get_majorant(scene, medium_idx)
+    # per-photon kNN-style radii when build_maps provided them
+    # (bre.h:39-73); falls back to the caller's global radius
+    pr = getattr(maps, 'vp_radius', ())
+    per_photon = isinstance(pr, jnp.ndarray) and pr.ndim == 1 \
+        and pr.shape[0] == maps.vp_pos.shape[0]
 
     def step_body(g, acc):
         t0 = g * step
@@ -124,7 +129,8 @@ def estimate_beam(scene, meta, maps, o, d, t_max, wo, medium_idx, active,
             rel = ppos - o[:, None, :]
             t_p = jnp.sum(rel * d[:, None, :], -1)    # closest approach
             perp2 = m.squared_norm(rel) - t_p * t_p
-            sel = okk & maps.vp_valid[idx] & (perp2 <= r2[:, None]) \
+            rr2 = m.sqr(pr[idx]) if per_photon else r2[:, None]
+            sel = okk & maps.vp_valid[idx] & (perp2 <= rr2) \
                 & (t_p >= t0[:, None]) & (t_p < t1[:, None]) \
                 & (t_p >= 0) & (t_p <= t_max[:, None])
             K = idx.shape[1]
@@ -133,8 +139,7 @@ def estimate_beam(scene, meta, maps, o, d, t_max, wo, medium_idx, active,
                 scene, meta, jnp.repeat(medium_idx, K, axis=0),
                 -pdir.reshape(-1, 3), jnp.repeat(wo, K, axis=0),
                 jnp.ones((idx.size,), bool)).reshape(idx.shape)
-            kern = m.sqr(1.0 - perp2 / r2[:, None]) / r2[:, None] \
-                * m.InvPi * 3.0
+            kern = m.sqr(1.0 - perp2 / rr2) / rr2 * m.InvPi * 3.0
             tr = jnp.exp(-t_p[..., None] * majorant[:, None, :])
             contrib = maps.vp_power[idx] * (pf * kern)[..., None] * tr
             return inner + jnp.where(sel[..., None], contrib, 0.0).sum(1)

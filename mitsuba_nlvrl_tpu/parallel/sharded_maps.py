@@ -73,7 +73,7 @@ def _maps_spec(axis: str) -> PhotonMaps:
         vp_pos=P(axis, None), vp_power=P(axis, None), vp_dir=P(axis, None),
         vp_depth=P(axis), vp_valid=P(axis),
         vp_grid=hashgrid.HashGrid(P(axis), P(axis), P(), P(None)),
-        vp_scale=P(),
+        vp_scale=P(), vp_radius=P(axis),
         vrl_o=P(axis, None), vrl_d=P(axis, None), vrl_len=P(axis),
         vrl_flux=P(axis, None), vrl_medium=P(axis), vrl_depth=P(axis),
         vrl_direct=P(axis), vrl_valid=P(axis), vrl_scale=P(),

@@ -67,12 +67,19 @@ def _parse_spectrum(value: str, within_emitter: bool, name: str):
 
 
 class XMLContext:
-    def __init__(self, base_dir: str, params: Optional[Dict[str, str]] = None):
+    def __init__(self, base_dir: str, params: Optional[Dict[str, str]] = None,
+                 substitutions: Optional[Dict[str, str]] = None):
         self.base_dir = base_dir
         self.defaults: Dict[str, str] = dict(params or {})
         self.named: Dict[str, dict] = {}     # id -> description dict
+        # missing-asset substitution: basename -> replacement path (used by
+        # the golden suite where the reference checkout lacks data files)
+        self.substitutions: Dict[str, str] = dict(substitutions or {})
 
     def resolve(self, fname: str) -> str:
+        base = os.path.basename(fname)
+        if base in self.substitutions:
+            return self.substitutions[base]
         if os.path.isabs(fname):
             return fname
         return os.path.join(self.base_dir, fname)
@@ -312,14 +319,17 @@ def _parse_scene_elem(root, ctx: XMLContext, desc: dict, declared=None):
             raise ValueError(f"unknown scene-level tag <{tag}>")
 
 
-def load_file(path: str, params: Optional[Dict[str, str]] = None) -> dict:
+def load_file(path: str, params: Optional[Dict[str, str]] = None,
+              substitutions: Optional[Dict[str, str]] = None) -> dict:
     """Load a Mitsuba XML scene file into a scene description dict
-    (consumed by scene.builder.build_scene)."""
+    (consumed by scene.builder.build_scene). ``substitutions`` maps asset
+    basenames to replacement paths (for checkouts with missing data)."""
     tree = ET.parse(path)
     root = tree.getroot()
     if root.tag != 'scene':
         raise ValueError(f"{path}: root tag must be <scene>")
-    ctx = XMLContext(os.path.dirname(os.path.abspath(path)), params)
+    ctx = XMLContext(os.path.dirname(os.path.abspath(path)), params,
+                     substitutions)
     desc: dict = {}
     _predeclare(root, ctx)
     _parse_scene_elem(root, ctx, desc)

@@ -325,3 +325,46 @@ def test_vrl_cluster_sampling_unbiased_and_lower_variance():
     var_u = runs['uniform'].var(axis=0).mean()
     var_c = runs['cluster'].var(axis=0).mean()
     assert var_c < 0.5 * var_u, (var_c, var_u)
+
+
+def test_bre_per_photon_radii():
+    """build_maps derives per-photon BRE radii from local density (the
+    kNN-radius analog of bre.h:39-73): denser neighborhoods get smaller
+    radii, and the beam estimate agrees with the gather-point volume
+    estimate on a homogeneous medium."""
+    med = {'type': 'homogeneous', 'sigma_t': 0.6, 'albedo': 0.9}
+    d = cornell_box(spp=1, res=16, integrator={'type': 'vrl'}, medium=med)
+    scene, meta = build_scene(d)
+    from mitsuba_nlvrl_tpu.integrators import lighttrace
+    raw = lighttrace.shoot(scene, meta, jax.random.PRNGKey(0),
+                           n_paths=2048, max_depth=6, min_vrl_len=0.0,
+                           vp_all_scatters=True, sp_cap=8192, vp_cap=8192,
+                           vrl_cap=512)
+    maps = lighttrace.build_maps(scene, meta, raw, 0.2, 0.1, 0.15)
+    r = np.asarray(maps.vp_radius)
+    valid = np.asarray(maps.vp_valid)
+    pos = np.asarray(maps.vp_pos)[valid]
+    rv = r[valid]
+    assert rv.min() >= 0.15 * 0.25 - 1e-6 and rv.max() <= 0.15 + 1e-6
+    assert rv.std() > 1e-4          # radii actually adapt
+    # photons nearer the light (top, denser) should have smaller radii
+    top = rv[pos[:, 1] > 0.4]
+    bottom = rv[pos[:, 1] < -0.4]
+    if len(top) > 30 and len(bottom) > 30:
+        assert top.mean() < bottom.mean()
+
+    # BRE vs gather-point rendering: same scene, both estimates of the
+    # same in-scattered radiance
+    base = {'type': 'vrl', 'max_depth': 5, 'use_direct_illum': True,
+            'target_vrls': 256, 'samples_per_query': 1,
+            'min_vrl_length': 5.0,   # VRL off: isolate the direct term
+            'volume_lookup_radius_relative': 0.04, 'max_cam_iters': 6}
+    d1 = cornell_box(spp=4, res=12, integrator=dict(base), medium=med)
+    s1, m1 = build_scene(d1)
+    gp = np.asarray(render(s1, m1, spp=4, seed=3)).mean()
+    d2 = cornell_box(spp=4, res=12, integrator=dict(base, use_bre=True),
+                     medium=med)
+    s2, m2 = build_scene(d2)
+    bre = np.asarray(render(s2, m2, spp=4, seed=3)).mean()
+    assert bre > 0 and np.isfinite(bre)
+    assert abs(bre - gp) / gp < 0.35, (bre, gp)
