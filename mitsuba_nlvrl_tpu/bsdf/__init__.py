@@ -46,6 +46,11 @@ def pack_params(props: dict) -> Tuple[int, int, list]:
     """Return (type_code, flags, params[BSDF_NPARAM]) for a bsdf dict."""
     t = props['type']
     p = [0.0] * BSDF_NPARAM
+    # spatially-varying alpha / specular_reflectance (slots 16/17, id+1
+    # encoded so the all-zeros default means "untextured"); the builder
+    # registers the texture dicts and passes the ids in _alpha_tex/_spec_tex
+    p[16] = float(props.get('_alpha_tex', -1)) + 1.0
+    p[17] = float(props.get('_spec_tex', -1)) + 1.0
     twosided = 0
     if t == 'twosided':
         inner = props.get('bsdf', {'type': 'diffuse'})
@@ -71,6 +76,10 @@ def pack_params(props: dict) -> Tuple[int, int, list]:
             return [float(v)] * 3
         return [float(x) for x in v]
 
+    def scalar(key, default):
+        v = props.get(key, default)
+        return float(default) if isinstance(v, dict) else float(v)
+
     if t == 'diffuse':
         p[0:3] = rgb('reflectance', 0.5)
         p[15] = float(props.get('_texture_id', -1))
@@ -84,9 +93,9 @@ def pack_params(props: dict) -> Tuple[int, int, list]:
         p[0:3] = rgb('eta', 0.0)
         p[3:6] = rgb('k', 1.0)
         p[6:9] = rgb('specular_reflectance', 1.0)
-        a = float(props.get('alpha', 0.1))
-        p[9] = float(props.get('alpha_u', a))
-        p[10] = float(props.get('alpha_v', a))
+        a = scalar('alpha', 0.1)
+        p[9] = scalar('alpha_u', a)
+        p[10] = scalar('alpha_v', a)
         p[11] = 0.0 if props.get('distribution', 'ggx') == 'ggx' else 1.0
         return BSDF_TYPES[t], F_SMOOTH, p
     if t in ('dielectric', 'thindielectric'):
@@ -100,9 +109,9 @@ def pack_params(props: dict) -> Tuple[int, int, list]:
         p[1] = float(props.get('ext_ior', 1.000277))
         p[2:5] = rgb('specular_reflectance', 1.0)
         p[5:8] = rgb('specular_transmittance', 1.0)
-        a = float(props.get('alpha', 0.1))
-        p[9] = float(props.get('alpha_u', a))
-        p[10] = float(props.get('alpha_v', a))
+        a = scalar('alpha', 0.1)
+        p[9] = scalar('alpha_u', a)
+        p[10] = scalar('alpha_v', a)
         return BSDF_TYPES[t], F_SMOOTH | F_TRANSMISSION, p
     if t == 'null':
         return BSDF_TYPES[t], F_DELTA | F_NULL | F_TRANSMISSION, p
@@ -135,7 +144,8 @@ def pack_params(props: dict) -> Tuple[int, int, list]:
         p[4] = float(props.get('ext_ior', 1.000277))
         p[5] = 1.0 if props.get('nonlinear', False) else 0.0
         p[6:9] = rgb('specular_reflectance', 1.0)
-        p[9] = float(props.get('alpha', 0.1 if t != 'pplastic' else 0.06))
+        p[9] = scalar('alpha', 0.1 if t != 'pplastic' else 0.06)
+        p[15] = float(props.get('_texture_id', -1))
         if t == 'pplastic':
             # specular sampling weight = s_mean / (d_mean + s_mean)
             # (pplastic.cpp:392)
@@ -579,8 +589,47 @@ def _textured_reflectance(scene, meta, si, P):
         return None
     from .. import texture as tex_mod
     tex_id = P[:, 15].astype(jnp.int32)
-    tex = tex_mod.eval(scene, tex_id, si.uv)
+    kw = {}
+    if getattr(meta, 'has_3d_textures', False):
+        kw['p_world'] = si.p
+    if getattr(meta, 'has_attr_textures', False):
+        kw['attr'] = tex_mod.vertex_attr(scene, si)
+    tex = tex_mod.eval(scene, tex_id, si.uv, **kw)
     return jnp.where((tex_id >= 0)[:, None], tex, P[:, 0:3])
+
+
+def _apply_param_textures(scene, meta, si, P, btype):
+    """Rewrite gathered per-lane parameter rows with spatially-varying
+    values (reference: rough BSDFs hold Texture refs for alpha /
+    specular_reflectance, e.g. roughconductor.cpp:446-456). One rewrite
+    here replaces threading textures through every lobe: slot 16 = alpha
+    texture id+1 (channel 0 -> alpha_u/v slots 9/10), slot 17 = specular
+    reflectance id+1 (-> slots 6:9, or 2:5 for the dielectric family),
+    slot 15 = diffuse_reflectance id for the plastic family (-> 0:3)."""
+    if not getattr(meta, 'has_param_textures', False):
+        return P
+    from .. import texture as tex_mod
+    a_id = P[:, 16].astype(jnp.int32) - 1
+    s_id = P[:, 17].astype(jnp.int32) - 1
+    tex_a = tex_mod.eval(scene, a_id, si.uv)[:, 0]
+    alpha_ok = a_id >= 0
+    P = P.at[:, 9].set(jnp.where(alpha_ok, tex_a, P[:, 9]))
+    P = P.at[:, 10].set(jnp.where(alpha_ok, tex_a, P[:, 10]))
+    tex_s = tex_mod.eval(scene, s_id, si.uv)
+    diel = ((btype == BSDF_TYPES['dielectric'])
+            | (btype == BSDF_TYPES['thindielectric'])
+            | (btype == BSDF_TYPES['roughdielectric']))
+    P = P.at[:, 6:9].set(jnp.where(((s_id >= 0) & ~diel)[:, None],
+                                   tex_s, P[:, 6:9]))
+    P = P.at[:, 2:5].set(jnp.where(((s_id >= 0) & diel)[:, None],
+                                   tex_s, P[:, 2:5]))
+    plas = ((btype == BSDF_TYPES['plastic'])
+            | (btype == BSDF_TYPES['roughplastic'])
+            | (btype == BSDF_TYPES['pplastic']))
+    d_id = jnp.where(plas, P[:, 15].astype(jnp.int32), -1)
+    tex_d = tex_mod.eval(scene, d_id, si.uv)
+    P = P.at[:, 0:3].set(jnp.where((d_id >= 0)[:, None], tex_d, P[:, 0:3]))
+    return P
 
 
 _BLEND = BSDF_TYPES['blendbsdf']
@@ -660,6 +709,7 @@ def eval(scene, meta, si, wo, mode=RADIANCE, textures=None,
     btype = scene.bsdfs.type[si.bsdf_idx]
     flags = scene.bsdfs.flags[si.bsdf_idx]
     P = scene.bsdfs.params[si.bsdf_idx]
+    P = _apply_param_textures(scene, meta, si, P, btype)
     if textures is None:
         textures = _textured_reflectance(scene, meta, si, P)
     if _BLEND in meta.bsdf_types and _depth == 0:
@@ -701,6 +751,7 @@ def pdf(scene, meta, si, wo, _depth: int = 0):
     btype = scene.bsdfs.type[si.bsdf_idx]
     flags = scene.bsdfs.flags[si.bsdf_idx]
     P = scene.bsdfs.params[si.bsdf_idx]
+    P = _apply_param_textures(scene, meta, si, P, btype)
     if _BLEND in meta.bsdf_types and _depth == 0:
         is_b = btype == _BLEND
         w = P[:, 2]
@@ -743,6 +794,7 @@ def sample(scene, meta, si, u1, u2, mode=RADIANCE, textures=None,
     btype = scene.bsdfs.type[si.bsdf_idx]
     flags = scene.bsdfs.flags[si.bsdf_idx]
     P = scene.bsdfs.params[si.bsdf_idx]
+    P = _apply_param_textures(scene, meta, si, P, btype)
     if textures is None:
         textures = _textured_reflectance(scene, meta, si, P)
     if _BLEND in meta.bsdf_types and _depth == 0:

@@ -26,8 +26,9 @@ E_CONSTANT = EMITTER_TYPES['constant']
 E_DIRECTIONAL = EMITTER_TYPES['directional']
 E_SPOT = EMITTER_TYPES['spot']
 E_ENVMAP = EMITTER_TYPES['envmap']
+E_PROJECTOR = EMITTER_TYPES['projector']
 
-EMITTER_NPARAM = 12
+EMITTER_NPARAM = 28
 
 
 # --- environment map helpers (reference src/emitters/envmap.cpp) ------------
@@ -184,6 +185,29 @@ def pack_params(props: dict) -> Tuple[int, list, tuple]:
         p[9] = float(np.cos(np.deg2rad(cutoff)))
         p[10] = float(np.cos(np.deg2rad(beam)))
         return E_SPOT, p, tuple(spec)
+    if t == 'projector':
+        # texture projection light, the reciprocal of the perspective
+        # sensor (src/emitters/projector.cpp:88-105): irradiance is
+        # specified on the virtual image plane at z=1. Layout: pos[0:3],
+        # scale rgb [3:6], tan(fov/2) x/y [6]/[7], emitter-to-world
+        # rotation [8:17] + its inverse [17:26], slide texture id+1 [26].
+        # The builder pre-registers the irradiance texture
+        # (_irradiance_tex) and passes the bitmap aspect (_aspect).
+        import numpy as np
+        tw = props.get('to_world')
+        M = np.asarray(tw.m) if tw is not None else np.eye(4)
+        p[0:3] = [float(x) for x in M[:3, 3]]
+        p[3:6] = rgb('scale', 1.0)
+        fov = float(props.get('fov', 39.597755))  # 50mm-equivalent default
+        tan_x = float(np.tan(np.deg2rad(fov) * 0.5))
+        aspect = float(props.get('_aspect', 1.0))
+        p[6] = tan_x
+        p[7] = tan_x / max(aspect, 1e-6)
+        R = M[:3, :3]
+        p[8:17] = [float(x) for x in R.reshape(-1)]
+        p[17:26] = [float(x) for x in np.linalg.inv(R).reshape(-1)]
+        p[26] = float(props.get('_irradiance_tex', -1)) + 1.0
+        return E_PROJECTOR, p, tuple(spec)
     raise NotImplementedError(f"emitter type {t}")
 
 
@@ -266,7 +290,8 @@ def spectral_radiance(scene, rgb, e_idx, lam):
     scale = em.spec_scale[e]
     # the packed radiance slot varies by emitter type
     etype = em.type[e]
-    offs = jnp.where((etype == E_POINT) | (etype == E_DIRECTIONAL), 3,
+    offs = jnp.where((etype == E_POINT) | (etype == E_DIRECTIONAL)
+                     | (etype == E_PROJECTOR), 3,
                      jnp.where(etype == E_SPOT, 6, 0))
     cols = offs[:, None] + jnp.arange(3)
     base_rgb = jnp.take_along_axis(em.params[e], cols, axis=-1)
@@ -406,6 +431,34 @@ def sample_direction(scene, meta, ref_p, u_sel, u2, active
         pdf = jnp.where(sel, 1.0, pdf)
         delta = delta | sel
         spec = jnp.where(sel[:, None], P[:, 3:6], spec)
+
+    if E_PROJECTOR in meta.emitter_types:
+        # delta-position texture projector (projector.cpp:154-193): map the
+        # reference point into the emitter frame, look the slide up at the
+        # frustum uv, weight = slide * scale * pi / z^2 / cos(axis angle)
+        # so a constant slide projects a constant irradiance at z=1.
+        from .. import texture as tex_mod
+        pos_p = P[:, 0:3]
+        Rinv = P[:, 17:26].reshape(-1, 3, 3)
+        rel = ref_p - pos_p
+        local = jnp.einsum('nij,nj->ni', Rinv, rel)
+        z = local[:, 2]
+        uu = 0.5 * (1.0 - m.safe_div(m.safe_div(local[:, 0], z), P[:, 6]))
+        vv = 0.5 * (1.0 - m.safe_div(m.safe_div(local[:, 1], z), P[:, 7]))
+        inside = (z > 0) & (uu >= 0) & (uu <= 1) & (vv >= 0) & (vv <= 1)
+        sel = etype == E_PROJECTOR
+        tex_id = jnp.where(sel & inside,
+                           P[:, 26].astype(jnp.int32) - 1, -1)
+        slide = tex_mod.eval(scene, tex_id, jnp.stack([uu, vv], -1))
+        slide = jnp.where((P[:, 26] > 0)[:, None], slide, 1.0)
+        dist = m.norm(rel)
+        cos_axis = m.safe_div(z, dist)      # rotation columns orthonormal
+        inten = slide * P[:, 3:6] * (m.Pi * m.safe_rcp(m.sqr(z))
+                                     * m.safe_rcp(cos_axis) * inside)[:, None]
+        p = jnp.where(sel[:, None], pos_p, p)
+        pdf = jnp.where(sel, 1.0, pdf)
+        delta = delta | sel
+        spec = jnp.where(sel[:, None], inten, spec)
 
     if E_ENVMAP in meta.emitter_types:
         uu, vv, pdf_uv = _env_sample_uv(scene, u2)
@@ -583,6 +636,27 @@ def sample_ray(scene, meta, u_sel, u_pos, u_dir, active
         d = jnp.where(sel[:, None], d_dir, d)
         w = jnp.where(sel[:, None], w_d, w)
         n_o = jnp.where(sel[:, None], d_dir, n_o)
+
+    if E_PROJECTOR in meta.emitter_types:
+        # shoot through the frustum from the pinhole (projector.cpp:119-152;
+        # deviation: uv sampled uniformly instead of by texel density — an
+        # unbiased simplification, higher variance only for sparse slides)
+        from .. import texture as tex_mod
+        uu, vv = u_dir[:, 0], u_dir[:, 1]
+        dx = (1.0 - 2.0 * uu) * P[:, 6]
+        dy = (1.0 - 2.0 * vv) * P[:, 7]
+        d_local = m.normalize(jnp.stack([dx, dy, jnp.ones_like(dx)], -1))
+        Rm = P[:, 8:17].reshape(-1, 3, 3)
+        d_p = m.normalize(jnp.einsum('nij,nj->ni', Rm, d_local))
+        sel = etype == E_PROJECTOR
+        tex_id = jnp.where(sel, P[:, 26].astype(jnp.int32) - 1, -1)
+        slide = tex_mod.eval(scene, tex_id, jnp.stack([uu, vv], -1))
+        slide = jnp.where((P[:, 26] > 0)[:, None], slide, 1.0)
+        w_p = slide * P[:, 3:6]     # uniform uv pdf = 1 on the unit square
+        o = jnp.where(sel[:, None], P[:, 0:3], o)
+        d = jnp.where(sel[:, None], d_p, d)
+        w = jnp.where(sel[:, None], w_p, w)
+        n_o = jnp.where(sel[:, None], d_p, n_o)
 
     if E_ENVMAP in meta.emitter_types:
         # direction toward the envmap sampled by luminance; photons start on

@@ -25,7 +25,7 @@ from .types import (SceneData, SceneMeta, FilmMeta, Geometry, ShapeTable,
                     BSDF_NPARAM, EMITTER_NPARAM, MEDIUM_NPARAM,
                     M_SIGMA_T, M_ALBEDO, M_SCALE, M_PHASE_G, M_BBOX_MIN,
                     M_BBOX_MAX, M_MAJORANT, M_NL_TOP_IOR, M_NL_BOT_IOR,
-                    M_NL_RES, M_NL_FROM_BOTTOM)
+                    M_NL_RES, M_NL_FROM_BOTTOM, TEXTURE_TYPES)
 from .mesh_io import load_obj, load_ply, load_serialized, MeshData, \
     compute_vertex_normals
 from .vol_io import load_vol, VolumeGrid
@@ -137,6 +137,9 @@ def _load_shape_mesh(sh: dict) -> Optional[MeshData]:
         mesh = load_ply(sh['filename'])
     elif t == 'serialized':
         mesh = load_serialized(sh['filename'], int(sh.get('shape_index', 0)))
+    elif t == 'blender':
+        from .mesh_io import load_blender
+        mesh = load_blender(sh)
     elif t == 'rectangle':
         mesh = _rectangle_mesh()
     elif t == 'cube':
@@ -167,6 +170,7 @@ class SceneBuilder:
         self.media_rows: List[dict] = []
         self.tex_rows: List[Tuple[int, list]] = []
         self.tex_bitmaps: List[np.ndarray] = []
+        self.tex_volumes: List[np.ndarray] = []
         self.tex_cache: Dict[int, int] = {}
         self.measured: List[tuple] = []   # (MeasuredData, MeasuredMeta)
 
@@ -175,7 +179,7 @@ class SceneBuilder:
         key = id(props)
         if key in self.tex_cache:
             return self.tex_cache[key]
-        row = tex_mod.pack(props, self.tex_bitmaps)
+        row = tex_mod.pack(props, self.tex_bitmaps, self.tex_volumes)
         idx = len(self.tex_rows)
         self.tex_rows.append(row)
         self.tex_cache[key] = idx
@@ -250,12 +254,17 @@ class SceneBuilder:
             self.bsdf_rows.append((BSDF_TYPES['measured'], F_SMOOTH, p))
             self.bsdf_cache[key] = idx
             return idx
-        # textured diffuse reflectance -> register texture, record its id
-        if isinstance(props.get('reflectance'), dict) \
-                and '_texture_id' not in props:
-            props = dict(props,
-                         _texture_id=self._texture_index(
-                             props['reflectance']))
+        # textured parameters -> register textures, record their ids
+        # (reflectance feeds the diffuse slot-15 path; alpha and
+        # specular_reflectance feed the slot-16/17 rewrite in
+        # bsdf._apply_param_textures)
+        for key, marker in (('reflectance', '_texture_id'),
+                            ('diffuse_reflectance', '_texture_id'),
+                            ('alpha', '_alpha_tex'),
+                            ('specular_reflectance', '_spec_tex')):
+            if isinstance(props.get(key), dict) and marker not in props:
+                props = dict(
+                    props, **{marker: self._texture_index(props[key])})
         row = bsdf_mod.pack_params(props)
         idx = len(self.bsdf_rows)
         self.bsdf_rows.append(row)
@@ -291,6 +300,8 @@ class SceneBuilder:
 
         # --- shapes ----------------------------------------------------------
         tri_v, tri_n, tri_uv, tri_shape = [], [], [], []
+        tri_c = []              # per-corner vertex colors (mesh_attribute)
+        any_colors = False
         sph_c, sph_r, sph_shape = [], [], []
         shape_rows = []   # (bsdf, emitter, int_med, ext_med)
         area_emitters = []  # (props, shape_idx)
@@ -365,6 +376,12 @@ class SceneBuilder:
                 tri_v.append(v[faces].astype(np.float32))       # (F,3,3)
                 tri_n.append(n[faces].astype(np.float32))
                 tri_uv.append(uv[faces].astype(np.float32))
+                col = getattr(mesh, 'colors', None)
+                if col is not None:
+                    tri_c.append(col[faces].astype(np.float32))
+                    any_colors = True
+                else:
+                    tri_c.append(np.zeros((len(faces), 3, 3), np.float32))
                 tri_shape.append(np.full(len(faces), shape_idx, np.int32))
                 shape_tri_ranges.append((tri_start, len(faces)))
             shape_rows.append([bsdf_idx, emitter_idx, int_med, ext_med])
@@ -374,11 +391,13 @@ class SceneBuilder:
             Nrm = np.concatenate(tri_n)
             UV = np.concatenate(tri_uv)
             TS = np.concatenate(tri_shape)
+            C = np.concatenate(tri_c) if any_colors else None
         else:
             V = np.zeros((0, 3, 3), np.float32)
             Nrm = np.zeros((0, 3, 3), np.float32)
             UV = np.zeros((0, 3, 2), np.float32)
             TS = np.zeros((0,), np.int32)
+            C = None
         T = len(V)
 
         # --- BVH for larger scenes: Morton-reorder triangles and build the
@@ -394,6 +413,8 @@ class SceneBuilder:
             tri_perm_inv = np.empty(T, np.int64)
             tri_perm_inv[perm] = np.arange(T)
             V, Nrm, UV, TS = V[perm], Nrm[perm], UV[perm], TS[perm]
+            if C is not None:
+                C = C[perm]
             bvh_arrays = bvh_mod.BVHArrays(
                 *[jnp.asarray(x) for x in bvh_np])
 
@@ -430,6 +451,15 @@ class SceneBuilder:
             em_area.append(total)
             emitter_rows.append((code, params, shape_idx))
         for props in desc.get('emitters', []):
+            if props.get('type') == 'projector' \
+                    and isinstance(props.get('irradiance'), dict):
+                tid = self._texture_index(props['irradiance'])
+                tc, tp = self.tex_rows[tid]
+                aspect = 1.0
+                if tc == TEXTURE_TYPES['bitmap']:
+                    b = self.tex_bitmaps[int(tp[0])]
+                    aspect = b.shape[1] / b.shape[0]
+                props = dict(props, _irradiance_tex=tid, _aspect=aspect)
             code, params, espec = emitter_mod.pack_params(props)
             _reg_spec(espec)
             tw = props.get('to_world')
@@ -628,7 +658,10 @@ class SceneBuilder:
             shape_idx=jnp.asarray(TS),
             sph_center=jnp.asarray(np.asarray(sph_c, np.float32).reshape(-1, 3)),
             sph_radius=jnp.asarray(np.asarray(sph_r, np.float32)),
-            sph_shape_idx=jnp.asarray(np.asarray(sph_shape, np.int32)))
+            sph_shape_idx=jnp.asarray(np.asarray(sph_shape, np.int32)),
+            c0=jnp.asarray(C[:, 0]) if C is not None else (),
+            c1=jnp.asarray(C[:, 1]) if C is not None else (),
+            c2=jnp.asarray(C[:, 2]) if C is not None else ())
 
         sr = np.asarray(shape_rows, np.int32).reshape(-1, 4)
         # area emitter indices were provisional (list position); they are
@@ -706,9 +739,30 @@ class SceneBuilder:
             else:
                 data = np.zeros((1, 1, 1, 3), np.float32)
                 sizes = np.zeros((len(self.tex_rows), 2), np.int32)
+            # 3D volumes (grid3d): stack padded to the largest resolution;
+            # vol_size rows are indexed by TEXTURE id (non-grid3d rows 1).
+            if self.tex_volumes:
+                Dm = max(vv.shape[0] for vv in self.tex_volumes)
+                Hm3 = max(vv.shape[1] for vv in self.tex_volumes)
+                Wm3 = max(vv.shape[2] for vv in self.tex_volumes)
+                vol = np.zeros((len(self.tex_volumes), Dm, Hm3, Wm3, 3),
+                               np.float32)
+                for vi, vv in enumerate(self.tex_volumes):
+                    vol[vi, :vv.shape[0], :vv.shape[1], :vv.shape[2]] = vv
+                vol_size = np.ones((len(self.tex_rows), 3), np.int32)
+                from .types import TEXTURE_TYPES as _TT
+                for ti, (tc, tp) in enumerate(self.tex_rows):
+                    if tc == _TT['grid3d']:
+                        vv = self.tex_volumes[int(tp[0])]
+                        vol_size[ti] = vv.shape[:3]
+                vol_j = jnp.asarray(vol)
+                vol_size_j = jnp.asarray(vol_size)
+            else:
+                vol_j, vol_size_j = (), ()
             textures_t = TextureTable(
                 type=jnp.asarray(ttype), params=jnp.asarray(tparams),
-                data=jnp.asarray(data), size=jnp.asarray(sizes))
+                data=jnp.asarray(data), size=jnp.asarray(sizes),
+                vol=vol_j, vol_size=vol_size_j)
         else:
             textures_t = TextureTable(
                 type=jnp.zeros((1,), jnp.int32),
@@ -758,6 +812,17 @@ class SceneBuilder:
             has_bvh=bvh_arrays is not None,
             has_media=M_n > 0,
             has_textures=len(self.tex_rows) > 0,
+            has_3d_textures=any(
+                r[0] == TEXTURE_TYPES['grid3d'] for r in self.tex_rows),
+            has_attr_textures=C is not None and any(
+                r[0] == TEXTURE_TYPES['mesh_attribute']
+                for r in self.tex_rows),
+            has_param_textures=any(
+                r[2][16] > 0 or r[2][17] > 0
+                or (r[0] in (BSDF_TYPES['plastic'],
+                             BSDF_TYPES['roughplastic'],
+                             BSDF_TYPES['pplastic']) and r[2][15] >= 0)
+                for r in self.bsdf_rows),
             spectral=bool(self.desc.get('spectral', False)),
             measured_meta=tuple(mm for _, mm in self.measured))
         return scene, meta

@@ -19,6 +19,7 @@ class MeshData(NamedTuple):
     faces: np.ndarray               # (F, 3) int32
     normals: Optional[np.ndarray]   # (V, 3) float32 per-vertex or None
     uvs: Optional[np.ndarray]       # (V, 2) float32 or None
+    colors: Optional[np.ndarray] = None  # (V, 3) float32 vertex colors
 
 
 def load_obj(path: str) -> MeshData:
@@ -112,7 +113,7 @@ def load_ply(path: str) -> MeshData:
                 'float': 'f4', 'float32': 'f4', 'double': 'f8', 'float64': 'f8'}
     endian = '<' if 'little' in fmt else '>'
 
-    verts = normals = uvs = None
+    verts = normals = uvs = colors = None
     faces = []
     face_arrays = []  # vectorized chunks from the uniform-arity fast path
     if fmt == 'ascii':
@@ -126,7 +127,7 @@ def load_ply(path: str) -> MeshData:
                 pos += count * ncols
                 arr = arr.reshape(count, ncols)
                 cols = {nm: arr[:, i] for i, nm in enumerate(names)}
-                verts, normals, uvs = _ply_vertex_cols(cols)
+                verts, normals, uvs, colors = _ply_vertex_cols(cols)
             elif name == 'face':
                 for _ in range(count):
                     n = int(body[pos]); pos += 1
@@ -145,7 +146,7 @@ def load_ply(path: str) -> MeshData:
                 arr = np.frombuffer(data, dt, count, off)
                 off += dt.itemsize * count
                 cols = {nm: arr[nm].astype(np.float64) for nm in arr.dtype.names}
-                verts, normals, uvs = _ply_vertex_cols(cols)
+                verts, normals, uvs, colors = _ply_vertex_cols(cols)
             elif name == 'face':
                 ct = np.dtype(endian + type_map[props[0][1]])
                 it = np.dtype(endian + type_map[props[0][2]])
@@ -183,7 +184,7 @@ def load_ply(path: str) -> MeshData:
         raise ValueError(f"{path}: no vertex element")
     all_faces = np.vstack(
         [np.asarray(faces, np.int64).reshape(-1, 3)] + face_arrays)
-    return MeshData(verts, all_faces.astype(np.int32), normals, uvs)
+    return MeshData(verts, all_faces.astype(np.int32), normals, uvs, colors)
 
 
 def _ply_vertex_cols(cols):
@@ -196,7 +197,88 @@ def _ply_vertex_cols(cols):
         if ukey in cols and vkey in cols:
             uvs = np.stack([cols[ukey], cols[vkey]], -1).astype(np.float32)
             break
-    return verts, normals, uvs
+    colors = None
+    if 'red' in cols and 'green' in cols and 'blue' in cols:
+        colors = np.stack([cols['red'], cols['green'], cols['blue']],
+                          -1).astype(np.float32)
+        if colors.max() > 1.0:     # uchar-encoded colors
+            colors = colors / 255.0
+    return verts, normals, uvs, colors
+
+
+def load_blender(props: dict) -> MeshData:
+    """Convert Blender mesh arrays to a MeshData (reference
+    src/shapes/blender.cpp:95-328, used by the Blender exporter add-on).
+
+    Inputs mirror Blender's data layout as ndarrays instead of raw
+    pointers: ``verts`` (V,3) positions, ``vert_normals`` (V,3),
+    ``loops`` (L,) per-loop vertex index, ``loop_tris`` (T,3) loop
+    indices, ``loop_tri_polys`` (T,) poly index per triangle,
+    ``poly_smooth`` (P,) smooth-shading flags, ``poly_mat`` (P,)
+    material ids filtered by ``mat_nr``, optional per-loop ``uvs`` (L,2)
+    (v flipped, blender.cpp:249) and ``cols`` (L,3|4) (uchar scaled by
+    1/255, blender.cpp:218).
+
+    Deviation from the reference: no hash-based vertex de-duplication —
+    the reference dedups only to compress its vertex buffers, while the
+    SoA scene flattens to per-corner arrays regardless, so corners are
+    emitted expanded (faces = arange) in one vectorized pass."""
+    verts = np.asarray(props['verts'], np.float32).reshape(-1, 3)
+    loops = np.asarray(props['loops'], np.int64).reshape(-1)
+    loop_tris = np.asarray(props['loop_tris'], np.int64).reshape(-1, 3)
+    tri_polys = np.asarray(props['loop_tri_polys'], np.int64).reshape(-1)
+    poly_smooth = np.asarray(props.get(
+        'poly_smooth', np.zeros(tri_polys.max() + 1 if len(tri_polys)
+                                else 1)), bool).reshape(-1)
+    mat_nr = int(props.get('mat_nr', 0))
+    poly_mat = np.asarray(props.get(
+        'poly_mat', np.zeros(len(poly_smooth))), np.int64).reshape(-1)
+
+    keep = poly_mat[tri_polys] == mat_nr
+    loop_tris = loop_tris[keep]
+    tri_polys = tri_polys[keep]
+    corner_v = loops[loop_tris]                      # (T, 3) vertex ids
+    pos = verts[corner_v]                            # (T, 3, 3)
+
+    # normals: smooth polys use vertex normals, flat polys the face normal
+    e1 = pos[:, 1] - pos[:, 0]
+    e2 = pos[:, 2] - pos[:, 0]
+    face_n = np.cross(e1, e2)
+    nondegen = (face_n * face_n).sum(-1) > 0
+    vn = props.get('vert_normals')
+    smooth = poly_smooth[tri_polys]
+    if vn is not None:
+        vn = np.asarray(vn, np.float32).reshape(-1, 3)
+        n = np.where(smooth[:, None, None], vn[corner_v],
+                     face_n[:, None, :])
+    else:
+        n = np.broadcast_to(face_n[:, None, :], pos.shape).copy()
+    # flat-shaded degenerate triangles are dropped (blender.cpp:212)
+    drop = ~nondegen & ~smooth
+    if drop.any():
+        sel = ~drop
+        pos, n, loop_tris = pos[sel], n[sel], loop_tris[sel]
+    ln = np.linalg.norm(n, axis=-1, keepdims=True)
+    ln[ln == 0] = 1.0
+    n = (n / ln).astype(np.float32)
+
+    uvs = props.get('uvs')
+    if uvs is not None:
+        uvs = np.asarray(uvs, np.float32).reshape(-1, 2)[loop_tris]
+        uvs[..., 1] = 1.0 - uvs[..., 1]
+    cols = props.get('cols')
+    if cols is not None:
+        cols = np.asarray(cols, np.float32).reshape(len(loops), -1)
+        cols = cols[:, :3][loop_tris]
+        if cols.max() > 1.0:
+            cols = cols / 255.0
+
+    T = len(pos)
+    faces = np.arange(3 * T, dtype=np.int32).reshape(T, 3)
+    flat = lambda a: None if a is None else \
+        np.ascontiguousarray(a.reshape(3 * T, -1), np.float32)
+    return MeshData(flat(pos), faces, flat(n),
+                    flat(uvs), flat(cols))
 
 
 # --- Mitsuba .serialized format ---------------------------------------------

@@ -54,8 +54,8 @@ F_SMOOTH = 8          # has a non-delta lobe
 F_TWOSIDED = 16
 F_MASK = 32           # opacity-masked wrapper (params[14] = opacity)
 
-BSDF_NPARAM = 16
-EMITTER_NPARAM = 12
+BSDF_NPARAM = 20
+EMITTER_NPARAM = 28
 MEDIUM_NPARAM = 28
 
 # medium param layout offsets
@@ -89,6 +89,11 @@ class Geometry(NamedTuple):
     sph_center: jnp.ndarray     # (S, 3)
     sph_radius: jnp.ndarray     # (S,)
     sph_shape_idx: jnp.ndarray  # (S,) int32
+    # per-corner vertex colors, present only when a mesh carries them
+    # (mesh_attribute textures, src/textures/mesh_attribute.cpp)
+    c0: jnp.ndarray = ()        # (T, 3)
+    c1: jnp.ndarray = ()
+    c2: jnp.ndarray = ()
 
 
 class BVH(NamedTuple):
@@ -150,19 +155,24 @@ class MediumTable(NamedTuple):
     nl_medium: jnp.ndarray      # () int32 which medium is nonlinear (-1 none)
 
 
-TEXTURE_TYPES = {'bitmap': 0, 'checkerboard': 1, 'constant': 2}
-TEX_NPARAM = 10
+TEXTURE_TYPES = {'bitmap': 0, 'checkerboard': 1, 'constant': 2,
+                 'grid3d': 3, 'constant3d': 4, 'mesh_attribute': 5}
+TEX_NPARAM = 24
 
 
 class TextureTable(NamedTuple):
     """Textures for spatially varying BSDF parameters (reference
-    src/textures/{bitmap,checkerboard}.cpp). Bitmaps are stacked padded to
-    the largest resolution; checkerboard params: color0[0:3], color1[3:6],
-    uv scale [6:8]."""
+    src/textures/{bitmap,checkerboard,grid3d,mesh_attribute}.cpp). Bitmaps
+    are stacked padded to the largest resolution; checkerboard params:
+    color0[0:3], color1[3:6], uv scale [6:8]; grid3d: vol slot p[0] +
+    world-to-unit-cube 3x4 transform p[8:20]; constant3d: value p[0:3]."""
     type: jnp.ndarray       # (Tx,) int32
     params: jnp.ndarray     # (Tx, TEX_NPARAM)
     data: jnp.ndarray       # (Tx, Hmax, Wmax, 3) float32
     size: jnp.ndarray       # (Tx, 2) int32 (H, W) actual
+    # 3D volumes for grid3d textures, padded to the largest resolution
+    vol: jnp.ndarray = ()        # (Tv, Dm, Hm, Wm, 3) float32
+    vol_size: jnp.ndarray = ()   # (Tv, 3) int32 (D, H, W) actual
 
 
 class SensorData(NamedTuple):
@@ -225,6 +235,9 @@ class SceneMeta:
     has_bvh: bool = False
     has_media: bool = False
     has_textures: bool = False
+    has_3d_textures: bool = False    # grid3d rows present (eval needs p)
+    has_attr_textures: bool = False  # mesh_attribute rows + vertex colors
+    has_param_textures: bool = False  # alpha/specular/plastic-diffuse maps
     camera_medium: int = -1    # medium the camera starts in (-1 vacuum)
     spectral: bool = False     # hero-wavelength spectral transport variant
     measured_meta: Tuple = ()  # per-measured-material MeasuredMeta
