@@ -36,6 +36,9 @@ def main(argv=None):
                     help='hero-wavelength spectral transport (the '
                          'reference *_spectral variant analog)')
     ap.add_argument('--png', default=None, help='also write a tonemapped PNG')
+    ap.add_argument('--timeout', type=float, default=None, metavar='SEC',
+                    help='stop rendering after SEC seconds and develop the '
+                         'partial film (reference render_timeout semantics)')
     ap.add_argument('-v', '--verbose', action='store_true')
     args = ap.parse_args(argv)
 
@@ -64,16 +67,61 @@ def main(argv=None):
           f'emitters, {meta.n_media} media, integrator={meta.integrator} '
           f'({time.time() - t0:.2f}s)')
 
-    t0 = time.time()
-    img = render(scene, meta, seed=args.seed, spp=args.spp,
-                 verbose=args.verbose)
+    out = args.output or os.path.splitext(args.scene)[0] + '.exr'
+
+    # signal-driven cooperative control (reference mitsuba.cpp:114-123):
+    # SIGHUP develops the partial film to the output path mid-render;
+    # first SIGINT requests a graceful stop (partial develop + write),
+    # a second SIGINT aborts hard.
+    import signal
     import numpy as np
+    flags = {'hup': False, 'int': 0}
+
+    def _on_hup(sig, frm):
+        flags['hup'] = True
+
+    def _on_int(sig, frm):
+        flags['int'] += 1
+        if flags['int'] > 1:
+            raise KeyboardInterrupt
+        print('[signal] stop requested — finishing current pass, '
+              'partial film will be developed (^C again to abort)')
+
+    if hasattr(signal, 'SIGHUP'):
+        signal.signal(signal.SIGHUP, _on_hup)
+    signal.signal(signal.SIGINT, _on_int)
+
+    def on_pass(p, develop):
+        if flags['hup']:
+            flags['hup'] = False
+            write_exr(out, np.asarray(develop()))
+            print(f'[signal] SIGHUP — partial film ({p + 1} passes) '
+                  f'written to {out}')
+
+    t0 = time.time()
+    info = {}
+    # two-pass integrators: precompute the photon/VRL maps here so the
+    # postprocess stats dump (vrl.cpp:734-749 parity) can read them
+    aux = None
+    if args.verbose:
+        from .render import preprocess
+        aux = preprocess(scene, meta, seed=args.seed)
+    img = render(scene, meta, seed=args.seed, spp=args.spp,
+                 verbose=args.verbose, timeout=args.timeout,
+                 should_stop=lambda: flags['int'] > 0,
+                 on_pass=on_pass, info=info, aux=aux)
     img = np.asarray(img)
+    tag = ' (PARTIAL)' if info.get('stopped_early') else ''
     print(f'[render] {meta.film.width}x{meta.film.height} '
-          f'@ {args.spp or meta.spp} spp: {time.time() - t0:.2f}s '
+          f'@ {info.get("passes_done", args.spp or meta.spp)}'
+          f'/{args.spp or meta.spp} spp{tag}: {time.time() - t0:.2f}s '
           f'(mean {img.mean():.4f})')
 
-    out = args.output or os.path.splitext(args.scene)[0] + '.exr'
+    if aux is not None and hasattr(aux, 'vrl_count'):
+        from .integrators.lighttrace import log_map_stats
+        print('[stats]')
+        log_map_stats(aux)
+
     write_exr(out, img)
     print(f'[write] {out}')
     if args.png:

@@ -164,10 +164,14 @@ def _march_nonlinear(scene, meta, st: ShootState, t_coll, active_nl,
         ray, remaining, vrl_start, vrl_flux, act = carry
         nli = nl_mod.sample_nonlinear_interaction(scene, meta, ray,
                                                   st.medium_idx, act)
-        # also stop at scene surfaces (handle... returns false if si.t<nli.t)
-        si = isect.ray_intersect(scene, Ray(ray.o, ray.d, ray.mint,
+        # a surface before the bend point cancels the bend. Only the
+        # HIT/MISS bit is consumed, so this is an any-hit ray_test (early-
+        # out per chunk), not a full closest-hit sweep — the reference
+        # analogously re-intersects only at direction changes
+        # (nonlinear.cpp:244-295); one occlusion walk per bend candidate.
+        blocked = isect.ray_test(scene, Ray(ray.o, ray.d, ray.mint,
                                             jnp.minimum(remaining, nli.t)))
-        bend = act & nli.valid & (nli.t < remaining) & ~si.valid
+        bend = act & nli.valid & (nli.t < remaining) & ~blocked
         changed = bend & (m.dot(nli.wo, ray.d) < 1.0 - 1e-7)
         # VRL deposit at the bend
         dep_o = vrl_start
@@ -570,3 +574,58 @@ def build_maps(scene, meta, raw: RawDeposits, r_global, r_caustic,
         vrl_count=raw.vrl_count,
         sp_lost=raw.sp_lost, vp_lost=raw.vp_lost, vrl_lost=raw.vrl_lost,
         trunc_paths=raw.trunc_paths)
+
+
+def map_stats(maps: PhotonMaps) -> dict:
+    """Postprocess statistics dump, the analog of VRLIntegrator::
+    postprocess (vrl.cpp:734-749: query counts, map sizes, NLI min/max).
+    Deviations: per-render query counts are folded into the measured-rays
+    metric (render(ray_stats=...)) instead of per-map atomics; sizes are
+    the actual device-array bytes of each map. Pulls a handful of scalars
+    — call once after rendering, not per pass."""
+    def _nbytes(*arrs):
+        total = 0
+        for a in arrs:
+            if isinstance(a, jnp.ndarray):
+                total += a.size * a.dtype.itemsize
+            elif hasattr(a, '_fields'):        # nested grid pytrees
+                total += _nbytes(*[getattr(a, f) for f in a._fields])
+        return total
+
+    def bool_sum(x):
+        return int(jnp.sum(x))
+    stats = {
+        'surface_photons': bool_sum(maps.sp_valid),
+        'caustic_photons': bool_sum(maps.sp_valid & maps.sp_caustic),
+        'volume_photons': bool_sum(maps.vp_valid),
+        'vrl_count': int(maps.vrl_count),
+        'global_map_bytes': _nbytes(maps.sp_pos, maps.sp_power, maps.sp_dir,
+                                    maps.sp_normal, maps.global_grid),
+        'caustic_map_bytes': _nbytes(maps.caustic_grid),
+        'volume_map_bytes': _nbytes(maps.vp_pos, maps.vp_power, maps.vp_dir,
+                                    maps.vp_grid),
+        'vrl_map_bytes': _nbytes(maps.vrl_o, maps.vrl_d, maps.vrl_len,
+                                 maps.vrl_flux),
+    }
+    for k in ('sp_lost', 'vp_lost', 'vrl_lost', 'trunc_paths'):
+        v = getattr(maps, k)
+        if isinstance(v, jnp.ndarray):
+            stats[k] = int(v)
+    return stats
+
+
+def log_map_stats(maps: PhotonMaps, printer=print) -> None:
+    s = map_stats(maps)
+    def mem(b):
+        return f"{b / 2**20:.2f} MiB" if b >= 2**20 else f"{b / 2**10:.1f} KiB"
+    printer(f"  surface photons: {s['surface_photons']} "
+            f"({s['caustic_photons']} caustic), "
+            f"global map {mem(s['global_map_bytes'])}, "
+            f"caustic map {mem(s['caustic_map_bytes'])}")
+    printer(f"  volume photons: {s['volume_photons']}, "
+            f"map {mem(s['volume_map_bytes'])}")
+    printer(f"  VRLs: {s['vrl_count']}, map {mem(s['vrl_map_bytes'])}")
+    lost = {k: s[k] for k in ('sp_lost', 'vp_lost', 'vrl_lost',
+                              'trunc_paths') if s.get(k)}
+    if lost:
+        printer(f"  energy-loss diagnostics: {lost}")

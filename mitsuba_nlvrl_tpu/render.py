@@ -88,14 +88,26 @@ def _render_band(scene, meta, key, y0, band_h: int,
 def render(scene, meta, seed: int = 0, spp: Optional[int] = None,
            integrator: Optional[str] = None, verbose: bool = False,
            aux=None, max_band_rays: Optional[int] = None,
-           ray_stats: Optional[list] = None):
+           ray_stats: Optional[list] = None,
+           timeout: Optional[float] = None, should_stop=None,
+           on_pass=None, info: Optional[dict] = None):
     """Full render: preprocess (if needed) + spp passes -> (H, W, 3).
 
     Two-pass integrators on the (remote) TPU render in row bands so no
     single dispatch runs for minutes (worker watchdog safety).
     If ``ray_stats`` is a list, the per-pass measured ray-count device
     scalars are appended to it (pull them AFTER the render: device->host
-    transfers are expensive on remote TPU links)."""
+    transfers are expensive on remote TPU links).
+
+    Cooperative cancellation (reference Integrator::should_stop,
+    integrator.h:148-150 — m_stop flag OR render_timeout exceeded):
+    ``timeout`` seconds and/or a ``should_stop()`` callable are checked
+    between passes; on trigger the render stops early and the partial
+    accumulation is developed (the weight channel normalizes it
+    correctly at any pass count). ``on_pass(pass_idx, develop_fn)`` runs
+    after each pass — the CLI uses it for SIGHUP partial dumps
+    (mitsuba.cpp:114-123). ``info`` (a dict) receives ``passes_done``,
+    ``stopped_early`` and ``wall_s``."""
     spp = spp or meta.spp
     key = jax.random.PRNGKey(seed)
     if aux is None:
@@ -137,4 +149,19 @@ def render(scene, meta, seed: int = 0, spp: Optional[int] = None,
         if verbose and (p == 0 or (p + 1) % 16 == 0):
             acc.block_until_ready()
             print(f"  pass {p + 1}/{spp}  ({time.time() - t0:.2f}s)")
+        done = p + 1
+        if on_pass is not None:
+            _acc = acc
+            on_pass(p, lambda: film_mod.develop(_acc))
+        stop = (should_stop() if should_stop is not None else False) \
+            or (timeout is not None and time.time() - t0 > timeout)
+        if stop:
+            if verbose:
+                print(f"  [stop] after pass {done}/{spp} "
+                      f"({time.time() - t0:.2f}s) — developing partial film")
+            break
+    if info is not None:
+        info['passes_done'] = done
+        info['stopped_early'] = done < spp
+        info['wall_s'] = time.time() - t0
     return film_mod.develop(acc)

@@ -195,3 +195,143 @@ def write_png(path: str, image: np.ndarray, gamma: bool = True) -> None:
         f.write(chunk(b'IHDR', ihdr))
         f.write(chunk(b'IDAT', zlib.compress(raw, 6)))
         f.write(chunk(b'IEND', b''))
+
+
+# --- PFM / PPM / RGBE -------------------------------------------------------
+# The remaining bitmap formats of the reference's IO layer
+# (src/libcore/bitmap.cpp read_pfm/write_pfm, read_ppm/write_ppm,
+# read_rgbe/write_rgbe). All are host-side numpy; RGBE follows Ward's
+# shared-exponent encoding (rgbe.cpp semantics).
+
+def write_pfm(path: str, image: np.ndarray) -> None:
+    """Portable FloatMap: 'PF' color / 'Pf' gray, bottom-up rows,
+    little-endian (negative scale)."""
+    img = np.asarray(image, np.float32)
+    color = img.ndim == 3 and img.shape[2] >= 3
+    if color:
+        img = img[:, :, :3]
+    H, W = img.shape[:2]
+    with open(path, 'wb') as f:
+        f.write(b'PF\n' if color else b'Pf\n')
+        f.write(f'{W} {H}\n-1.0\n'.encode())
+        f.write(np.ascontiguousarray(img[::-1]).tobytes())
+
+
+def read_pfm(path: str) -> np.ndarray:
+    with open(path, 'rb') as f:
+        magic = f.readline().strip()
+        color = magic == b'PF'
+        if magic not in (b'PF', b'Pf'):
+            raise ValueError(f"{path}: not a PFM file")
+        dims = f.readline().split()
+        W, H = int(dims[0]), int(dims[1])
+        scale = float(f.readline())
+        dt = '<f4' if scale < 0 else '>f4'
+        n = W * H * (3 if color else 1)
+        img = np.frombuffer(f.read(4 * n), dt, n).astype(np.float32)
+    img = img.reshape(H, W, 3) if color else img.reshape(H, W)
+    img = img[::-1]  # bottom-up storage
+    if abs(scale) not in (0.0, 1.0):
+        img = img * abs(scale)
+    return np.ascontiguousarray(img)
+
+
+def write_ppm(path: str, image: np.ndarray, gamma: bool = True) -> None:
+    """Binary P6; float input is sRGB-tonemapped to 8 bit like write_png."""
+    img = np.asarray(image)
+    if img.dtype != np.uint8:
+        x = np.clip(img, 0.0, 1.0)
+        if gamma:
+            x = np.where(x <= 0.0031308, 12.92 * x,
+                         1.055 * np.power(np.maximum(x, 1e-8), 1 / 2.4)
+                         - 0.055)
+        img = (np.clip(x, 0, 1) * 255 + 0.5).astype(np.uint8)
+    if img.ndim == 2:
+        img = img[:, :, None].repeat(3, 2)
+    H, W = img.shape[:2]
+    with open(path, 'wb') as f:
+        f.write(f'P6\n{W} {H}\n255\n'.encode())
+        f.write(np.ascontiguousarray(img[:, :, :3]).tobytes())
+
+
+def read_ppm(path: str) -> np.ndarray:
+    """P6 (and P5 gray) -> uint8 array."""
+    with open(path, 'rb') as f:
+        data = f.read()
+    # header: magic, W, H, maxval separated by whitespace (skip comments)
+    tokens, pos = [], 0
+    while len(tokens) < 4:
+        while pos < len(data) and data[pos:pos + 1].isspace():
+            pos += 1
+        if data[pos:pos + 1] == b'#':
+            pos = data.index(b'\n', pos) + 1
+            continue
+        end = pos
+        while end < len(data) and not data[end:end + 1].isspace():
+            end += 1
+        tokens.append(data[pos:end])
+        pos = end
+    pos += 1  # single whitespace after maxval
+    magic, W, H = tokens[0], int(tokens[1]), int(tokens[2])
+    C = {b'P6': 3, b'P5': 1}[magic]
+    img = np.frombuffer(data, np.uint8, W * H * C, pos).reshape(H, W, C)
+    return img[:, :, 0] if C == 1 else img
+
+
+def write_rgbe(path: str, image: np.ndarray) -> None:
+    """Radiance HDR (.hdr/.rgbe): shared-exponent RGBE, flat scanlines."""
+    img = np.asarray(image, np.float32)[:, :, :3]
+    H, W = img.shape[:2]
+    mx = img.max(axis=2)
+    e = np.zeros((H, W), np.int32)
+    nz = mx >= 1e-32
+    m, e_nz = np.frexp(np.where(nz, mx, 1.0))
+    scale = np.where(nz, m * 256.0 / np.where(nz, mx, 1.0), 0.0)
+    rgbe = np.zeros((H, W, 4), np.uint8)
+    rgbe[:, :, :3] = np.clip(img * scale[:, :, None], 0, 255).astype(np.uint8)
+    rgbe[:, :, 3] = np.where(nz, e_nz + 128, 0).astype(np.uint8)
+    with open(path, 'wb') as f:
+        f.write(b'#?RADIANCE\nFORMAT=32-bit_rle_rgbe\n\n')
+        f.write(f'-Y {H} +X {W}\n'.encode())
+        f.write(rgbe.tobytes())
+
+
+def read_rgbe(path: str) -> np.ndarray:
+    """Radiance HDR reader: flat and RLE scanlines -> float32 (H, W, 3)."""
+    with open(path, 'rb') as f:
+        if not f.readline().startswith(b'#?'):
+            raise ValueError(f"{path}: not a Radiance HDR file")
+        while True:
+            line = f.readline()
+            if line.strip() == b'':
+                break
+        dims = f.readline().split()
+        H, W = int(dims[1]), int(dims[3])
+        data = f.read()
+    rgbe = np.zeros((H, W, 4), np.uint8)
+    pos = 0
+    for y in range(H):
+        if W >= 8 and W < 32768 and data[pos] == 2 and data[pos + 1] == 2:
+            # adaptive RLE scanline: 4 component streams
+            pos += 4
+            for c in range(4):
+                x = 0
+                while x < W:
+                    cnt = data[pos]
+                    if cnt > 128:  # run
+                        rgbe[y, x:x + cnt - 128, c] = data[pos + 1]
+                        x += cnt - 128
+                        pos += 2
+                    else:          # literal
+                        rgbe[y, x:x + cnt, c] = np.frombuffer(
+                            data, np.uint8, cnt, pos + 1)
+                        x += cnt
+                        pos += 1 + cnt
+        else:
+            row = np.frombuffer(data, np.uint8, 4 * W, pos).reshape(W, 4)
+            rgbe[y] = row
+            pos += 4 * W
+    e = rgbe[:, :, 3].astype(np.int32)
+    scale = np.where(e > 0, np.ldexp(1.0, e - 136), 0.0)
+    return (rgbe[:, :, :3].astype(np.float32) * scale[:, :, None]) \
+        .astype(np.float32)
