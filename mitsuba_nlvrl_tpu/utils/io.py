@@ -190,11 +190,15 @@ def write_png(path: str, image: np.ndarray, gamma: bool = True) -> None:
 
     ihdr = struct.pack('>IIBBBBB', W, H, 8, ctype, 0, 0, 0)
     raw = b''.join(b'\x00' + img[y].tobytes() for y in range(H))
-    with open(path, 'wb') as f:
+    f = path if hasattr(path, 'write') else open(path, 'wb')
+    try:
         f.write(b'\x89PNG\r\n\x1a\n')
         f.write(chunk(b'IHDR', ihdr))
         f.write(chunk(b'IDAT', zlib.compress(raw, 6)))
         f.write(chunk(b'IEND', b''))
+    finally:
+        if f is not path:
+            f.close()
 
 
 # --- PFM / PPM / RGBE -------------------------------------------------------
