@@ -655,8 +655,9 @@ def _perturb_si(scene, meta, si):
     normal, keeping anisotropy alignment."""
     from .. import texture as tex_mod
     from ..core.frame import Frame
-    btype = scene.bsdfs.type[si.bsdf_idx]
-    P = scene.bsdfs.params[si.bsdf_idx]
+    from ..ops.gather import take_many
+    btype, P = take_many([scene.bsdfs.type, scene.bsdfs.params],
+                         si.bsdf_idx)
     is_nm = btype == _NORMALMAP
     is_bm = btype == _BUMPMAP
     is_pert = is_nm | is_bm
@@ -706,9 +707,9 @@ def eval(scene, meta, si, wo, mode=RADIANCE, textures=None,
         f0 = si.sh_frame
         si = _perturb_si(scene, meta, si)
         wo = si.sh_frame.to_local(f0.to_world(wo))
-    btype = scene.bsdfs.type[si.bsdf_idx]
-    flags = scene.bsdfs.flags[si.bsdf_idx]
-    P = scene.bsdfs.params[si.bsdf_idx]
+    from ..ops.gather import take_many
+    btype, flags, P = take_many([scene.bsdfs.type, scene.bsdfs.flags,
+                                 scene.bsdfs.params], si.bsdf_idx)
     P = _apply_param_textures(scene, meta, si, P, btype)
     if textures is None:
         textures = _textured_reflectance(scene, meta, si, P)
@@ -748,9 +749,9 @@ def pdf(scene, meta, si, wo, _depth: int = 0):
         f0 = si.sh_frame
         si = _perturb_si(scene, meta, si)
         wo = si.sh_frame.to_local(f0.to_world(wo))
-    btype = scene.bsdfs.type[si.bsdf_idx]
-    flags = scene.bsdfs.flags[si.bsdf_idx]
-    P = scene.bsdfs.params[si.bsdf_idx]
+    from ..ops.gather import take_many
+    btype, flags, P = take_many([scene.bsdfs.type, scene.bsdfs.flags,
+                                 scene.bsdfs.params], si.bsdf_idx)
     P = _apply_param_textures(scene, meta, si, P, btype)
     if _BLEND in meta.bsdf_types and _depth == 0:
         is_b = btype == _BLEND
@@ -791,9 +792,9 @@ def sample(scene, meta, si, u1, u2, mode=RADIANCE, textures=None,
     if _depth == 0 and _has_perturb(meta):
         _f_orig = si.sh_frame
         si = _perturb_si(scene, meta, si)
-    btype = scene.bsdfs.type[si.bsdf_idx]
-    flags = scene.bsdfs.flags[si.bsdf_idx]
-    P = scene.bsdfs.params[si.bsdf_idx]
+    from ..ops.gather import take_many
+    btype, flags, P = take_many([scene.bsdfs.type, scene.bsdfs.flags,
+                                 scene.bsdfs.params], si.bsdf_idx)
     P = _apply_param_textures(scene, meta, si, P, btype)
     if textures is None:
         textures = _textured_reflectance(scene, meta, si, P)
@@ -878,9 +879,9 @@ def eval_null_transmission(scene, meta, si):
     """Transmittance of straight-through rays (reference
     bsdf.h eval_null_transmission): 1 for null bsdfs, (1 - opacity) for
     masked bsdfs, 0 otherwise."""
-    flags = scene.bsdfs.flags[si.bsdf_idx]
-    P = scene.bsdfs.params[si.bsdf_idx]
-    btype = scene.bsdfs.type[si.bsdf_idx]
+    from ..ops.gather import take_many
+    flags, P, btype = take_many([scene.bsdfs.flags, scene.bsdfs.params,
+                                 scene.bsdfs.type], si.bsdf_idx)
     is_mask = (flags & F_MASK) > 0
     is_null = ((flags & F_NULL) > 0) & ~is_mask
     out = jnp.where(is_null[:, None], jnp.ones((si.wi.shape[0], 3)), 0.0)

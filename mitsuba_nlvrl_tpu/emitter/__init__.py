@@ -241,7 +241,8 @@ def eval_hit(scene, meta, si, active):
         return jnp.zeros(si.p.shape[:-1] + (3,), jnp.float32)
     has = active & (si.emitter_idx >= 0)
     e = jnp.maximum(si.emitter_idx, 0)
-    rad = scene.emitters.params[e, 0:3]
+    from ..ops.gather import take_rows
+    rad = take_rows(scene.emitters.params, e)[:, 0:3]
     front = si.wi[:, 2] > 0  # local frame: emitter normal side
     return jnp.where((has & front)[:, None], rad, 0.0)
 
@@ -331,8 +332,9 @@ def sample_direction(scene, meta, ref_p, u_sel, u2, active
         return ds, zeros3
 
     e_idx = jnp.minimum((u_sel * E).astype(jnp.int32), E - 1)
-    etype = scene.emitters.type[e_idx]
-    P = scene.emitters.params[e_idx]
+    from ..ops.gather import take_many
+    etype, P = take_many([scene.emitters.type, scene.emitters.params],
+                         e_idx)
 
     p = jnp.zeros((N, 3))
     n = jnp.zeros((N, 3))
@@ -496,7 +498,9 @@ def pdf_direction(scene, meta, ref_p, si, active):
     E = max(scene.emitters.type.shape[0], 1)
     has = active & (si.emitter_idx >= 0)
     e = jnp.maximum(si.emitter_idx, 0)
-    etype = scene.emitters.type[e]
+    from ..ops.gather import take_many
+    etype, area_e = take_many([scene.emitters.type, scene.emitters.em_area],
+                              e)
     pdf = jnp.zeros(ref_p.shape[:-1])
 
     if E_AREA in meta.emitter_types:
@@ -504,7 +508,7 @@ def pdf_direction(scene, meta, ref_p, si, active):
         dist2 = m.squared_norm(d)
         dist = m.safe_sqrt(dist2)
         cos_l = jnp.abs(m.dot(d * m.safe_rcp(dist)[..., None], si.n))
-        area = jnp.maximum(scene.emitters.em_area[e], 1e-20)
+        area = jnp.maximum(area_e, 1e-20)
         pdf_a = m.safe_div(dist2, cos_l * area)
         pdf = jnp.where(etype == E_AREA, pdf_a, pdf)
 
@@ -542,8 +546,9 @@ def sample_ray(scene, meta, u_sel, u_pos, u_dir, active
     E = scene.emitters.type.shape[0]
     N = u_sel.shape[0]
     e_idx = jnp.minimum((u_sel * E).astype(jnp.int32), max(E - 1, 0))
-    etype = scene.emitters.type[e_idx]
-    P = scene.emitters.params[e_idx]
+    from ..ops.gather import take_many
+    etype, P = take_many([scene.emitters.type, scene.emitters.params],
+                         e_idx)
     o = jnp.zeros((N, 3))
     d = jnp.zeros((N, 3))
     w = jnp.zeros((N, 3))

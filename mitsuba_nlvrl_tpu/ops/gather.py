@@ -1,0 +1,76 @@
+"""Row gathers via one-hot matmul.
+
+Per-lane gathers (``table[idx]``) are the TPU wavefront renderer's silent
+tax: XLA lowers them to serial-ish dynamic-gathers (~1 element/cycle), so
+nine 3-wide attribute gathers over a 262k wavefront cost ~6 ms — more
+than the intersection sweep itself. For SMALL tables the MXU does the
+same job for free: build a one-hot (N, T) matrix from an iota compare and
+matmul it with the (T, C) table. At HIGHEST precision the result is
+bit-exact (each output row is 1.0 * row + zeros) and the compare+matmul
+fuse, so nothing big is materialized in HBM. Measured: 9 fused gathers
+5.9 ms -> one-hot matmul under 0.05 ms at N=262k, T=38.
+
+Only worth it on TPU and only for small T — large tables stream too much
+MXU traffic (N*T). CPU native gathers are fast; keep them there.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+# beyond this many rows the N*T one-hot traffic outweighs the gather cost
+ONEHOT_MAX_ROWS = 512
+
+
+def _use_onehot(n_rows: int) -> bool:
+    return (0 < n_rows <= ONEHOT_MAX_ROWS
+            and jax.default_backend() == 'tpu')
+
+
+def take_rows(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """``table[idx]`` for a (T, C) or (T,) table and (N,) int indices.
+    Exact (HIGHEST-precision one-hot matmul) on TPU for small tables,
+    native gather otherwise. Out-of-range indices are clamped (matching
+    jnp's TPU gather behavior)."""
+    squeeze = table.ndim == 1
+    tab = table[:, None] if squeeze else table
+    T = tab.shape[0]
+    if not _use_onehot(T):
+        out = tab[idx]
+        return out[..., 0] if squeeze else out
+    idx = jnp.clip(idx, 0, T - 1)
+    oh = (idx[:, None] == jnp.arange(T, dtype=idx.dtype)[None, :]) \
+        .astype(jnp.float32)
+    isint = jnp.issubdtype(tab.dtype, jnp.integer)
+    src = tab.astype(jnp.float32)
+    out = jax.lax.dot(oh, src, precision=jax.lax.Precision.HIGHEST)
+    if isint:
+        # integer payloads (ids < 2^24) survive the f32 path exactly
+        out = jnp.round(out).astype(tab.dtype)
+    return out[..., 0] if squeeze else out
+
+
+def take_many(tables, idx):
+    """Gather several (T, Ci)/(T,) tables that share one index array with
+    a single fused one-hot matmul. Returns views split per table."""
+    tabs = [t[:, None] if t.ndim == 1 else t for t in tables]
+    T = tabs[0].shape[0]
+    if not _use_onehot(T) or any(t.shape[0] != T for t in tabs):
+        outs = [take_rows(t, idx) for t in tables]
+        return outs
+    anyint = any(jnp.issubdtype(t.dtype, jnp.integer) for t in tabs)
+    big = jnp.concatenate([t.astype(jnp.float32) for t in tabs], axis=1)
+    idx = jnp.clip(idx, 0, T - 1)
+    oh = (idx[:, None] == jnp.arange(T, dtype=idx.dtype)[None, :]) \
+        .astype(jnp.float32)
+    out = jax.lax.dot(oh, big, precision=jax.lax.Precision.HIGHEST)
+    res = []
+    c = 0
+    for orig, t in zip(tables, tabs):
+        w = t.shape[1]
+        piece = out[:, c:c + w]
+        if jnp.issubdtype(t.dtype, jnp.integer):
+            piece = jnp.round(piece).astype(t.dtype)
+        res.append(piece[:, 0] if orig.ndim == 1 else piece)
+        c += w
+    return res

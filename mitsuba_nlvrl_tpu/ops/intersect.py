@@ -118,13 +118,19 @@ def _scan_tris(ray: Ray, v0, e1, e2, any_hit: bool, maxt):
             occluded = occluded | jnp.any(valid, axis=1)
             return (best_t, best_i, best_u, best_v, occluded), None
         t = jnp.where(valid, t, jnp.inf)
+        # min + one-hot select instead of argmin + take_along_axis: the
+        # per-lane (N, chunk) gathers lower to serial dynamic-gathers on
+        # TPU (~4ms each at N=262k) while the masked reduce is free VPU
         j = jnp.argmin(t, axis=1)
-        tj = jnp.take_along_axis(t, j[:, None], 1)[:, 0]
+        tj = jnp.min(t, axis=1)
+        oh = jnp.arange(t.shape[1])[None, :] == j[:, None]
         better = tj < best_t
         best_t = jnp.where(better, tj, best_t)
         best_i = jnp.where(better, base + j.astype(jnp.int32), best_i)
-        best_u = jnp.where(better, jnp.take_along_axis(u, j[:, None], 1)[:, 0], best_u)
-        best_v = jnp.where(better, jnp.take_along_axis(v, j[:, None], 1)[:, 0], best_v)
+        best_u = jnp.where(better, jnp.sum(jnp.where(oh, u, 0.0), axis=1),
+                           best_u)
+        best_v = jnp.where(better, jnp.sum(jnp.where(oh, v, 0.0), axis=1),
+                           best_v)
         return (best_t, best_i, best_u, best_v, occluded), None
 
     init = (jnp.full((N,), jnp.inf), jnp.full((N,), -1, jnp.int32),
@@ -225,18 +231,20 @@ def compute_si(scene, ray: Ray, pi: PreliminaryHit) -> SurfaceInteraction:
     idx = jnp.maximum(pi.prim_idx, 0)
     is_tri = (pi.kind == KIND_TRI) & pi.valid
 
-    # triangle attributes
+    # triangle attributes — one fused one-hot-matmul gather for the whole
+    # attribute block (ops/gather.py: per-lane dynamic gathers are the
+    # dominant cost of compute_si on TPU, ~6ms/262k lanes vs ~0 for MXU)
     if geo.v0.shape[0] > 0:
-        te1 = geo.e1[idx]
-        te2 = geo.e2[idx]
+        from .gather import take_many
+        te1, te2, n0, n1, n2, uv0, uv1, uv2, shape_tri = take_many(
+            [geo.e1, geo.e2, geo.n0, geo.n1, geo.n2,
+             geo.uv0, geo.uv1, geo.uv2, geo.shape_idx], idx)
         gn_tri = m.normalize(jnp.cross(te1, te2))
         w = 1.0 - pi.u - pi.v
-        ns_tri = m.normalize(w[:, None] * geo.n0[idx]
-                             + pi.u[:, None] * geo.n1[idx]
-                             + pi.v[:, None] * geo.n2[idx])
-        uv_tri = (w[:, None] * geo.uv0[idx] + pi.u[:, None] * geo.uv1[idx]
-                  + pi.v[:, None] * geo.uv2[idx])
-        shape_tri = geo.shape_idx[idx]
+        ns_tri = m.normalize(w[:, None] * n0 + pi.u[:, None] * n1
+                             + pi.v[:, None] * n2)
+        uv_tri = (w[:, None] * uv0 + pi.u[:, None] * uv1
+                  + pi.v[:, None] * uv2)
     else:
         gn_tri = ns_tri = jnp.zeros((N, 3))
         uv_tri = jnp.zeros((N, 2))
@@ -270,15 +278,19 @@ def compute_si(scene, ray: Ray, pi: PreliminaryHit) -> SurfaceInteraction:
     shape_idx = jnp.where(pi.valid, shape_idx, -1)
     safe_shape = jnp.maximum(shape_idx, 0)
     st = scene.shapes
+    from .gather import take_many
+    bsdf_i, emitter_i, int_m, ext_m = take_many(
+        [st.bsdf_idx, st.emitter_idx, st.int_medium, st.ext_medium],
+        safe_shape)
     return SurfaceInteraction(
         valid=pi.valid,
         t=jnp.where(pi.valid, pi.t, jnp.inf),
         p=p, n=gn, sh_frame=sh_frame, uv=uv, wi=wi_local,
         prim_index=pi.prim_idx, shape_idx=shape_idx,
-        bsdf_idx=jnp.where(pi.valid, st.bsdf_idx[safe_shape], 0),
-        emitter_idx=jnp.where(pi.valid, st.emitter_idx[safe_shape], -1),
-        int_medium=jnp.where(pi.valid, st.int_medium[safe_shape], -1),
-        ext_medium=jnp.where(pi.valid, st.ext_medium[safe_shape], -1))
+        bsdf_idx=jnp.where(pi.valid, bsdf_i, 0),
+        emitter_idx=jnp.where(pi.valid, emitter_i, -1),
+        int_medium=jnp.where(pi.valid, int_m, -1),
+        ext_medium=jnp.where(pi.valid, ext_m, -1))
 
 
 def ray_intersect(scene, ray: Ray, maxt=None) -> SurfaceInteraction:

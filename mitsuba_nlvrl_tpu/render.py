@@ -24,11 +24,10 @@ from .integrators import get_integrator, get_preprocess
 from .integrators.common import film_sample_positions
 
 
-@partial(jax.jit, static_argnames=('meta', 'integrator'))
-def render_pass(scene, meta, key, integrator: Optional[str] = None,
-                aux=None, pass_idx=0):
-    """Render 1 spp over the full film; returns (H, W, 4) premultiplied
-    [rgb * weight, weight] accumulation."""
+def _pass_body(scene, meta, key, integrator: Optional[str] = None,
+               aux=None, pass_idx=0):
+    """One 1-spp pass over the full film; returns ((H, W, 4) premultiplied
+    [rgb * weight, weight] accumulation, measured ray count)."""
     integ = get_integrator(integrator or meta.integrator)
     pos_key, samp_key = jax.random.split(key)
     pos, pos01 = film_sample_positions(meta, pos_key, pass_idx)
@@ -46,6 +45,31 @@ def render_pass(scene, meta, key, integrator: Optional[str] = None,
     # sampler.rays = MEASURED rays traced this pass (live lanes at every
     # intersection site incl. shadow/walk rays) — the honest bench metric
     return image, sampler.rays
+
+
+@partial(jax.jit, static_argnames=('meta', 'integrator'))
+def render_pass(scene, meta, key, integrator: Optional[str] = None,
+                aux=None, pass_idx=0):
+    return _pass_body(scene, meta, key, integrator, aux, pass_idx)
+
+
+@partial(jax.jit, static_argnames=('meta', 'integrator', 'n_passes'))
+def render_passes(scene, meta, key, n_passes: int,
+                  integrator: Optional[str] = None, aux=None, pass0=0):
+    """``n_passes`` spp in ONE device dispatch (fori_loop over passes,
+    accumulating on device). The per-dispatch latency on a remote-TPU
+    link is ~100ms+ — looping on host pays it per spp, this pays it
+    once per chunk. Returns ((H, W, 4) accumulation, total rays)."""
+    def body(i, carry):
+        acc, rays = carry
+        p = pass0 + i
+        img, nrays = _pass_body(scene, meta, jax.random.fold_in(key, p),
+                                integrator, aux, p)
+        return acc + img, rays + nrays
+
+    acc0 = film_mod.new_image(meta.film)
+    return jax.lax.fori_loop(0, n_passes, body,
+                             (acc0, jnp.zeros((), jnp.float32)))
 
 
 def preprocess(scene, meta, seed: int = 0, integrator: Optional[str] = None):
@@ -90,7 +114,8 @@ def render(scene, meta, seed: int = 0, spp: Optional[int] = None,
            aux=None, max_band_rays: Optional[int] = None,
            ray_stats: Optional[list] = None,
            timeout: Optional[float] = None, should_stop=None,
-           on_pass=None, info: Optional[dict] = None):
+           on_pass=None, info: Optional[dict] = None,
+           spp_per_dispatch: Optional[int] = None):
     """Full render: preprocess (if needed) + spp passes -> (H, W, 3).
 
     Two-pass integrators on the (remote) TPU render in row bands so no
@@ -121,9 +146,24 @@ def render(scene, meta, seed: int = 0, spp: Optional[int] = None,
     acc = None
     t0 = time.time()
     W, H = meta.film.width, meta.film.height
-    for p in range(spp):
-        kp = jax.random.fold_in(key, p)
-        if max_band_rays is not None and W * H > max_band_rays:
+    banded = max_band_rays is not None and W * H > max_band_rays
+    # non-banded path: fold whole pass CHUNKS into single dispatches (the
+    # per-dispatch latency on the remote-TPU link is ~100ms; per-spp host
+    # loops pay it spp times). Chunk size bounds per-dispatch runtime
+    # (worker watchdog) and sets the cancel/on_pass granularity — so
+    # cancel/progress hooks default to per-pass dispatches.
+    if spp_per_dispatch is not None:
+        chunk = max(1, spp_per_dispatch)
+    elif banded or should_stop is not None or on_pass is not None \
+            or timeout is not None:
+        chunk = 1
+    else:
+        chunk = min(16, spp)
+    p = 0
+    while p < spp:
+        n_now = 1 if banded else min(chunk, spp - p)
+        if banded:
+            kp = jax.random.fold_in(key, p)
             band_h = max(1, max_band_rays // W)
             rows = []
             for y0 in range(0, H, band_h):
@@ -140,19 +180,25 @@ def render(scene, meta, seed: int = 0, spp: Optional[int] = None,
             img = film_mod.new_image(meta.film)
             img = film_mod.splat_pixel_ordered(
                 meta.film, jfull.reshape(-1, 2), Lfull.reshape(-1, 3), img)
+        elif n_now == 1:
+            img, nrays = render_pass(scene, meta,
+                                     jax.random.fold_in(key, p),
+                                     integrator, aux, jnp.uint32(p))
+            if ray_stats is not None:
+                ray_stats.append(nrays)
         else:
-            img, nrays = render_pass(scene, meta, kp, integrator, aux,
-                                     jnp.uint32(p))
+            img, nrays = render_passes(scene, meta, key, n_now,
+                                       integrator, aux, jnp.uint32(p))
             if ray_stats is not None:
                 ray_stats.append(nrays)
         acc = img if acc is None else acc + img
-        if verbose and (p == 0 or (p + 1) % 16 == 0):
+        done = p + n_now
+        if verbose:
             acc.block_until_ready()
-            print(f"  pass {p + 1}/{spp}  ({time.time() - t0:.2f}s)")
-        done = p + 1
+            print(f"  pass {done}/{spp}  ({time.time() - t0:.2f}s)")
         if on_pass is not None:
             _acc = acc
-            on_pass(p, lambda: film_mod.develop(_acc))
+            on_pass(done - 1, lambda: film_mod.develop(_acc))
         stop = (should_stop() if should_stop is not None else False) \
             or (timeout is not None and time.time() - t0 > timeout)
         if stop:
@@ -160,6 +206,7 @@ def render(scene, meta, seed: int = 0, spp: Optional[int] = None,
                 print(f"  [stop] after pass {done}/{spp} "
                       f"({time.time() - t0:.2f}s) — developing partial film")
             break
+        p = done
     if info is not None:
         info['passes_done'] = done
         info['stopped_early'] = done < spp
