@@ -227,8 +227,9 @@ def _lut_fetch(rgb):
     mx = jnp.max(rgb, axis=-1)
     # off-max component order per argmax channel, matching build_lut
     oth = jnp.asarray([[1, 2], [0, 2], [0, 1]], jnp.int32)[imax]  # (N, 2)
-    oth1 = jnp.take_along_axis(rgb, oth[:, 0:1], -1)[:, 0] / mx
-    oth2 = jnp.take_along_axis(rgb, oth[:, 1:2], -1)[:, 0] / mx
+    from ..ops.gather import select_channel
+    oth1 = select_channel(rgb, oth[:, 0]) / mx
+    oth2 = select_channel(rgb, oth[:, 1]) / mx
     s0 = jnp.sqrt(1e-4)
     fs = (jnp.sqrt(mx) - s0) / (1.0 - s0) * (LUT_S - 1)
     fa = oth1 * (LUT_A - 1)

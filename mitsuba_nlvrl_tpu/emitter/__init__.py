@@ -294,8 +294,12 @@ def spectral_radiance(scene, rgb, e_idx, lam):
     offs = jnp.where((etype == E_POINT) | (etype == E_DIRECTIONAL)
                      | (etype == E_PROJECTOR), 3,
                      jnp.where(etype == E_SPOT, 6, 0))
-    cols = offs[:, None] + jnp.arange(3)
-    base_rgb = jnp.take_along_axis(em.params[e], cols, axis=-1)
+    from ..ops.gather import take_rows
+    Pe = take_rows(em.params, e)
+    # variable 3-column window via a shifted one-hot reduce
+    sel = (jnp.arange(Pe.shape[1])[None, None, :]
+           == (offs[:, None, None] + jnp.arange(3)[None, :, None]))
+    base_rgb = jnp.sum(jnp.where(sel, Pe[:, None, :], 0.0), axis=-1)
     ratio = luminance(rgb) / jnp.maximum(luminance(base_rgb), 1e-12)
     bb = sp.planck(lam, jnp.maximum(param, 1.0)[:, None]) * scale[:, None]
     # tabulated SPD rows on the regular 360-830 grid

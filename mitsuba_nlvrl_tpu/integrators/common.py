@@ -60,4 +60,5 @@ def russian_roulette(throughput, eta, depth, rr_depth, u):
 
 def spectrum_channel(spec: jnp.ndarray, channel: jnp.ndarray) -> jnp.ndarray:
     """index_spectrum (reference volpath.cpp:26): pick the hero channel."""
-    return jnp.take_along_axis(spec, channel[..., None], axis=-1)[..., 0]
+    from ..ops.gather import select_channel
+    return select_channel(spec, channel)

@@ -34,6 +34,7 @@ from .. import medium as medium_mod
 from .. import phase as phase_mod
 from ..medium import nonlinear as nl_mod
 from ..ops import intersect as isect
+from ..ops import gather as gat
 from ..ops import hashgrid
 from ..scene.types import F_NULL, F_SMOOTH, F_TRANSMISSION, MEDIUM_TYPES
 
@@ -287,7 +288,7 @@ def shoot(scene, meta, key, n_paths: int, max_depth: int = 8,
         # --- nonlinear bending + free flight --------------------------------
         u_fl, smp = smp.next_1d()
         majorant = medium_mod.get_majorant(scene, st.medium_idx)
-        mj = jnp.take_along_axis(majorant, st.channel[:, None], 1)[:, 0]
+        mj = gat.select_channel(majorant, st.channel)
         t_coll = -jnp.log1p(-jnp.clip(u_fl, 0, m.OneMinusEpsilon)) \
             / jnp.maximum(mj, 1e-30)
 
@@ -319,7 +320,7 @@ def shoot(scene, meta, key, n_paths: int, max_depth: int = 8,
         seg_t = jnp.minimum(t_coll, si.t)
         seg_t = jnp.where(jnp.isfinite(seg_t), seg_t, 0.0)
         tr_vec = jnp.exp(-seg_t[:, None] * majorant)
-        tr_ch = jnp.take_along_axis(tr_vec, st.channel[:, None], 1)[:, 0]
+        tr_ch = gat.select_channel(tr_vec, st.channel)
         tr_pdf = jnp.where(coll_valid, tr_ch * mj, tr_ch)
         throughput = jnp.where(
             active_medium[:, None],
@@ -334,14 +335,14 @@ def shoot(scene, meta, key, n_paths: int, max_depth: int = 8,
 
         # null vs real
         u_ev, smp = smp.next_1d()
-        p_real = jnp.take_along_axis(sigma_t, st.channel[:, None], 1)[:, 0] \
+        p_real = gat.select_channel(sigma_t, st.channel) \
             / jnp.maximum(mj, 1e-30)
         act_real = coll_valid & (u_ev < p_real)
         act_null = coll_valid & ~act_real
         throughput = jnp.where(
             act_null[:, None],
             throughput * sigma_n * (mj / jnp.maximum(
-                jnp.take_along_axis(sigma_n, st.channel[:, None], 1)[:, 0],
+                gat.select_channel(sigma_n, st.channel),
                 1e-30))[:, None], throughput)
         depth = jnp.where(act_real, st.depth + 1, st.depth)
         trunc = trunc | (active & (depth >= max_depth + 1))
@@ -351,7 +352,7 @@ def shoot(scene, meta, key, n_paths: int, max_depth: int = 8,
         throughput = jnp.where(
             act_real[:, None],
             throughput * sigma_s * (mj / jnp.maximum(
-                jnp.take_along_axis(sigma_t, st.channel[:, None], 1)[:, 0],
+                gat.select_channel(sigma_t, st.channel),
                 1e-30))[:, None], throughput)
 
         # volume photon: first scatter in the chain (vrl.cpp:273-275), or

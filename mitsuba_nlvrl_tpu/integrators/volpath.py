@@ -42,7 +42,8 @@ HET_COLLISION_ITERS = 1024    # majorant collisions per medium segment
 
 
 def _index_spec(spec, channel):
-    return jnp.take_along_axis(spec, channel[:, None], axis=1)[:, 0]
+    from ..ops.gather import select_channel
+    return select_channel(spec, channel)
 
 
 def _has_hetero(meta):

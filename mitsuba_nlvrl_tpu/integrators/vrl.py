@@ -38,6 +38,7 @@ from .. import medium as medium_mod
 from .. import phase as phase_mod
 from ..medium import nonlinear as nl_mod
 from ..ops import intersect as isect
+from ..ops.gather import select_channel as _selch
 from ..scene.types import F_SMOOTH, MEDIUM_TYPES
 from . import lighttrace
 from . import photon_est
@@ -343,7 +344,8 @@ def sample_cluster_vrl(clusters: VRLClusters, w, w_cdf, seg_o, seg_d,
     u = u_c[:, None] * w_cdf[:, -1:]
     c = jnp.sum((w_cdf < u).astype(jnp.int32), axis=1)
     c = jnp.minimum(c, K - 1)
-    w_c = jnp.take_along_axis(w, c[:, None], 1)[:, 0]
+    from ..ops.gather import select_channel
+    w_c = select_channel(w, c)
     w_tot = w_cdf[:, -1]
     p_c = w_c * m.safe_rcp(w_tot)
     # exact member weights within the chosen cluster (same softened 1/d^2
@@ -357,7 +359,7 @@ def sample_cluster_vrl(clusters: VRLClusters, w, w_cdf, seg_o, seg_d,
     um = u_m[:, None] * wm_tot[:, None]
     j = jnp.sum((wm_cdf < um).astype(jnp.int32), axis=1)
     j = jnp.minimum(j, wm.shape[1] - 1)
-    p_m = jnp.take_along_axis(wm, j[:, None], 1)[:, 0] \
+    p_m = _selch(wm, j) \
         * m.safe_rcp(wm_tot)
     vi = clusters.member[c, j]
     ok = (vi < V) & (p_c > 0) & (p_m > 0) & (w_tot > 0) & (wm_tot > 0)
@@ -475,9 +477,7 @@ def query_vrls(scene, meta, maps, seg_o, seg_d, seg_len, cam_medium, channel,
             found = jnp.any(hit, axis=1)
             take = found & (sel_i < 0)
             sel_i = jnp.where(take, sl[first], sel_i)
-            sel_w = jnp.where(take,
-                              jnp.take_along_axis(w, first[:, None],
-                                                  1)[:, 0], sel_w)
+            sel_w = jnp.where(take, _selch(w, first), sel_w)
             return cw[:, -1], sel_i, sel_w
 
         run0 = jnp.zeros((N,))

@@ -63,10 +63,11 @@ def _grid_lookup(grid, bbox_lo, bbox_hi, p):
 
 
 def medium_bbox(scene, medium_idx):
+    from ..ops.gather import take_rows
     midx = jnp.maximum(medium_idx, 0)
-    lo = scene.media.params[midx, M_BBOX_MIN:M_BBOX_MIN + 3]
-    hi = scene.media.params[midx, M_BBOX_MAX:M_BBOX_MAX + 3]
-    return lo, hi
+    P = take_rows(scene.media.params, midx)
+    return (P[:, M_BBOX_MIN:M_BBOX_MIN + 3],
+            P[:, M_BBOX_MAX:M_BBOX_MAX + 3])
 
 
 def intersect_aabb(scene, meta, medium_idx, ray: Ray):
@@ -78,8 +79,9 @@ def intersect_aabb(scene, meta, medium_idx, ray: Ray):
     maxt = jnp.full((N,), jnp.inf)
     hit = jnp.ones((N,), bool)
     if MT_HETEROGENEOUS in meta.medium_types:
+        from ..ops.gather import take_rows
         midx = jnp.maximum(medium_idx, 0)
-        mtype = scene.media.type[midx]
+        mtype = take_rows(scene.media.type, midx)
         lo, hi = medium_bbox(scene, medium_idx)
         inv_d = 1.0 / ray.d
         t0 = (lo - ray.o) * inv_d
@@ -95,8 +97,9 @@ def intersect_aabb(scene, meta, medium_idx, ray: Ray):
 
 def get_majorant(scene, medium_idx):
     """Combined extinction bound used for free-flight sampling (N, 3)."""
+    from ..ops.gather import take_rows
     midx = jnp.maximum(medium_idx, 0)
-    return scene.media.params[midx, M_MAJORANT:M_MAJORANT + 3]
+    return take_rows(scene.media.params, midx)[:, M_MAJORANT:M_MAJORANT + 3]
 
 
 def get_scattering_coefficients(scene, meta, medium_idx, p, active):
@@ -105,9 +108,9 @@ def get_scattering_coefficients(scene, meta, medium_idx, p, active):
     Mirrors get_scattering_coefficients of homogeneous.cpp:49 /
     heterogeneous.cpp:70 / nonlinear.cpp:419: sigma_n = majorant - sigma_t.
     """
+    from ..ops.gather import take_many
     midx = jnp.maximum(medium_idx, 0)
-    P = scene.media.params[midx]
-    mtype = scene.media.type[midx]
+    P, mtype = take_many([scene.media.params, scene.media.type], midx)
     scale = P[:, M_SCALE:M_SCALE + 1]
     sigma_t = P[:, M_SIGMA_T:M_SIGMA_T + 3] * scale
     albedo = P[:, M_ALBEDO:M_ALBEDO + 3]
@@ -141,7 +144,10 @@ def sample_interaction(scene, meta, ray: Ray, u, channel, medium_idx,
     maxt = jnp.where(act, jnp.minimum(ray.maxt, maxt), jnp.inf)
 
     majorant = get_majorant(scene, medium_idx)
-    mj = jnp.take_along_axis(majorant, channel[:, None], axis=1)[:, 0]
+    # per-lane channel select via one-hot reduce (take_along_axis lowers
+    # to a slow dynamic gather on TPU)
+    mj = jnp.sum(jnp.where(jnp.arange(3)[None, :] == channel[:, None],
+                           majorant, 0.0), axis=1)
     u = jnp.clip(u, 0.0, m.OneMinusEpsilon)
     sampled_t = mint + (-jnp.log1p(-u) / jnp.maximum(mj, 1e-30))
     valid = act & (sampled_t <= maxt) & (mj > 0)
@@ -180,6 +186,7 @@ def is_homogeneous_like(scene, meta, medium_idx):
     """Mask: medium has spatially constant extinction (homogeneous or
     nonlinear — the NL medium is optically homogeneous,
     nonlinear.cpp:41)."""
+    from ..ops.gather import take_rows
     midx = jnp.maximum(medium_idx, 0)
-    mtype = scene.media.type[midx]
+    mtype = take_rows(scene.media.type, midx)
     return (mtype == MT_HOMOGENEOUS) | (mtype == MT_NONLINEAR)

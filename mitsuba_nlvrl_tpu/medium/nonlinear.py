@@ -105,8 +105,8 @@ def sample_nonlinear_interaction(scene, meta, ray: Ray, medium_idx, active
         & (t_exit <= ray.maxt)
 
     # face normal opposing the ray: -sign(d[axis]) on exit_axis
-    step_sign = jnp.sign(jnp.take_along_axis(ray.d, exit_axis[:, None],
-                                             axis=1)[:, 0])
+    from ..ops.gather import select_channel
+    step_sign = jnp.sign(select_channel(ray.d, exit_axis))
     step_sign = jnp.where(step_sign == 0, 1.0, step_sign)
     normal = -step_sign[:, None] * jax.nn.one_hot(exit_axis, 3,
                                                   dtype=ray.d.dtype)
@@ -155,9 +155,10 @@ class BentRay(NamedTuple):
                                              < (self.count[:, None] - 1)),
                       axis=1)
         idx = jnp.clip(idx, 0, S - 1)
-        local_t = t - jnp.take_along_axis(prev, idx[:, None], 1)[:, 0]
-        o = jnp.take_along_axis(self.seg_o, idx[:, None, None], 1)[:, 0]
-        d = jnp.take_along_axis(self.seg_d, idx[:, None, None], 1)[:, 0]
+        from ..ops.gather import select_row
+        local_t = t - select_row(prev, idx)
+        o = select_row(self.seg_o, idx)
+        d = select_row(self.seg_d, idx)
         return o + d * local_t[:, None]
 
 

@@ -74,3 +74,22 @@ def take_many(tables, idx):
         res.append(piece[:, 0] if orig.ndim == 1 else piece)
         c += w
     return res
+
+
+def select_channel(spec: jnp.ndarray, channel: jnp.ndarray) -> jnp.ndarray:
+    """Per-lane channel pick from (..., C) via one-hot masked reduce.
+    ``take_along_axis`` lowers to a serial dynamic-gather on TPU (~2ms per
+    call at 262k lanes even for C=3); the masked reduce is free VPU work."""
+    C = spec.shape[-1]
+    oh = jnp.arange(C) == channel[..., None]
+    return jnp.sum(jnp.where(oh, spec, 0.0), axis=-1)
+
+
+def select_row(arr: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Per-lane row pick from (N, S) or (N, S, D) along axis 1 by (N,)
+    indices — the one-hot form of take_along_axis for small S."""
+    S = arr.shape[1]
+    oh = jnp.arange(S) == idx[:, None]
+    if arr.ndim == 3:
+        return jnp.sum(jnp.where(oh[:, :, None], arr, 0.0), axis=1)
+    return jnp.sum(jnp.where(oh, arr, 0.0), axis=1)

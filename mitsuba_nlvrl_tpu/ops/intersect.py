@@ -179,7 +179,7 @@ def intersect_preliminary(scene, ray: Ray, maxt=None) -> PreliminaryHit:
         tf_ok = hit & (tf >= ray.mint[:, None]) & (tf <= maxt[:, None])
         ts = jnp.where(tn_ok, tn, jnp.where(tf_ok, tf, jnp.inf))
         j = jnp.argmin(ts, axis=1)
-        tj = jnp.take_along_axis(ts, j[:, None], 1)[:, 0]
+        tj = jnp.min(ts, axis=1)
         better = tj < best_t
         best_t = jnp.where(better, tj, best_t)
         best_i = jnp.where(better, j.astype(jnp.int32), best_i)

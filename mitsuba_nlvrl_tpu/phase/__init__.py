@@ -30,8 +30,10 @@ def eval(scene, meta, medium_idx, wi, wo, active):
     """Phase value p(wi -> wo) per lane (== pdf, both reference phases are
     perfectly importance sampled). wi, wo world-space; wi = -incident dir."""
     midx = jnp.maximum(medium_idx, 0)
-    ptype = scene.media.phase_type[midx]
-    g = scene.media.params[midx, M_PHASE_G]
+    from ..ops.gather import take_many
+    ptype, Pm = take_many([scene.media.phase_type, scene.media.params],
+                          midx)
+    g = Pm[:, M_PHASE_G]
     out = jnp.zeros(wi.shape[:-1], jnp.float32)
     cos_theta = m.dot(wo, wi)
     for code in meta.phase_types:
@@ -50,8 +52,10 @@ def sample(scene, meta, medium_idx, wi, u2, active) -> Tuple[jnp.ndarray, jnp.nd
     local frame is built around the propagation direction d = -wi
     (reference: mi.sh_frame = Frame(ray.d), hg.cpp:60-68)."""
     midx = jnp.maximum(medium_idx, 0)
-    ptype = scene.media.phase_type[midx]
-    g = scene.media.params[midx, M_PHASE_G]
+    from ..ops.gather import take_many
+    ptype, Pm = take_many([scene.media.phase_type, scene.media.params],
+                          midx)
+    g = Pm[:, M_PHASE_G]
     N = wi.shape[0]
 
     # HG: sample cos_theta around propagation dir
