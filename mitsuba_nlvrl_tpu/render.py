@@ -138,10 +138,15 @@ def render(scene, meta, seed: int = 0, spp: Optional[int] = None,
     if aux is None:
         aux = preprocess(scene, meta, seed, integrator)
     name = integrator or meta.integrator
-    heavy = name in ('vrl', 'photonmapper')
-    if max_band_rays is None:
-        max_band_rays = 16384 if (heavy and
-                                  jax.default_backend() == 'tpu') else None
+    # the remote TPU worker watchdog kills very long single kernels; every
+    # integrator with unbounded inner collision loops renders in row bands
+    # there (131k-lane hetvol volpath bands crash the worker reproducibly;
+    # 16-32k bands are safe and cost <10% in dispatch overhead)
+    heavy = name in ('vrl', 'photonmapper', 'photonmap')
+    volumetric = heavy or (name in ('volpath', 'volpathmis')
+                           and getattr(meta, 'has_media', False))
+    if max_band_rays is None and jax.default_backend() == 'tpu':
+        max_band_rays = 16384 if heavy else (32768 if volumetric else None)
 
     acc = None
     t0 = time.time()
