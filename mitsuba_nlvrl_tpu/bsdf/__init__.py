@@ -739,6 +739,13 @@ def eval(scene, meta, si, wo, mode=RADIANCE, textures=None,
             val = meas_mod.eval(scene.measured[k], mm, wi, wo)
             sel = (btype == BSDF_TYPES['measured']) & (slot == k)
             out = jnp.where(sel[:, None], val, out)
+    if BSDF_TYPES['measured_polarized'] in meta.bsdf_types:
+        from . import measured_pol as mp_mod
+        slot = P[:, 0].astype(jnp.int32)
+        for k in range(len(scene.measured_pol)):
+            val = mp_mod.eval(scene.measured_pol[k], P, wi, wo)
+            sel = (btype == BSDF_TYPES['measured_polarized']) & (slot == k)
+            out = jnp.where(sel[:, None], val, out)
     # opacity-masked rows: surface lobe is attenuated by opacity
     out = jnp.where(((flags & F_MASK) > 0)[:, None], out * P[:, 14:15], out)
     return out
@@ -774,6 +781,10 @@ def pdf(scene, meta, si, wo, _depth: int = 0):
             val = meas_mod.pdf(scene.measured[k], mm, wi, wo)
             sel = (btype == BSDF_TYPES['measured']) & (slot == k)
             out = jnp.where(sel, val, out)
+    if BSDF_TYPES['measured_polarized'] in meta.bsdf_types:
+        from . import measured_pol as mp_mod
+        out = jnp.where(btype == BSDF_TYPES['measured_polarized'],
+                        mp_mod.pdf(P, wi, wo), out)
     out = jnp.where((flags & F_MASK) > 0, out * P[:, 14], out)
     return out
 
@@ -845,6 +856,20 @@ def sample(scene, meta, si, u1, u2, mode=RADIANCE, textures=None,
             wo_k, pdf_k, w_k = meas_mod.sample(scene.measured[k], mm, wi,
                                                u2)
             sel = (btype == BSDF_TYPES['measured']) & (slot == k)
+            bs = BSDFSample(
+                wo=jnp.where(sel[:, None], wo_k, bs.wo),
+                pdf=jnp.where(sel, pdf_k, bs.pdf),
+                eta=jnp.where(sel, 1.0, bs.eta),
+                delta=jnp.where(sel, False, bs.delta),
+                null=jnp.where(sel, False, bs.null))
+            weight = jnp.where(sel[:, None], w_k, weight)
+    if BSDF_TYPES['measured_polarized'] in meta.bsdf_types:
+        from . import measured_pol as mp_mod
+        slot = P[:, 0].astype(jnp.int32)
+        for k in range(len(scene.measured_pol)):
+            wo_k, pdf_k, w_k = mp_mod.sample(scene.measured_pol[k], P, wi,
+                                             u1, u2)
+            sel = (btype == BSDF_TYPES['measured_polarized']) & (slot == k)
             bs = BSDFSample(
                 wo=jnp.where(sel[:, None], wo_k, bs.wo),
                 pdf=jnp.where(sel, pdf_k, bs.pdf),

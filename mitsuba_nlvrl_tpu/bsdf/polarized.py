@@ -46,7 +46,7 @@ from . import RADIANCE, eval as eval_unpol, pdf as pdf_unpol, \
 
 _AWARE_SCALAR = ('dielectric', 'polarizer', 'retarder', 'circular')
 _AWARE_RGB = ('conductor', 'roughconductor')
-_AWARE = _AWARE_SCALAR + _AWARE_RGB + ('pplastic',)
+_AWARE = _AWARE_SCALAR + _AWARE_RGB + ('pplastic', 'measured_polarized')
 
 
 def has_polarized_types(meta) -> bool:
@@ -235,6 +235,19 @@ def _polarize_weight(scene, meta, si, wo_loc, w_unpol, mode,
             Mpp = Mpp * m.safe_rcp(pdf_val)[:, None, None, None]
         weight = jnp.where((btype == BSDF_TYPES['pplastic'])
                            [:, None, None, None], Mpp, weight)
+
+    if BSDF_TYPES['measured_polarized'] in types:
+        # direct measured Mueller eval (measured_polarized.cpp:209-292);
+        # divided by the pdf when this is a sampling weight
+        from . import measured_pol as mp_mod
+        slot = P[:, 0].astype(jnp.int32)
+        for k in range(len(scene.measured_pol)):
+            Mk = mp_mod.eval_mueller_world_local(
+                scene.measured_pol[k], P, wi_loc, wo_l, mode == RADIANCE)
+            if pdf_val is not None:
+                Mk = Mk * m.safe_rcp(pdf_val)[:, None, None, None]
+            sel = (btype == BSDF_TYPES['measured_polarized']) & (slot == k)
+            weight = jnp.where(sel[:, None, None, None], Mk, weight)
 
     return _to_world_mueller(si, weight, -wo_hat, wi_hat)
 

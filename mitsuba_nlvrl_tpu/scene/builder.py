@@ -173,6 +173,7 @@ class SceneBuilder:
         self.tex_volumes: List[np.ndarray] = []
         self.tex_cache: Dict[int, int] = {}
         self.measured: List[tuple] = []   # (MeasuredData, MeasuredMeta)
+        self.measured_pol: List = []      # MeasuredPolData per material
 
     def _texture_index(self, props: dict) -> int:
         from .. import texture as tex_mod
@@ -252,6 +253,27 @@ class SceneBuilder:
             p[0] = float(slot)
             idx = len(self.bsdf_rows)
             self.bsdf_rows.append((BSDF_TYPES['measured'], F_SMOOTH, p))
+            self.bsdf_cache[key] = idx
+            return idx
+        if props.get('type') == 'measured_polarized':
+            # polarized pBRDF (src/bsdfs/measured_polarized.cpp): the
+            # Mueller grid lives in scene.measured_pol; the row stores
+            # (slot, alpha_sample, wavelength) in params[0:3]
+            from ..bsdf import measured_pol as mp_mod
+            from .types import BSDF_TYPES, F_SMOOTH, BSDF_NPARAM
+            if '_fields' in props:       # pre-parsed tensors (tests)
+                mdata = mp_mod.load_fields(props['_fields'])
+            else:
+                mdata = mp_mod.load(props['filename'])
+            slot = len(self.measured_pol)
+            self.measured_pol.append(mdata)
+            p = [0.0] * BSDF_NPARAM
+            p[0] = float(slot)
+            p[1] = float(props.get('alpha_sample', 0.1))
+            p[2] = float(props.get('wavelength', -1.0))
+            idx = len(self.bsdf_rows)
+            self.bsdf_rows.append((BSDF_TYPES['measured_polarized'],
+                                   F_SMOOTH, p))
             self.bsdf_cache[key] = idx
             return idx
         # textured parameters -> register textures, record their ids
@@ -793,7 +815,8 @@ class SceneBuilder:
             bbox_hi=jnp.asarray(hi, jnp.float32),
             bsphere_c=jnp.asarray(center, jnp.float32),
             bsphere_r=jnp.asarray(radius, jnp.float32),
-            measured=tuple(md for md, _ in self.measured))
+            measured=tuple(md for md, _ in self.measured),
+            measured_pol=tuple(self.measured_pol))
 
         # camera medium: if the camera origin is inside a medium-bearing
         # shape's bbox and that shape has a null/transparent boundary we

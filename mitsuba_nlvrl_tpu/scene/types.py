@@ -29,6 +29,7 @@ BSDF_TYPES = {
     'roughplastic': 8, 'blendbsdf': 9, 'mask': 10, 'twosided': 11,
     'normalmap': 12, 'bumpmap': 13, 'polarizer': 14, 'measured': 15,
     'retarder': 16, 'circular': 17, 'pplastic': 18,
+    'measured_polarized': 19,
 }
 
 EMITTER_TYPES = {
@@ -201,6 +202,9 @@ class SceneData(NamedTuple):
     # measured-BSDF warp tables, one MeasuredData per material
     # (bsdf/measured.py); static facts live in SceneMeta.measured_meta
     measured: Tuple = ()
+    # measured polarized pBRDF grids, one MeasuredPolData per material
+    # (bsdf/measured_pol.py); row params[0] holds the slot index
+    measured_pol: Tuple = ()
 
 
 @dataclass(frozen=True)
