@@ -262,3 +262,173 @@ def eval(dist: Marginal2D, pos, params=()):
     v11 = lookup(dist.data, row + 1, col + 1)
     return ((1.0 - fy) * ((1.0 - fx) * v00 + fx * v10)
             + fy * ((1.0 - fx) * v01 + fx * v11))
+
+
+# --- Hierarchical2D (mip-pyramid sample warping) ------------------------------
+#
+# TPU-native rebuild of the reference ``Hierarchical2D<Float, 0>``
+# (include/mitsuba/core/distr_2d.h:335-817): the same bilinear-interpolant
+# density as Marginal2D, but sampled by a coarse-to-fine MIP traversal with
+# very little shear (the envmap's warp, src/emitters/envmap.cpp:67,123).
+# Levels are plain row-major (h, w) arrays — the reference's interleaved
+# 2x2 memory layout (distr_2d.h:738-751) is a CPU cache optimization that
+# XLA's gathers don't need. The descent is a statically unrolled loop
+# (level count is a build-time fact), all lanes in lockstep.
+
+
+class Hierarchical2D(NamedTuple):
+    nodes: jnp.ndarray                # (h, w) normalized node values
+    levels: Tuple[jnp.ndarray, ...]   # coarsest (<=2x2) ... finest patches
+
+
+def build_hierarchical(data: np.ndarray, normalize: bool = True
+                       ) -> Hierarchical2D:
+    """data: (h, w) node values of the bilinear interpolant.  Normalizes
+    so the interpolant integrates to 1 over the unit square
+    (distr_2d.h:372-466)."""
+    d = np.asarray(data, np.float64)
+    h, w = d.shape
+    ph, pw = max(h - 1, 1), max(w - 1, 1)
+    if h < 2 or w < 2:          # degenerate 1-node axis: constant density
+        d = np.pad(d, ((0, 2 - h if h < 2 else 0),
+                       (0, 2 - w if w < 2 else 0)), mode='edge')
+        h, w = d.shape
+        ph, pw = h - 1, w - 1
+    patch = 0.25 * (d[:-1, :-1] + d[:-1, 1:] + d[1:, :-1] + d[1:, 1:])
+    scale = (ph * pw) / max(patch.sum(), 1e-30) if normalize else 1.0
+    nodes = d * scale
+    levels = []
+    cur = patch * scale
+    while True:
+        hp = cur.shape[0] + (cur.shape[0] & 1)
+        wp = cur.shape[1] + (cur.shape[1] & 1)
+        padded = np.zeros((hp, wp))
+        padded[:cur.shape[0], :cur.shape[1]] = cur
+        levels.append(padded)
+        if hp <= 2 and wp <= 2:
+            break
+        cur = (padded[0::2, 0::2] + padded[0::2, 1::2]
+               + padded[1::2, 0::2] + padded[1::2, 1::2])
+    return Hierarchical2D(
+        nodes=jnp.asarray(nodes, jnp.float32),
+        levels=tuple(jnp.asarray(l, jnp.float32) for l in reversed(levels)))
+
+
+def _interval_to_linear(v0, v1, s):
+    """Inverse CDF of the density lerp(v0, v1, t) on [0, 1]
+    (warp.h:360-366)."""
+    non_const = jnp.abs(v0 - v1) > 1e-4 * (v0 + v1)
+    num = v0 - m.safe_sqrt((1.0 - s) * v0 * v0 + s * v1 * v1)
+    den = jnp.where(non_const, v0 - v1, 1.0)
+    return jnp.where(non_const, num / den, s)
+
+
+def _linear_to_interval(v0, v1, t):
+    """Inverse of _interval_to_linear (warp.h:370-376)."""
+    non_const = jnp.abs(v0 - v1) > 1e-4 * (v0 + v1)
+    den = jnp.where(non_const, v0 + v1, 1.0)
+    return jnp.where(non_const, t * ((2.0 - t) * v0 + t * v1) / den, t)
+
+
+def _block(L, oy, ox):
+    """2x2 child block at (2oy, 2ox); JAX index clamping keeps the reads
+    in range on padded odd tails (pad cells are zero so they are never
+    selected)."""
+    y, x = 2 * oy, 2 * ox
+    return L[y, x], L[y, x + 1], L[y + 1, x], L[y + 1, x + 1]
+
+
+def sample_hierarchical(dist: Hierarchical2D, u2):
+    """Hierarchical sample warping (distr_2d.h:470-565): returns
+    (pos (N, 2) in [0, 1]^2, pdf) — the pdf is the unit-square density."""
+    sx = jnp.clip(u2[..., 0], 0.0, 1.0)
+    sy = jnp.clip(u2[..., 1], 0.0, 1.0)
+    ox = jnp.zeros(sx.shape, jnp.int32)
+    oy = jnp.zeros(sx.shape, jnp.int32)
+    for L in dist.levels:                       # coarsest -> finest patches
+        v00, v10, v01, v11 = _block(L, oy, ox)
+        r0, r1 = v00 + v10, v01 + v11
+        sy = sy * (r0 + r1)
+        my = sy > r0
+        oy = 2 * oy + my
+        sy = jnp.where(my, sy - r0, sy) \
+            / jnp.maximum(jnp.where(my, r1, r0), 1e-30)
+        c0 = jnp.where(my, v01, v00)
+        c1 = jnp.where(my, v11, v10)
+        sx = sx * (c0 + c1)
+        mx = sx > c0
+        ox = 2 * ox + mx
+        sx = jnp.where(mx, sx - c0, sx) \
+            / jnp.maximum(jnp.where(mx, c1, c0), 1e-30)
+        sx = jnp.clip(sx, 0.0, 1.0)
+        sy = jnp.clip(sy, 0.0, 1.0)
+    h, w = dist.nodes.shape
+    ox = jnp.minimum(ox, w - 2)
+    oy = jnp.minimum(oy, h - 2)
+    v00 = dist.nodes[oy, ox]
+    v10 = dist.nodes[oy, ox + 1]
+    v01 = dist.nodes[oy + 1, ox]
+    v11 = dist.nodes[oy + 1, ox + 1]
+    # square_to_bilinear (warp.h:393-407)
+    sy = _interval_to_linear(v00 + v10, v01 + v11, sy)
+    c0 = v00 + sy * (v01 - v00)
+    c1 = v10 + sy * (v11 - v10)
+    sx = _interval_to_linear(c0, c1, sx)
+    pdf = c0 + sx * (c1 - c0)
+    pos = jnp.stack([(ox + sx) / (w - 1), (oy + sy) / (h - 1)], axis=-1)
+    return pos, pdf
+
+
+def invert_hierarchical(dist: Hierarchical2D, pos):
+    """Exact inverse of sample_hierarchical (distr_2d.h:567-646):
+    returns (u2, pdf)."""
+    h, w = dist.nodes.shape
+    px = jnp.clip(pos[..., 0], 0.0, 1.0) * (w - 1)
+    py = jnp.clip(pos[..., 1], 0.0, 1.0) * (h - 1)
+    ox = jnp.clip(px.astype(jnp.int32), 0, w - 2)
+    oy = jnp.clip(py.astype(jnp.int32), 0, h - 2)
+    sx = px - ox
+    sy = py - oy
+    v00 = dist.nodes[oy, ox]
+    v10 = dist.nodes[oy, ox + 1]
+    v01 = dist.nodes[oy + 1, ox]
+    v11 = dist.nodes[oy + 1, ox + 1]
+    # bilinear_to_square (warp.h:410-426)
+    c0 = v00 + sy * (v01 - v00)
+    c1 = v10 + sy * (v11 - v10)
+    pdf = c0 + sx * (c1 - c0)
+    sx = _linear_to_interval(c0, c1, sx)
+    sy = _linear_to_interval(v00 + v10, v01 + v11, sy)
+    for L in reversed(dist.levels):            # finest patches -> coarsest
+        v00, v10, v01, v11 = _block(L, oy >> 1, ox >> 1)
+        xm = (ox & 1) > 0
+        ym = (oy & 1) > 0
+        r0, r1 = v00 + v10, v01 + v11
+        c0 = jnp.where(ym, v01, v00)
+        c1 = jnp.where(ym, v11, v10)
+        sy = sy * jnp.where(ym, r1, r0) + jnp.where(ym, r0, 0.0)
+        sy = sy / jnp.maximum(r0 + r1, 1e-30)
+        sx = sx * jnp.where(xm, c1, c0) + jnp.where(xm, c0, 0.0)
+        sx = sx / jnp.maximum(c0 + c1, 1e-30)
+        sx = jnp.clip(sx, 0.0, 1.0)
+        sy = jnp.clip(sy, 0.0, 1.0)
+        ox = ox >> 1
+        oy = oy >> 1
+    return jnp.stack([sx, sy], axis=-1), pdf
+
+
+def eval_hierarchical(dist: Hierarchical2D, pos):
+    """Unit-square density at pos (distr_2d.h:648-686)."""
+    h, w = dist.nodes.shape
+    px = jnp.clip(pos[..., 0], 0.0, 1.0) * (w - 1)
+    py = jnp.clip(pos[..., 1], 0.0, 1.0) * (h - 1)
+    ox = jnp.clip(px.astype(jnp.int32), 0, w - 2)
+    oy = jnp.clip(py.astype(jnp.int32), 0, h - 2)
+    fx = px - ox
+    fy = py - oy
+    v00 = dist.nodes[oy, ox]
+    v10 = dist.nodes[oy, ox + 1]
+    v01 = dist.nodes[oy + 1, ox]
+    v11 = dist.nodes[oy + 1, ox + 1]
+    return ((1.0 - fy) * ((1.0 - fx) * v00 + fx * v10)
+            + fy * ((1.0 - fx) * v01 + fx * v11))

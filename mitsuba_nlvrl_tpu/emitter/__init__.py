@@ -70,33 +70,20 @@ def _env_eval_uv(scene, u, v):
 
 
 def _env_pdf_uv(scene, u, v):
-    """Unit-square density of the luminance*sin(theta) 2D distribution."""
-    tex = scene.emitters.env_map
-    H, W = tex.shape[0], tex.shape[1]
-    row_cdf = scene.emitters.env_row_cdf
-    cond_cdf = scene.emitters.env_cond_cdf
-    yi = jnp.clip((v * H).astype(jnp.int32), 0, H - 1)
-    xi = jnp.clip((u * W).astype(jnp.int32), 0, W - 1)
-    row_pmf = row_cdf[yi] - jnp.where(yi > 0, row_cdf[jnp.maximum(yi - 1, 0)],
-                                      0.0)
-    cond_pmf = cond_cdf[yi, xi] - jnp.where(
-        xi > 0, cond_cdf[yi, jnp.maximum(xi - 1, 0)], 0.0)
-    return row_pmf * cond_pmf * H * W
+    """Unit-square density of the luminance*sin(theta) bilinear
+    interpolant (envmap.cpp:253-268 pdf_direction, before the
+    solid-angle factor)."""
+    from ..core import distr2d
+    return distr2d.eval_hierarchical(scene.emitters.env_warp,
+                                     jnp.stack([u, v], axis=-1))
 
 
 def _env_sample_uv(scene, u2):
-    tex = scene.emitters.env_map
-    H, W = tex.shape[0], tex.shape[1]
-    row_cdf = scene.emitters.env_row_cdf
-    cond_cdf = scene.emitters.env_cond_cdf
-    yi = jnp.clip(jnp.searchsorted(row_cdf, u2[..., 0], side='right'),
-                  0, H - 1)
-    rows = cond_cdf[yi]                      # (N, W)
-    xi = jnp.clip(jax.vmap(lambda r, x: jnp.searchsorted(r, x, side='right'))(
-        rows, u2[..., 1]), 0, W - 1)
-    uu = (xi + 0.5) / W
-    vv = (yi + 0.5) / H
-    return uu, vv, _env_pdf_uv(scene, uu, vv)
+    """Continuous uv sample of the luminance interpolant via hierarchical
+    sample warping (envmap.cpp:217-238 sample_direction)."""
+    from ..core import distr2d
+    pos, pdf = distr2d.sample_hierarchical(scene.emitters.env_warp, u2)
+    return pos[..., 0], pos[..., 1], pdf
 
 
 def has_envmap(meta):

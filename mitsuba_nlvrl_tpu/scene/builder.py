@@ -497,9 +497,9 @@ class SceneBuilder:
         TE = sum(len(x) for x in em_tri_idx)
 
         # --- environment map (at most one) -------------------------------
+        from ..core import distr2d
         env_map = np.zeros((1, 1, 3), np.float32)
-        env_row_cdf = np.ones((1,), np.float32)
-        env_cond_cdf = np.ones((1, 1), np.float32)
+        env_lum = np.ones((2, 2), np.float32)
         env_to_world = tr.Transform.identity()
         env_scale = 1.0
         env_descs = [e for e in desc.get('emitters', [])
@@ -515,12 +515,11 @@ class SceneBuilder:
             env_to_world = eprops.get('to_world', tr.Transform.identity())
             He, We = env_map.shape[:2]
             lum = (env_map * np.array([0.2126, 0.7152, 0.0722])).sum(-1)
-            sin_t = np.sin((np.arange(He) + 0.5) / He * np.pi)
-            w = lum * sin_t[:, None] + 1e-12
-            row_w = w.sum(1)
-            env_row_cdf = (np.cumsum(row_w) / row_w.sum()).astype(np.float32)
-            env_cond_cdf = (np.cumsum(w, axis=1)
-                            / w.sum(1, keepdims=True)).astype(np.float32)
+            # node-grid luminance * sin(theta) with theta = y/(H-1)*pi
+            # (envmap.cpp:89-113); rows 0 / H-1 get sin = 0 like the
+            # reference (the poles carry no solid angle)
+            sin_t = np.sin(np.arange(He) / max(He - 1, 1) * np.pi)
+            env_lum = (lum * sin_t[:, None] + 1e-12).astype(np.float32)
 
         # --- media -----------------------------------------------------------
         M_n = len(self.media_rows)
@@ -719,8 +718,7 @@ class SceneBuilder:
                                    if em_tri_cdf else np.zeros(0, np.float32)),
             em_area=jnp.asarray(np.asarray(em_area, np.float32)),
             env_map=jnp.asarray(env_map),
-            env_row_cdf=jnp.asarray(env_row_cdf),
-            env_cond_cdf=jnp.asarray(env_cond_cdf),
+            env_warp=distr2d.build_hierarchical(env_lum),
             env_to_world=env_to_world,
             env_scale=jnp.float32(env_scale),
             spec_kind=jnp.asarray(np.asarray(

@@ -132,8 +132,9 @@ class EmitterTable(NamedTuple):
     em_area: jnp.ndarray     # (E,) float32 total emitter area
     # environment map (at most one per scene; (1,1,3) dummy when absent)
     env_map: jnp.ndarray       # (He, We, 3) radiance texels
-    env_row_cdf: jnp.ndarray   # (He,) marginal CDF over rows (lum*sin)
-    env_cond_cdf: jnp.ndarray  # (He, We) per-row conditional CDF
+    # Hierarchical2D warp over luminance*sin(theta) (envmap.cpp:67,123):
+    # mip-pyramid sample warping of the bilinear interpolant
+    env_warp: 'distr2d.Hierarchical2D'
     env_to_world: 'Transform'  # emitter-to-world rotation
     env_scale: jnp.ndarray     # ()
     # spectral-variant SPDs (emitter.SPEC_* kinds; RGB transport ignores)
