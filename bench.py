@@ -27,8 +27,11 @@ def _bench_render(desc, passes, max_band_rays=None, seed=0):
 
     scene, meta = build_scene(desc)
     aux = preprocess(scene, meta, seed)
-    # warmup pass: compile everything (excluded from timing)
-    img = render(scene, meta, seed=seed, spp=1, aux=aux,
+    # warmup: compile the EXACT program the timed run dispatches (the
+    # spp-chunked pass folds `passes` into one kernel — warming up with
+    # spp=1 compiles a different jit signature and the real compile then
+    # lands inside the timed region, understating throughput ~10x)
+    img = render(scene, meta, seed=seed, spp=passes, aux=aux,
                  max_band_rays=max_band_rays)
     np.asarray(img)
 

@@ -339,3 +339,113 @@ def read_rgbe(path: str) -> np.ndarray:
     scale = np.where(e > 0, np.ldexp(1.0, e - 136), 0.0)
     return (rgbe[:, :, :3].astype(np.float32) * scale[:, :, None]) \
         .astype(np.float32)
+
+
+# --- image resampling (reference Resampler, include/mitsuba/core/rfilter.h:90)
+
+_FILTER_RADII = {'box': 0.5, 'tent': 1.0, 'gaussian': 2.0,
+                 'mitchell': 2.0, 'catmullrom': 2.0, 'lanczos': 3.0}
+
+
+def _rfilter_eval(name: str, x: np.ndarray) -> np.ndarray:
+    """Numpy twin of film._rfilter_1d (same kernels, host-side)."""
+    ax = np.abs(x)
+    if name == 'box':
+        return np.where(ax <= 0.5, 1.0, 0.0)
+    if name == 'tent':
+        return np.maximum(0.0, 1.0 - ax)
+    if name == 'gaussian':
+        std = 0.5
+        alpha = -1.0 / (2.0 * std * std)
+        r = _FILTER_RADII['gaussian']
+        return np.maximum(0.0, np.exp(alpha * ax * ax)
+                          - np.exp(alpha * r * r))
+    if name in ('mitchell', 'catmullrom'):
+        B = C = 1.0 / 3.0
+        if name == 'catmullrom':
+            B, C = 0.0, 0.5
+        x2, x3 = ax * ax, ax ** 3
+        y1 = ((12 - 9 * B - 6 * C) * x3 + (-18 + 12 * B + 6 * C) * x2
+              + (6 - 2 * B)) / 6.0
+        y2 = ((-B - 6 * C) * x3 + (6 * B + 30 * C) * x2
+              + (-12 * B - 48 * C) * ax + (8 * B + 24 * C)) / 6.0
+        return np.where(ax < 1.0, y1, np.where(ax < 2.0, y2, 0.0))
+    if name == 'lanczos':
+        tau = 3.0
+        return np.where(ax < tau, np.sinc(ax) * np.sinc(ax / tau), 0.0)
+    raise ValueError(f"unknown rfilter '{name}'")
+
+
+def _resample_matrix(src: int, dst: int, rfilter: str, boundary: str
+                     ) -> np.ndarray:
+    """(dst, src) weight matrix of the reference Resampler
+    (rfilter.h:107-214): filter scaled by src/dst when minifying, taps
+    centered on output-sample positions, per-row normalization, boundary
+    handling by index folding (clamp / wrap / mirror) or dropping (zero)."""
+    radius = _FILTER_RADII[rfilter]
+    scale = max(src / dst, 1.0)                  # low-pass when minifying
+    fr = radius * scale
+    taps = int(np.ceil(fr * 2))
+    if src == dst and taps % 2 != 1:
+        taps -= 1
+    if radius < 1.0:
+        taps = min(taps, src)
+    W = np.zeros((dst, src), np.float64)
+    if src == dst:                               # filtering mode
+        half = taps // 2
+        w = _rfilter_eval(rfilter, np.arange(taps) - half)
+        idx0 = np.arange(dst)[:, None] - half + np.arange(taps)[None, :]
+        w = np.broadcast_to(w, (dst, taps))
+    else:                                        # resampling mode
+        center = (np.arange(dst) + 0.5) / dst * src
+        start = np.floor(center - fr + 0.5).astype(np.int64)
+        j = np.arange(taps)
+        pos = start[:, None] + j[None, :] + 0.5 - center[:, None]
+        w = _rfilter_eval(rfilter, pos / scale)
+        idx0 = start[:, None] + j[None, :]
+    if boundary == 'clamp':
+        idx = np.clip(idx0, 0, src - 1)
+    elif boundary == 'wrap':
+        idx = np.mod(idx0, src)
+    elif boundary == 'mirror':
+        period = max(2 * src - 2, 1)
+        idx = np.abs(np.mod(idx0, period))
+        idx = np.where(idx >= src, period - idx, idx)
+    elif boundary == 'zero':
+        idx = np.clip(idx0, 0, src - 1)
+        w = np.where((idx0 < 0) | (idx0 >= src), 0.0, w)
+    else:
+        raise ValueError(f"unknown boundary '{boundary}'")
+    rows = np.repeat(np.arange(dst), taps)
+    np.add.at(W, (rows, idx.ravel()), w.ravel())
+    norm = W.sum(1, keepdims=True)
+    if np.any(norm == 0):
+        raise ValueError("Resampler: filter footprint too small, some "
+                         "output samples have empty support")
+    return W / norm
+
+
+def resample_image(image: np.ndarray, size, rfilter: str = 'lanczos',
+                   boundary: str = 'clamp',
+                   clamp_range=(-np.inf, np.inf)) -> np.ndarray:
+    """Separable image resampling (reference Bitmap::resample,
+    src/libcore/bitmap.cpp, built on Resampler rows/columns).
+
+    image: (H, W) or (H, W, C). size: (new_W, new_H). boundary:
+    clamp | wrap | mirror | zero. clamp_range bounds ringing of
+    negative-lobe filters (bitmap.cpp clamps to the valid range)."""
+    img = np.asarray(image, np.float64)
+    squeeze = img.ndim == 2
+    if squeeze:
+        img = img[:, :, None]
+    H, W = img.shape[:2]
+    new_w, new_h = int(size[0]), int(size[1])
+    if new_w != W:
+        Wx = _resample_matrix(W, new_w, rfilter, boundary)
+        img = np.einsum('tw,hwc->htc', Wx, img)
+    if new_h != H:
+        Wy = _resample_matrix(H, new_h, rfilter, boundary)
+        img = np.einsum('th,hwc->twc', Wy, img)
+    img = np.clip(img, clamp_range[0], clamp_range[1])
+    out = img.astype(np.float32)
+    return out[:, :, 0] if squeeze else out

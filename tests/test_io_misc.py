@@ -67,3 +67,41 @@ def test_animated_transform_with_scale():
     at.append(1.0, tr.scale((3, 3, 3)))
     mid = np.asarray(at.eval(0.5).m)
     np.testing.assert_allclose(np.diag(mid)[:3], 2.0, atol=1e-6)
+
+
+def test_resample_roundtrip_and_invariants():
+    """Bitmap resampling (reference Resampler / Bitmap::resample,
+    rfilter.h:107-214): constant images stay constant under any filter,
+    box downsampling averages exactly, smooth signals survive an
+    up/down round trip, and boundary modes differ only near edges."""
+    import numpy as np
+    from mitsuba_nlvrl_tpu.utils.io import resample_image
+
+    # constants are reproduced exactly (weights are normalized per row)
+    const = np.full((13, 17, 3), 0.7, np.float32)
+    for f in ('box', 'tent', 'gaussian', 'mitchell', 'catmullrom',
+              'lanczos'):
+        out = resample_image(const, (29, 7), rfilter=f)
+        assert out.shape == (7, 29, 3)
+        assert np.allclose(out, 0.7, atol=1e-5), f
+
+    # box 2x downsample = 2x2 block average
+    rng = np.random.default_rng(0)
+    img = rng.uniform(size=(16, 24)).astype(np.float32)
+    down = resample_image(img, (12, 8), rfilter='box')
+    blocks = img.reshape(8, 2, 12, 2).mean((1, 3))
+    assert np.allclose(down, blocks, atol=1e-5)
+
+    # smooth signal round trip (up 2x then back) stays close
+    y, x = np.meshgrid(np.linspace(0, 1, 32), np.linspace(0, 1, 48),
+                       indexing='ij')
+    smooth = (0.5 + 0.4 * np.sin(4 * x) * np.cos(3 * y)).astype(np.float32)
+    up = resample_image(smooth, (96, 64), rfilter='lanczos')
+    back = resample_image(up, (48, 32), rfilter='lanczos')
+    assert np.abs(back - smooth)[2:-2, 2:-2].max() < 5e-3
+
+    # wrap vs clamp only differ near the border
+    a = resample_image(img, (48, 32), rfilter='lanczos', boundary='clamp')
+    b = resample_image(img, (48, 32), rfilter='lanczos', boundary='wrap')
+    assert np.abs(a[8:-8, 8:-8] - b[8:-8, 8:-8]).max() < 1e-6
+    assert np.abs(a - b).max() > 1e-4
