@@ -90,3 +90,57 @@ class ContinuousDistribution(NamedTuple):
         t = f - idx
         inside = (x >= self.range_min) & (x <= self.range_max)
         return jnp.where(inside, m.lerp(self.pdf[idx], self.pdf[jnp.minimum(idx + 1, n - 1)], t), 0.0)
+
+
+class IrregularContinuousDistribution(NamedTuple):
+    """Piecewise-linear density on an arbitrary increasing node grid
+    (reference IrregularContinuousDistribution, distr_1d.h:528-817):
+    the third 1-D distribution kind, used for spectra tabulated at
+    non-uniform wavelengths."""
+    nodes: jnp.ndarray      # (n,) strictly increasing positions
+    pdf: jnp.ndarray        # (n,) density values at nodes
+    cdf: jnp.ndarray        # (n-1,) integral up to each cell end
+    integral: jnp.ndarray
+
+    @staticmethod
+    def make(nodes, pdf) -> "IrregularContinuousDistribution":
+        nodes = jnp.asarray(nodes, jnp.float32)
+        pdf = jnp.asarray(pdf, jnp.float32)
+        dx = nodes[1:] - nodes[:-1]
+        cell = 0.5 * (pdf[:-1] + pdf[1:]) * dx
+        cdf = jnp.cumsum(cell)
+        return IrregularContinuousDistribution(
+            nodes=nodes, pdf=pdf, cdf=cdf, integral=cdf[-1])
+
+    def sample(self, u: jnp.ndarray) -> jnp.ndarray:
+        """Inverse-CDF sample -> positions in [nodes[0], nodes[-1]]
+        (distr_1d.h:694-741)."""
+        n = self.pdf.shape[0]
+        x = u * self.integral
+        idx = jnp.clip(jnp.searchsorted(self.cdf, x, side="right"), 0, n - 2)
+        lo = jnp.where(idx > 0, self.cdf[jnp.maximum(idx - 1, 0)], 0.0)
+        rem = x - lo
+        dx = self.nodes[idx + 1] - self.nodes[idx]
+        p0 = self.pdf[idx]
+        p1 = self.pdf[idx + 1]
+        a = 0.5 * (p1 - p0) * dx
+        b = p0 * dx
+        disc = m.safe_sqrt(b * b + 4.0 * a * rem)
+        t = jnp.where(jnp.abs(a) > 1e-12 * jnp.abs(b),
+                      m.safe_div(2.0 * rem, b + disc),
+                      m.safe_div(rem, b))
+        t = jnp.clip(t, 0.0, 1.0)
+        return self.nodes[idx] + t * dx
+
+    def eval_pdf(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Linear interpolation of the density (distr_1d.h:625-650)."""
+        n = self.pdf.shape[0]
+        idx = jnp.clip(jnp.searchsorted(self.nodes, x, side="right") - 1,
+                       0, n - 2)
+        x0 = self.nodes[idx]
+        x1 = self.nodes[idx + 1]
+        t = m.safe_div(x - x0, x1 - x0)
+        inside = (x >= self.nodes[0]) & (x <= self.nodes[-1])
+        return jnp.where(inside,
+                         m.lerp(self.pdf[idx], self.pdf[idx + 1],
+                                jnp.clip(t, 0.0, 1.0)), 0.0)

@@ -139,3 +139,33 @@ def test_refract_snell():
     sin_in = abs(float(wi[0, 0]))
     sin_out = abs(float(wo2[0, 0]))
     assert sin_out < sin_in
+
+
+def test_irregular_continuous_distribution():
+    """IrregularContinuousDistribution (distr_1d.h:528): sampling follows
+    the piecewise-linear density on non-uniform nodes."""
+    import numpy as np
+    import jax.numpy as jnp
+    from mitsuba_nlvrl_tpu.core.distr import IrregularContinuousDistribution
+
+    nodes = np.array([0.0, 0.5, 0.7, 1.5, 4.0], np.float32)
+    pdf = np.array([1.0, 3.0, 0.2, 2.0, 0.5], np.float32)
+    d = IrregularContinuousDistribution.make(nodes, pdf)
+    # integral: sum of trapezoids
+    expect = float(np.trapezoid(pdf, nodes))
+    assert abs(float(d.integral) - expect) < 1e-5
+    rng = np.random.default_rng(0)
+    xs = np.asarray(d.sample(jnp.asarray(rng.uniform(size=200_000),
+                                         jnp.float32)))
+    assert xs.min() >= 0.0 and xs.max() <= 4.0
+    # histogram matches the normalized density
+    hist, edges = np.histogram(xs, bins=40, range=(0, 4), density=True)
+    centers = 0.5 * (edges[:-1] + edges[1:])
+    want = np.asarray(d.eval_pdf(jnp.asarray(centers, jnp.float32)))
+    want = want / expect
+    assert np.abs(hist - want).max() < 0.05
+    # eval_pdf interpolates exactly at nodes and is 0 outside
+    at_nodes = np.asarray(d.eval_pdf(jnp.asarray(nodes)))
+    assert np.allclose(at_nodes, pdf, atol=1e-6)
+    assert float(d.eval_pdf(jnp.asarray([-0.1]))[0]) == 0.0
+    assert float(d.eval_pdf(jnp.asarray([4.1]))[0]) == 0.0
