@@ -291,7 +291,9 @@ def sample(scene, meta, sampler: Sampler, ray: Ray, active=None,
     if max_depth is None or max_depth < 0:
         max_depth = 64
     rr_depth = meta.iprop('rr_depth', 5)
-    wavefront_cap = MAX_WAVEFRONT_ITERS * (4 if _has_hetero(meta) else 1)
+    # null collisions are resolved inside the medium sampler, so outer
+    # iterations scale with real scatters + surface bounces only
+    wavefront_cap = MAX_WAVEFRONT_ITERS
     # volpathmis (reference volpathmis.cpp): full MIS between phase
     # sampling and NEE at medium vertices; plain volpath uses NEE only
     # (specular_chain gating) there.
@@ -340,46 +342,21 @@ def sample(scene, meta, sampler: Sampler, ray: Ray, active=None,
         smp = smp.count_rays(st.needs_isect & active)
         needs_isect = st.needs_isect & ~active
 
-        # --- medium free flight --------------------------------------------
-        u_fl, smp = smp.next_1d()
-        mi, mint = medium_mod.sample_interaction(
-            scene, meta, Ray(st.ray.o, st.ray.d, st.ray.mint,
-                             jnp.full((N,), jnp.inf)),
-            u_fl, st.channel, st.medium_idx, active_medium)
-        mi_t = jnp.where(active_medium & (si.t < mi.t), jnp.inf, mi.t)
-        mi = mi._replace(t=mi_t, valid=mi.valid & (si.t >= mi.t))
-
-        seg_t = jnp.minimum(jnp.where(jnp.isfinite(mi.t), mi.t, si.t), si.t) \
-            - mint
-        seg_t = jnp.maximum(jnp.where(jnp.isfinite(seg_t), seg_t, 0.0), 0.0)
-        tr = jnp.exp(-seg_t[:, None] * mi.combined_extinction)
-        pdf = jnp.where((si.t < mi.t)[:, None], tr,
-                        tr * mi.combined_extinction)
-        tr_pdf = _index_spec(pdf, st.channel)
-        throughput = jnp.where(
-            active_medium[:, None],
-            throughput * jnp.where(
-                (tr_pdf > 0)[:, None],
-                tr / jnp.maximum(tr_pdf, 1e-30)[:, None], 0.0),
-            throughput)
+        # --- medium free flight to the next REAL collision ------------------
+        # delta tracking with the null-collision walk fused into the medium
+        # sampler (medium.sample_real_interaction): null events cost a grid
+        # lookup there instead of a full wavefront iteration of this body
+        mray = Ray(st.ray.o, st.ray.d, st.ray.mint,
+                   jnp.where(si.valid, si.t, jnp.full((N,), jnp.inf)))
+        mi, w_med, smp = medium_mod.sample_real_interaction(
+            scene, meta, mray, smp, st.channel, st.medium_idx, active_medium)
+        throughput = jnp.where(active_medium[:, None],
+                               throughput * w_med, throughput)
 
         escaped_medium = active_medium & ~mi.valid
         active_medium = active_medium & mi.valid
 
-        # null vs real collision
-        u_ev, smp = smp.next_1d()
-        p_real = _index_spec(mi.sigma_t, st.channel) \
-            / jnp.maximum(_index_spec(mi.combined_extinction, st.channel),
-                          1e-30)
-        null_scatter = u_ev >= p_real
-        act_null = null_scatter & active_medium
-        act_real = ~null_scatter & active_medium
-        throughput = jnp.where(
-            act_null[:, None],
-            throughput * mi.sigma_n
-            * _index_spec(mi.combined_extinction, st.channel)[:, None]
-            / jnp.maximum(_index_spec(mi.sigma_n, st.channel), 1e-30)[:, None],
-            throughput)
+        act_real = active_medium
         depth = jnp.where(act_real, st.depth + 1, st.depth)
         active = active & (depth < max_depth)
         act_real = act_real & active
@@ -491,7 +468,10 @@ def sample(scene, meta, sampler: Sampler, ray: Ray, active=None,
             0.0)
 
         # --- next ray + si cache update ------------------------------------
-        o_next = jnp.where((act_null | act_real)[:, None], mi.p,
+        # (null collisions never reach this point anymore — the medium
+        # sampler resolves them — so only real scatters / surface bounces
+        # redirect the ray, and both invalidate the cached si)
+        o_next = jnp.where(act_real[:, None], mi.p,
                            jnp.where(active_surface[:, None], si.p,
                                      st.ray.o))
         d_next = jnp.where(act_real[:, None], wo_med,
@@ -500,8 +480,7 @@ def sample(scene, meta, sampler: Sampler, ray: Ray, active=None,
         mint_next = jnp.where(active_surface, m.RayEpsilon, jnp.zeros((N,)))
         new_ray = Ray(o_next, d_next, mint_next, jnp.full((N,), jnp.inf))
 
-        # null collisions keep direction: reuse si with t shifted by mi.t
-        si_next = si._replace(t=jnp.where(act_null, si.t - mi.t, si.t))
+        si_next = si
         needs_next = needs_isect | act_real | active_surface
 
         alive = (active_medium | active_surface) & active

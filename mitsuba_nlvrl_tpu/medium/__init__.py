@@ -190,3 +190,100 @@ def is_homogeneous_like(scene, meta, medium_idx):
     midx = jnp.maximum(medium_idx, 0)
     mtype = take_rows(scene.media.type, midx)
     return (mtype == MT_HOMOGENEOUS) | (mtype == MT_NONLINEAR)
+
+
+def sample_real_interaction(scene, meta, ray: Ray, sampler, channel,
+                            medium_idx, active, max_steps: int = 4096
+                            ) -> Tuple[MediumInteraction, jnp.ndarray, object]:
+    """Delta tracking to the next REAL collision, null collisions resolved
+    in an internal loop.
+
+    The reference samples ONE majorant event per Medium::sample_interaction
+    call (librender/medium.cpp:39-74) and lets the integrator's bounce loop
+    iterate the null collisions (volpath.cpp:123-133) — fine for scalar
+    CPU, but on the TPU wavefront every outer iteration drags ALL lanes
+    through the NEE / phase-sampling / emitter machinery while null lanes
+    only need a grid lookup. Here the null walk runs as a cheap inner
+    ``while_loop`` (exponential step + trilinear sigma_t lookup per step)
+    and the telescoped per-channel weight is returned. The factors are
+    IDENTICAL to the outer-loop formulation, so the estimator (and its
+    variance) is unchanged:
+
+      collision step:  w *= exp(-dt*maj) / (exp(-dt*maj_ch) * maj_ch)
+      null event:      w *= sigma_n * maj_ch / sigma_n_ch   (then continue)
+      escape:          w *= exp(-dt*maj) / exp(-dt*maj_ch)
+
+    Returns (mi, weight (N, 3), sampler). ``mi.valid`` = a real collision
+    happened before ``ray.maxt``; otherwise the lane escaped the segment
+    and ``weight`` holds the ratio-tracked Tr / pdf of escaping. The real-
+    collision factor sigma_s*maj_ch/sigma_t_ch is left to the caller
+    (it needs mi.sigma_s / mi.sigma_t anyway)."""
+    N = ray.o.shape[0]
+    aabb_hit, mint, maxt = intersect_aabb(scene, meta, medium_idx, ray)
+    act = active & aabb_hit
+    mint = jnp.where(act, jnp.maximum(ray.mint, mint), 0.0)
+    maxt = jnp.where(act, jnp.minimum(ray.maxt, maxt), 0.0)
+
+    majorant = get_majorant(scene, medium_idx)              # (N, 3)
+    mj = jnp.sum(jnp.where(jnp.arange(3)[None, :] == channel[:, None],
+                           majorant, 0.0), axis=1)
+    walking = act & (mj > 1e-30) & (maxt > mint)
+
+    key = jax.random.fold_in(sampler.key, sampler.dim)
+    sampler = sampler._replace(dim=sampler.dim + 1)
+
+    def cond(carry):
+        walking = carry[2]
+        it = carry[4]
+        return jnp.any(walking) & (it < max_steps)
+
+    def body(carry):
+        t, w, walking, found, it, k = carry
+        k1 = jax.random.fold_in(k, it)
+        u = jax.random.uniform(k1, (N, 2))
+        dt = -jnp.log1p(-jnp.clip(u[:, 0], 0.0, m.OneMinusEpsilon)) \
+            / jnp.maximum(mj, 1e-30)
+        t_new = t + dt
+        esc = walking & (t_new > maxt)
+        col = walking & ~esc
+        # telescoped segment factor (vector/scalar exponential ratio)
+        seg = jnp.where(esc, maxt - t, dt)
+        ratio = jnp.exp(-seg[:, None] * (majorant - mj[:, None]))
+        w = jnp.where(walking[:, None],
+                      w * ratio / jnp.where(col, mj, 1.0)[:, None], w)
+        p = ray.at(jnp.where(col, t_new, 0.0))
+        sigma_s, sigma_n, sigma_t = get_scattering_coefficients(
+            scene, meta, medium_idx, p, col)
+        st_ch = jnp.sum(jnp.where(jnp.arange(3)[None, :] == channel[:, None],
+                                  sigma_t, 0.0), axis=1)
+        sn_ch = jnp.sum(jnp.where(jnp.arange(3)[None, :] == channel[:, None],
+                                  sigma_n, 0.0), axis=1)
+        p_real = st_ch / jnp.maximum(mj, 1e-30)
+        real = col & (u[:, 1] < p_real)
+        null = col & ~real
+        w = jnp.where(null[:, None],
+                      w * sigma_n * (mj / jnp.maximum(sn_ch, 1e-30))[:, None],
+                      w)
+        found = found | real
+        return (jnp.where(col, t_new, t), w, null, found, it + 1, k)
+
+    t0 = jnp.where(walking, mint, 0.0)
+    carry = (t0, jnp.ones((N, 3)), walking, jnp.zeros((N,), bool),
+             jnp.int32(0), key)
+    t, w, still, found, _, _ = jax.lax.while_loop(cond, body, carry)
+    # zero-hero-majorant lanes never walk: they escape the whole segment
+    # with the exact Beer-Lambert ratio of the OTHER channels
+    never = act & ~walking
+    w = jnp.where(never[:, None],
+                  jnp.exp(-jnp.maximum(maxt - mint, 0.0)[:, None]
+                          * (majorant - mj[:, None])), w)
+
+    p = ray.at(jnp.where(found, t, 0.0))
+    sigma_s, sigma_n, sigma_t = get_scattering_coefficients(
+        scene, meta, medium_idx, p, found)
+    mi = MediumInteraction(
+        valid=found, t=jnp.where(found, t, jnp.inf), p=p, wi=-ray.d,
+        medium_idx=medium_idx, sigma_s=sigma_s, sigma_n=sigma_n,
+        sigma_t=sigma_t, combined_extinction=majorant)
+    w = jnp.where(act[:, None], w, 1.0)
+    return mi, w, sampler
