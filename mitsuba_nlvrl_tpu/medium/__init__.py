@@ -95,6 +95,101 @@ def intersect_aabb(scene, meta, medium_idx, ray: Ray):
     return hit, mint, maxt
 
 
+def _ch(vec, channel):
+    """Hero-channel select via one-hot reduce (dynamic gathers are slow on
+    TPU)."""
+    return jnp.sum(jnp.where(jnp.arange(3)[None, :] == channel[:, None],
+                             vec, 0.0), axis=1)
+
+
+def _sup_static(scene):
+    """Static supervoxel facts: (Sv, kv, Dv) float32 (3,) in xyz order."""
+    sup = scene.media.grid_sup
+    Sz, Sy, Sx = sup.shape
+    Dz, Dy, Dx = scene.media.grid_sigma_t.shape
+    Sv = jnp.asarray([Sx, Sy, Sz], jnp.float32)
+    # blocks tile VOXEL-INDEX space with the builder's block edge k (last
+    # block may be short) — the world-space cell width therefore varies
+    # per axis as ext * k / D, clamped at the bbox far side
+    kv = jnp.asarray([-(-Dx // Sx), -(-Dy // Sy), -(-Dz // Sz)],
+                     jnp.float32)
+    Dv = jnp.asarray([Dx, Dy, Dz], jnp.float32)
+    return Sv, kv, Dv
+
+
+def _has_supervoxels(scene, meta):
+    return (MT_HETEROGENEOUS in meta.medium_types
+            and scene.media.grid_sup is not None
+            and scene.media.grid_sup.size > 1)
+
+
+def block_index_of(scene, meta, medium_idx, p):
+    """Supervoxel block index (N, 3) xyz of world point p."""
+    from ..ops.gather import take_rows
+    midx = jnp.maximum(medium_idx, 0)
+    P = take_rows(scene.media.params, midx)
+    lo = P[:, M_BBOX_MIN:M_BBOX_MIN + 3]
+    hi = P[:, M_BBOX_MAX:M_BBOX_MAX + 3]
+    Sv, kv, Dv = _sup_static(scene)
+    rel = (p - lo) / jnp.maximum(hi - lo, 1e-30)
+    return jnp.clip(jnp.floor(rel * Dv / kv), 0.0, Sv - 1.0
+                    ).astype(jnp.int32)
+
+
+def _block_majorant(scene, meta, medium_idx, bidx, channel):
+    """(maj_vec (N,3), maj_hero (N,)) of the supervoxel addressed by the
+    carried block index ``bidx`` for heterogeneous lanes; the medium's
+    global majorant otherwise."""
+    majorant = get_majorant(scene, medium_idx)
+    if _has_supervoxels(scene, meta):
+        from ..ops.gather import take_many
+        midx = jnp.maximum(medium_idx, 0)
+        P, mtype = take_many([scene.media.params, scene.media.type], midx)
+        sup = scene.media.grid_sup
+        Sz, Sy, Sx = sup.shape
+        bx = jnp.clip(bidx[:, 0], 0, Sx - 1)
+        by = jnp.clip(bidx[:, 1], 0, Sy - 1)
+        bz = jnp.clip(bidx[:, 2], 0, Sz - 1)
+        dmax = sup[bz, by, bx]
+        maj_het = P[:, M_SIGMA_T:M_SIGMA_T + 3] \
+            * P[:, M_SCALE:M_SCALE + 1] * dmax[:, None]
+        is_het = mtype == MT_HETEROGENEOUS
+        majorant = jnp.where(is_het[:, None], maj_het, majorant)
+    return majorant, _ch(majorant, channel)
+
+
+def _dda_init(scene, meta, medium_idx, ray: Ray, mint):
+    """Incremental 3D-DDA state over the supervoxel grid at the segment
+    entry point: (block index (N,3) i32, absolute next-crossing t per axis
+    (N,3), per-axis crossing period (N,3)). Non-heterogeneous lanes (or
+    scenes without a grid) get infinite crossings — the walk degenerates
+    to global-majorant tracking."""
+    N = ray.o.shape[0]
+    if not _has_supervoxels(scene, meta):
+        return (jnp.zeros((N, 3), jnp.int32), jnp.full((N, 3), jnp.inf),
+                jnp.full((N, 3), jnp.inf))
+    from ..ops.gather import take_rows
+    midx = jnp.maximum(medium_idx, 0)
+    P = take_rows(scene.media.params, midx)
+    lo = P[:, M_BBOX_MIN:M_BBOX_MIN + 3]
+    hi = P[:, M_BBOX_MAX:M_BBOX_MAX + 3]
+    Sv, kv, Dv = _sup_static(scene)
+    ext = jnp.maximum(hi - lo, 1e-30)
+    cell = ext * kv / Dv
+    p0 = ray.at(mint)
+    bidx = block_index_of(scene, meta, medium_idx, p0)
+    d = ray.d
+    degen = jnp.abs(d) < 1e-12
+    safe_d = jnp.where(degen, jnp.where(d >= 0, 1e-12, -1e-12), d)
+    face = jnp.where(safe_d > 0, (bidx + 1).astype(jnp.float32),
+                     bidx.astype(jnp.float32)) * cell + lo
+    t_next = mint[:, None] + (face - p0) / safe_d
+    t_next = jnp.where(degen, jnp.inf,
+                       jnp.maximum(t_next, mint[:, None]))
+    t_delta = jnp.where(degen, jnp.inf, cell / jnp.abs(safe_d))
+    return bidx, t_next, t_delta
+
+
 def get_majorant(scene, medium_idx):
     """Combined extinction bound used for free-flight sampling (N, 3)."""
     from ..ops.gather import take_rows
@@ -224,66 +319,94 @@ def sample_real_interaction(scene, meta, ray: Ray, sampler, channel,
     mint = jnp.where(act, jnp.maximum(ray.mint, mint), 0.0)
     maxt = jnp.where(act, jnp.minimum(ray.maxt, maxt), 0.0)
 
-    majorant = get_majorant(scene, medium_idx)              # (N, 3)
-    mj = jnp.sum(jnp.where(jnp.arange(3)[None, :] == channel[:, None],
-                           majorant, 0.0), axis=1)
-    walking = act & (mj > 1e-30) & (maxt > mint)
+    majorant = get_majorant(scene, medium_idx)              # (N, 3) global
+    mj_glob = _ch(majorant, channel)
+    walking = act & (mj_glob > 1e-30) & (maxt > mint)
 
     key = jax.random.fold_in(sampler.key, sampler.dim)
     sampler = sampler._replace(dim=sampler.dim + 1)
+    sgn_d = jnp.sign(ray.d).astype(jnp.int32)
+    bidx0, t_next0, t_delta = _dda_init(scene, meta, medium_idx, ray, mint)
 
     def cond(carry):
         walking = carry[2]
-        it = carry[4]
+        it = carry[6]
         return jnp.any(walking) & (it < max_steps)
 
     def body(carry):
-        t, w, walking, found, it, k = carry
+        t, w, walking, found, bidx, t_next_ax, it, k = carry
         k1 = jax.random.fold_in(k, it)
         u = jax.random.uniform(k1, (N, 2))
+        # supervoxel-local majorant (empty-space skipping): mj_loc == 0
+        # makes dt huge, so empty blocks fall into the boundary branch and
+        # are crossed in ONE free step
+        maj_loc, mj_loc = _block_majorant(scene, meta, medium_idx, bidx,
+                                          channel)
         dt = -jnp.log1p(-jnp.clip(u[:, 0], 0.0, m.OneMinusEpsilon)) \
-            / jnp.maximum(mj, 1e-30)
-        t_new = t + dt
-        esc = walking & (t_new > maxt)
-        col = walking & ~esc
-        # telescoped segment factor (vector/scalar exponential ratio)
-        seg = jnp.where(esc, maxt - t, dt)
-        ratio = jnp.exp(-seg[:, None] * (majorant - mj[:, None]))
+            / jnp.maximum(mj_loc, 1e-30)
+        t_exit = jnp.min(t_next_ax, axis=-1)    # absolute block-exit t
+        t_stop = jnp.minimum(t_exit, maxt)
+        boundary = walking & (t + dt > t_stop)
+        col = walking & ~boundary
+        # telescoped segment factor to the event point (vector/scalar
+        # exponential ratio against the LOCAL majorant; the collision
+        # event additionally divides by its sampling density mj_loc)
+        seg = jnp.maximum(jnp.where(col, dt, t_stop - t), 0.0)
+        ratio = jnp.exp(-seg[:, None] * (maj_loc - mj_loc[:, None]))
         w = jnp.where(walking[:, None],
-                      w * ratio / jnp.where(col, mj, 1.0)[:, None], w)
+                      w * ratio / jnp.where(col, jnp.maximum(mj_loc, 1e-30),
+                                            1.0)[:, None], w)
+        # advance ONLY walking lanes (finished lanes must hold their
+        # collision t — it addresses the sigma lookups after the loop)
+        t_new = jnp.where(col, t + dt, jnp.where(boundary, t_stop, t))
         p = ray.at(jnp.where(col, t_new, 0.0))
-        sigma_s, sigma_n, sigma_t = get_scattering_coefficients(
+        _, _, sigma_t = get_scattering_coefficients(
             scene, meta, medium_idx, p, col)
-        st_ch = jnp.sum(jnp.where(jnp.arange(3)[None, :] == channel[:, None],
-                                  sigma_t, 0.0), axis=1)
-        sn_ch = jnp.sum(jnp.where(jnp.arange(3)[None, :] == channel[:, None],
-                                  sigma_n, 0.0), axis=1)
-        p_real = st_ch / jnp.maximum(mj, 1e-30)
+        sigma_n_loc = jnp.maximum(maj_loc - sigma_t, 0.0)
+        st_ch = _ch(sigma_t, channel)
+        sn_ch = _ch(sigma_n_loc, channel)
+        p_real = st_ch / jnp.maximum(mj_loc, 1e-30)
         real = col & (u[:, 1] < p_real)
         null = col & ~real
         w = jnp.where(null[:, None],
-                      w * sigma_n * (mj / jnp.maximum(sn_ch, 1e-30))[:, None],
-                      w)
+                      w * sigma_n_loc
+                      * (mj_loc / jnp.maximum(sn_ch, 1e-30))[:, None], w)
         found = found | real
-        return (jnp.where(col, t_new, t), w, null, found, it + 1, k)
+        escaped = boundary & (t_stop >= maxt)
+        # incremental 3D-DDA: block-face crossings step the carried index
+        # and push that axis' next-crossing t one cell ahead — geometry is
+        # never re-derived from p, so face roundoff cannot skip or repeat
+        # a block
+        crossed = (boundary & ~escaped)
+        step_ax = crossed[:, None] & (t_next_ax <= t_exit[:, None])
+        bidx = bidx + jnp.where(step_ax, sgn_d, 0)
+        t_next_ax = t_next_ax + jnp.where(step_ax, t_delta, 0.0)
+        walking_next = null | crossed
+        return (t_new, w, walking_next, found, bidx, t_next_ax, it + 1, k)
 
     t0 = jnp.where(walking, mint, 0.0)
     carry = (t0, jnp.ones((N, 3)), walking, jnp.zeros((N,), bool),
-             jnp.int32(0), key)
-    t, w, still, found, _, _ = jax.lax.while_loop(cond, body, carry)
+             bidx0, t_next0, jnp.int32(0), key)
+    t, w, still, found, bidx_f, _, _, _ = jax.lax.while_loop(cond, body,
+                                                             carry)
     # zero-hero-majorant lanes never walk: they escape the whole segment
     # with the exact Beer-Lambert ratio of the OTHER channels
     never = act & ~walking
     w = jnp.where(never[:, None],
                   jnp.exp(-jnp.maximum(maxt - mint, 0.0)[:, None]
-                          * (majorant - mj[:, None])), w)
+                          * (majorant - mj_glob[:, None])), w)
 
     p = ray.at(jnp.where(found, t, 0.0))
     sigma_s, sigma_n, sigma_t = get_scattering_coefficients(
         scene, meta, medium_idx, p, found)
+    # the real-collision factor in the caller divides by the majorant the
+    # distance was actually sampled against — the LOCAL one, addressed by
+    # the carried block index (frozen when the lane stopped)
+    maj_col, _ = _block_majorant(scene, meta, medium_idx, bidx_f, channel)
     mi = MediumInteraction(
         valid=found, t=jnp.where(found, t, jnp.inf), p=p, wi=-ray.d,
-        medium_idx=medium_idx, sigma_s=sigma_s, sigma_n=sigma_n,
-        sigma_t=sigma_t, combined_extinction=majorant)
+        medium_idx=medium_idx, sigma_s=sigma_s,
+        sigma_n=jnp.maximum(maj_col - sigma_t, 0.0), sigma_t=sigma_t,
+        combined_extinction=jnp.where(found[:, None], maj_col, majorant))
     w = jnp.where(act[:, None], w, 1.0)
     return mi, w, sampler

@@ -161,6 +161,27 @@ def _load_shape_mesh(sh: dict) -> Optional[MeshData]:
 _NULL_BSDF = {'type': 'null'}
 
 
+def _supervoxel_max(grid: np.ndarray, k: int = 8) -> np.ndarray:
+    """Block-max density over k^3 supervoxels, DILATED by one voxel on
+    every side so any trilinear tap whose footprint straddles a block
+    border is still bounded by its block's majorant. Feeds the
+    empty-space-skipping delta tracker (medium.sample_real_interaction)."""
+    Dz, Dy, Dx = grid.shape
+    Sz, Sy, Sx = (max(1, -(-Dz // k)), max(1, -(-Dy // k)),
+                  max(1, -(-Dx // k)))
+    gp = np.pad(grid, 1, mode='edge')
+    sup = np.zeros((Sz, Sy, Sx), np.float32)
+    for bz in range(Sz):
+        for by in range(Sy):
+            for bx in range(Sx):
+                # +2 window covers the 1-voxel dilation (gp is shifted +1)
+                blk = gp[bz * k:bz * k + k + 2,
+                         by * k:by * k + k + 2,
+                         bx * k:bx * k + k + 2]
+                sup[bz, by, bx] = blk.max()
+    return sup
+
+
 class SceneBuilder:
     def __init__(self, desc: dict):
         self.desc = desc
@@ -734,6 +755,9 @@ class SceneBuilder:
             type=jnp.asarray(med_type), phase_type=jnp.asarray(med_phase),
             params=jnp.asarray(med_params),
             grid_sigma_t=jnp.asarray(grid_sigma),
+            grid_sup=jnp.asarray(_supervoxel_max(grid_sigma)
+                                 if grid_sigma.size > 1
+                                 else np.ones((1, 1, 1), np.float32)),
             grid_albedo=jnp.asarray(grid_albedo),
             grid_medium=jnp.asarray(grid_medium, jnp.int32),
             nl_ior=jnp.asarray(nl_ior),

@@ -155,6 +155,11 @@ class MediumTable(NamedTuple):
     # nonlinear IOR voxel grid (one per scene, round 1)
     nl_ior: jnp.ndarray         # (Rz*Ry*Rx,) float32 flat ior grid (dummy if unused)
     nl_medium: jnp.ndarray      # () int32 which medium is nonlinear (-1 none)
+    # supervoxel block-max of grid_sigma_t (dilated by 1 voxel so trilinear
+    # taps across block borders stay bounded) — local majorants for
+    # empty-space-skipping delta tracking ((1,1,1) ones when unused).
+    # Defaults to None for hand-built tables (treated as absent).
+    grid_sup: Optional[jnp.ndarray] = None
 
 
 TEXTURE_TYPES = {'bitmap': 0, 'checkerboard': 1, 'constant': 2,
