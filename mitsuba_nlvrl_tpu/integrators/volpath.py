@@ -98,27 +98,54 @@ def _medium_segment_tr(scene, meta, sampler, o, d, seg_len, medium_idx,
     key = jax.random.fold_in(sampler.key, sampler.dim)
     sampler = sampler._replace(dim=sampler.dim + 1)
 
+    # supervoxel ratio tracking: collisions sampled against the LOCAL
+    # block majorant (empty blocks crossed in one free DDA step), factor
+    # sigma_n_loc / mj_loc per collision — reduces to the classic global
+    # walk when no supervoxel grid exists (_dda_init returns inf
+    # crossings and _block_majorant the global bound)
+    from ..core.ray import Ray as _Ray
+    bidx0, t_next0, t_delta = medium_mod._dda_init(
+        scene, meta, medium_idx, _Ray(o, d, jnp.zeros((N,)),
+                                      jnp.full((N,), jnp.inf)),
+        jnp.zeros((N,)))
+    sgn_d = jnp.sign(d).astype(jnp.int32)
+
     def cond(carry):
-        t, tr, act, it, _ = carry
+        act = carry[2]
+        it = carry[5]
         return jnp.any(act) & (it < HET_COLLISION_ITERS)
 
     def body(carry):
-        t, tr, act, it, k = carry
+        t, tr, act, bidx, t_next_ax, it, k = carry
         k = jax.random.fold_in(k, it)
         u = jax.random.uniform(k, (N,))
-        t_new = t - jnp.log1p(-jnp.clip(u, 0, m.OneMinusEpsilon)) / mj
-        inside = act & (t_new < seg)
-        p = o + d * t_new[:, None]
-        _, sigma_n, _ = medium_mod.get_scattering_coefficients(
-            scene, meta, medium_idx, p, inside)
-        tr = jnp.where(inside[:, None], tr * sigma_n / mj[:, None], tr)
-        return (jnp.where(inside, t_new, t), tr, inside,
-                it + 1, k)
+        maj_loc, mj_loc = medium_mod._block_majorant(
+            scene, meta, medium_idx, bidx, channel)
+        dt = -jnp.log1p(-jnp.clip(u, 0, m.OneMinusEpsilon)) \
+            / jnp.maximum(mj_loc, 1e-30)
+        t_exit = jnp.min(t_next_ax, axis=-1)
+        t_stop = jnp.minimum(t_exit, seg)
+        boundary = act & (t + dt > t_stop)
+        col = act & ~boundary
+        p = o + d * (t + dt)[:, None]
+        _, _, sigma_t_v = medium_mod.get_scattering_coefficients(
+            scene, meta, medium_idx, p, col)
+        sigma_n_loc = jnp.maximum(maj_loc - sigma_t_v, 0.0)
+        tr = jnp.where(col[:, None],
+                       tr * sigma_n_loc
+                       / jnp.maximum(mj_loc, 1e-30)[:, None], tr)
+        escaped = boundary & (t_stop >= seg)
+        crossed = boundary & ~escaped
+        step_ax = crossed[:, None] & (t_next_ax <= t_exit[:, None])
+        bidx = bidx + jnp.where(step_ax, sgn_d, 0)
+        t_next_ax = t_next_ax + jnp.where(step_ax, t_delta, 0.0)
+        t_new = jnp.where(col, t + dt, jnp.where(crossed, t_stop, t))
+        return (t_new, tr, col | crossed, bidx, t_next_ax, it + 1, k)
 
     t0 = jnp.zeros((N,))
     tr0 = jnp.ones((N, 3))
-    carry = (t0, tr0, is_het, jnp.int32(0), key)
-    _, tr_het, still, _, _ = jax.lax.while_loop(cond, body, carry)
+    carry = (t0, tr0, is_het, bidx0, t_next0, jnp.int32(0), key)
+    _, tr_het, still, _, _, _, _ = jax.lax.while_loop(cond, body, carry)
     tr_het = jnp.where(still[:, None], 0.0, tr_het)  # hit the cap
 
     tr = jnp.where(is_het[:, None], tr_het, tr_homo)
