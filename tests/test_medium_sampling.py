@@ -1,0 +1,130 @@
+"""Fused delta-tracking medium sampler (medium.sample_real_interaction)
+and its supervoxel/DDA machinery. References: librender/medium.cpp:39-74
+(one-majorant-event sampling), volpath.cpp:123-133 (the null/real split
+whose factors the fused walk telescopes)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import jax.random as jr
+
+from golden_scenes import load_anchor
+from mitsuba_nlvrl_tpu import build_scene
+from mitsuba_nlvrl_tpu import medium as med
+from mitsuba_nlvrl_tpu.core.ray import Ray
+from mitsuba_nlvrl_tpu.core.rng import Sampler
+
+
+def _hetvol():
+    return build_scene(load_anchor('hetvol'))
+
+
+def _rays(N, seed=0):
+    rng = np.random.default_rng(seed)
+    o = jnp.asarray(np.stack([rng.uniform(-0.45, 0.45, N),
+                              np.full(N, -2.0),
+                              rng.uniform(-0.18, 0.18, N)], -1), jnp.float32)
+    d = jnp.tile(jnp.asarray([[0.0, 1.0, 0.0]], jnp.float32), (N, 1))
+    return Ray(o, d, jnp.zeros(N), jnp.full(N, jnp.inf))
+
+
+def test_constant_field_collision_rate_exact():
+    """On a constant-density grid the real-collision probability is
+    analytic: 1 - exp(-sigma_t * L)."""
+    scene, meta = _hetvol()
+    g = jnp.full(scene.media.grid_sigma_t.shape, 0.002, jnp.float32)
+    sup = jnp.full(scene.media.grid_sup.shape, 0.002, jnp.float32)
+    scene = scene._replace(media=scene.media._replace(
+        grid_sigma_t=g, grid_sup=sup))
+    N = 400_000
+    ray = _rays(N)
+    smp = Sampler.make(jr.PRNGKey(1), N)
+    mi, w, smp = med.sample_real_interaction(
+        scene, meta, ray, smp, jnp.zeros(N, jnp.int32),
+        jnp.zeros(N, jnp.int32), jnp.ones(N, bool))
+    found = float(np.asarray(mi.valid).mean())
+    expect = 1.0 - np.exp(-0.002 * 100.0 * 1.0)     # sigma=0.2, L=1
+    assert abs(found - expect) < 4.0 * np.sqrt(expect / N), (found, expect)
+    # escape weights are exactly 1 for gray media
+    esc_w = np.asarray(w)[~np.asarray(mi.valid)]
+    assert np.allclose(esc_w, 1.0, atol=1e-4)
+
+
+def test_supervoxel_weights_telescope_to_one():
+    """Gray media: every real collision's weight times its local majorant
+    is exactly 1 (the telescoped factors cancel), and the majorant grid
+    bounds the trilinear field everywhere."""
+    scene, meta = _hetvol()
+    N = 100_000
+    ray = _rays(N)
+    smp = Sampler.make(jr.PRNGKey(2), N)
+    mi, w, smp = med.sample_real_interaction(
+        scene, meta, ray, smp, jnp.zeros(N, jnp.int32),
+        jnp.zeros(N, jnp.int32), jnp.ones(N, bool))
+    found = np.asarray(mi.valid)
+    c = (np.asarray(w)[:, 0]
+         * np.asarray(mi.combined_extinction)[:, 0])[found]
+    assert np.abs(c - 1.0).max() < 1e-3
+    # sampled sigma_t never exceeds the local majorant it was drawn from
+    st = np.asarray(mi.sigma_t)[:, 0][found]
+    mj = np.asarray(mi.combined_extinction)[:, 0][found]
+    assert (st <= mj + 1e-4).all()
+
+
+def test_supervoxel_majorant_bounds_field():
+    """Block-max supervoxels (builder._supervoxel_max) bound the
+    trilinear density everywhere, including across block borders."""
+    scene, meta = _hetvol()
+    N = 200_000
+    rng = np.random.default_rng(5)
+    lo = np.array([-0.5, -0.5, -0.1953125])
+    hi = np.array([0.5, 0.5, 0.1953125])
+    p = jnp.asarray(rng.uniform(lo, hi, (N, 3)), jnp.float32)
+    midx = jnp.zeros(N, jnp.int32)
+    _, _, sig = med.get_scattering_coefficients(
+        scene, meta, midx, p, jnp.ones(N, bool))
+    bidx = med.block_index_of(scene, meta, midx, p)
+    maj, mj = med._block_majorant(scene, meta, midx, bidx,
+                                  jnp.zeros(N, jnp.int32))
+    assert (np.asarray(sig)[:, 0] <= np.asarray(mj) + 1e-5).all()
+
+
+def test_fused_matches_outer_loop_estimator():
+    """The fused walk reproduces the one-step sample_interaction + outer
+    null-loop formulation (the pre-fusion volpath structure): identical
+    real-collision rate on the hetvol grid to MC precision."""
+    scene, meta = _hetvol()
+    N = 200_000
+    ray = _rays(N)
+    smp = Sampler.make(jr.PRNGKey(1), N)
+    mi, w, smp = med.sample_real_interaction(
+        scene, meta, ray, smp, jnp.zeros(N, jnp.int32),
+        jnp.zeros(N, jnp.int32), jnp.ones(N, bool))
+    fused_rate = float(np.asarray(mi.valid).mean())
+
+    ch = jnp.zeros(N, jnp.int32)
+    midx = jnp.zeros(N, jnp.int32)
+    key = jr.PRNGKey(9)
+    active = jnp.ones(N, bool)
+    found = jnp.zeros(N, bool)
+    t_cur = jnp.zeros(N)
+    for it in range(400):
+        r = Ray(ray.o, ray.d, t_cur, jnp.full(N, jnp.inf))
+        k1 = jr.fold_in(key, it)
+        u = jr.uniform(k1, (N,))
+        mi1, mint = med.sample_interaction(scene, meta, r, u, ch, midx,
+                                           active)
+        active = active & mi1.valid
+        u2 = jr.uniform(jr.fold_in(k1, 7), (N,))
+        p_real = mi1.sigma_t[:, 0] / jnp.maximum(
+            mi1.combined_extinction[:, 0], 1e-30)
+        real = active & (u2 < p_real)
+        found = found | real
+        active = active & ~real
+        t_cur = jnp.where(active, mi1.t, t_cur)
+        if not bool(active.any()):
+            break
+    outer_rate = float(found.mean())
+    # two independent unbiased estimators of the same rate
+    sigma = np.sqrt(outer_rate * (1 - outer_rate) / N)
+    assert abs(fused_rate - outer_rate) < 5 * sigma * np.sqrt(2), \
+        (fused_rate, outer_rate)
