@@ -9,97 +9,125 @@ cbox-nonlinear-homo NLVRL headline scene).
 Ray counts are MEASURED on device (live lanes summed at every
 scene-intersection site, incl. shadow and transmittance-walk rays —
 Sampler.count_rays), not analytic upper bounds.
+
+Robustness: the remote TPU worker can crash (long volumetric kernels) or
+hang (recovering). Each config therefore runs in its OWN SUBPROCESS under
+a hard timeout, with one retry after a recovery wait — the parent process
+never imports JAX and always prints the JSON line.
 """
 import json
 import os
+import subprocess
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+CONFIGS = {
+    # headline: cbox path 512x512 (BASELINE PR1 config)
+    'cbox_path': ('/root/reference/data/cbox/cbox.xml', 16, None,
+                  {'max_depth': 8}),
+    # hetvol volpath (BASELINE anchor); banded — its long delta-tracking
+    # kernels are the known TPU worker-killer
+    'hetvol_volpath': ('/root/reference/data/hetvol/hetvol.xml', 2, 32768,
+                       {}),
+    # cbox-nonlinear-homo-vrl (thesis headline config)
+    'cbox_nlvrl': (
+        '/root/reference/data/scenes/cbox/cbox-nonlinear-homo-vrl.xml',
+        2, None, {}),
+}
 
 
-def _bench_render(desc, passes, max_band_rays=None, seed=0):
-    """Render `passes` spp with measured rays. Returns (mrays, mean)."""
-    import jax
+def _run_config(key):
+    """Child mode: render one config, print one JSON line."""
     import numpy as np
+    from mitsuba_nlvrl_tpu.scene.xml import load_file
     from mitsuba_nlvrl_tpu import build_scene
     from mitsuba_nlvrl_tpu.render import render, preprocess
 
+    path, passes, max_band_rays, over = CONFIGS[key]
+    if os.path.exists(path):
+        desc = load_file(path)
+    else:
+        from __graft_entry__ import _tiny_scene
+        desc = _tiny_scene(res=512)
+    desc.setdefault('integrator', {'type': 'path'}).update(over)
+
     scene, meta = build_scene(desc)
-    aux = preprocess(scene, meta, seed)
+    aux = preprocess(scene, meta, 0)
     # warmup: compile the EXACT program the timed run dispatches (the
-    # spp-chunked pass folds `passes` into one kernel — warming up with
-    # spp=1 compiles a different jit signature and the real compile then
-    # lands inside the timed region, understating throughput ~10x)
-    img = render(scene, meta, seed=seed, spp=passes, aux=aux,
+    # spp-chunked pass folds `passes` into one kernel — warming up with a
+    # different spp compiles a different jit signature and the real
+    # compile then lands inside the timed region, understating ~10x)
+    img = render(scene, meta, seed=0, spp=passes, aux=aux,
                  max_band_rays=max_band_rays)
     np.asarray(img)
 
     stats = []
     t0 = time.time()
-    img = render(scene, meta, seed=seed + 1, spp=passes, aux=aux,
+    img = render(scene, meta, seed=1, spp=passes, aux=aux,
                  max_band_rays=max_band_rays, ray_stats=stats)
     img.block_until_ready()
     dt = time.time() - t0
     rays = float(np.asarray(sum(stats)))
     im = np.asarray(img)
     assert np.isfinite(im).all() and im.mean() > 0, "render invalid"
-    return rays / dt / 1e6, float(im.mean())
+    print(json.dumps({"mrays": rays / dt / 1e6, "mean": float(im.mean())}))
+
+
+def _spawn(key, timeout_s):
+    """Run one config in a subprocess; (mrays, err)."""
+    try:
+        out = subprocess.run(
+            [sys.executable, '-u', os.path.abspath(__file__),
+             '--config', key],
+            capture_output=True, text=True, timeout=timeout_s, cwd=REPO)
+    except subprocess.TimeoutExpired:
+        return None, 'timeout'
+    for line in reversed(out.stdout.strip().splitlines()):
+        try:
+            return json.loads(line)['mrays'], None
+        except (json.JSONDecodeError, KeyError):
+            continue
+    err = (out.stderr or out.stdout or 'no output').strip()
+    return None, err[-200:]
 
 
 def main():
-    from mitsuba_nlvrl_tpu.scene.xml import load_file
-
     extra = {}
-
-    # --- headline: cbox path 512x512 (BASELINE PR1 config) -----------------
-    cbox = '/root/reference/data/cbox/cbox.xml'
-    if os.path.exists(cbox):
-        desc = load_file(cbox)
-    else:
-        from __graft_entry__ import _tiny_scene
-        desc = _tiny_scene(res=512)
-    desc['integrator']['max_depth'] = 8
-    path_mrays, _ = _bench_render(desc, passes=16)
-
-    def _extra_config(key, path, passes, max_band_rays=None):
-        """Volumetric extras run after the headline so a TPU worker crash
-        (hetvol's long delta-tracking kernels can kill the remote worker)
-        never takes the headline metric down; one retry after a recovery
-        wait."""
-        if not os.path.exists(path):
-            return
-        for attempt in (0, 1):
-            try:
-                desc = load_file(path)
-                mrays, _ = _bench_render(desc, passes=passes,
-                                         max_band_rays=max_band_rays)
+    headline = None
+    # headline first (so a volumetric worker crash can't take it down),
+    # with retries — the remote worker may still be recovering from a
+    # previous crash when the driver starts the bench
+    for attempt in range(3):
+        headline, err = _spawn('cbox_path', 1200)
+        if headline is not None:
+            break
+        extra['cbox_path_error'] = err
+        time.sleep(180)
+    for key, timeout_s in (('hetvol_volpath', 1500), ('cbox_nlvrl', 1500)):
+        for attempt in range(2):
+            mrays, err = _spawn(key, timeout_s)
+            if mrays is not None:
                 extra[key + '_mrays'] = round(mrays, 3)
-                return
-            except Exception as e:
-                extra[key + '_error'] = str(e)[:200]
-                if attempt == 0:
-                    time.sleep(240)   # typical worker recovery time
-
-    # --- hetvol volpath (BASELINE anchor); small bands — its long
-    # delta-tracking kernels are the known worker-killer ------------------
-    _extra_config('hetvol_volpath', '/root/reference/data/hetvol/hetvol.xml',
-                  passes=2, max_band_rays=32768)
-
-    # --- cbox-nonlinear-homo-vrl (thesis headline config) ------------------
-    _extra_config('cbox_nlvrl',
-                  '/root/reference/data/scenes/cbox/cbox-nonlinear-homo-vrl.xml',
-                  passes=2)
+                extra.pop(key + '_error', None)
+                break
+            extra[key + '_error'] = err
+            time.sleep(180)   # typical worker recovery time
 
     baseline = 10.0  # internal target Mrays/s/chip (no published reference)
     print(json.dumps({
         "metric": "cbox_path_throughput_measured",
-        "value": round(path_mrays, 3),
+        "value": round(headline or 0.0, 3),
         "unit": "Mrays/s/chip",
-        "vs_baseline": round(path_mrays / baseline, 3),
+        "vs_baseline": round((headline or 0.0) / baseline, 3),
         "extra": extra,
     }))
 
 
 if __name__ == '__main__':
-    main()
+    if len(sys.argv) > 2 and sys.argv[1] == '--config':
+        _run_config(sys.argv[2])
+    else:
+        main()
