@@ -285,24 +285,32 @@ def shoot(scene, meta, key, n_paths: int, max_depth: int = 8,
         active_medium = active & (st.medium_idx >= 0)
         active_surface = active & ~active_medium
 
-        # --- nonlinear bending + free flight --------------------------------
+        # --- nonlinear bending ------------------------------------------------
+        # NL media are optically homogeneous (nonlinear.cpp:41): free flight
+        # is exact against sigma_t == majorant and every collision is real,
+        # so the analytic per-iteration sample stays correct for them. All
+        # OTHER medium lanes delta-track to the next REAL collision inside
+        # medium.sample_real_interaction (null events + supervoxel-local
+        # majorants resolved in its inner while_loop) — without this,
+        # heterogeneous shooting burns the depth-bounded scan on null
+        # events (hetvol's mean density is ~1% of its majorant) and
+        # silently truncates the deposited energy.
         u_fl, smp = smp.next_1d()
-        majorant = medium_mod.get_majorant(scene, st.medium_idx)
-        mj = gat.select_channel(majorant, st.channel)
-        t_coll = -jnp.log1p(-jnp.clip(u_fl, 0, m.OneMinusEpsilon)) \
-            / jnp.maximum(mj, 1e-30)
-
         cur_ray = st.ray
         vrl_start = st.vrl_start
         if has_nl:
+            majorant = medium_mod.get_majorant(scene, st.medium_idx)
+            mj = gat.select_channel(majorant, st.channel)
             midx_safe = jnp.maximum(st.medium_idx, 0)
             is_nl = active_medium & \
                 (scene.media.type[midx_safe] == MEDIUM_TYPES['nonlinear'])
-            cur_ray, t_coll2, vrl_start, bend_deps = _march_nonlinear(
+            t_coll = -jnp.log1p(-jnp.clip(u_fl, 0, m.OneMinusEpsilon)) \
+                / jnp.maximum(mj, 1e-30)
+            cur_ray, t_coll, vrl_start, bend_deps = _march_nonlinear(
                 scene, meta, st._replace(ray=cur_ray), t_coll, is_nl,
                 S_nl, min_vrl_len)
-            t_coll = jnp.where(is_nl, t_coll2, t_coll)
         else:
+            is_nl = jnp.zeros((N,), bool)
             zero3 = jnp.zeros((0, N, 3))
             bend_deps = (zero3, zero3, zero3,
                          jnp.zeros((0, N), jnp.int32),
@@ -313,47 +321,62 @@ def shoot(scene, meta, key, n_paths: int, max_depth: int = 8,
         si = isect.ray_intersect(scene, Ray(cur_ray.o, cur_ray.d,
                                             cur_ray.mint,
                                             jnp.full((N,), jnp.inf)))
-        # medium collision valid if before surface
-        coll_valid = active_medium & (mj > 0) & (t_coll < si.t)
-        # spectral tr/pdf correction for colored extinction (identity for
-        # gray media): tr = exp(-t*maj_vec), pdf = tr*maj[ch] | tr[ch]
-        seg_t = jnp.minimum(t_coll, si.t)
-        seg_t = jnp.where(jnp.isfinite(seg_t), seg_t, 0.0)
-        tr_vec = jnp.exp(-seg_t[:, None] * majorant)
-        tr_ch = gat.select_channel(tr_vec, st.channel)
-        tr_pdf = jnp.where(coll_valid, tr_ch * mj, tr_ch)
-        throughput = jnp.where(
-            active_medium[:, None],
-            throughput * jnp.where(
-                (tr_pdf > 0)[:, None],
-                tr_vec / jnp.maximum(tr_pdf, 1e-30)[:, None], 0.0),
-            throughput)
-        p_coll = cur_ray.at(jnp.where(coll_valid, t_coll, 0.0))
-        sigma_s, sigma_n, sigma_t = medium_mod.get_scattering_coefficients(
-            scene, meta, st.medium_idx, p_coll, coll_valid)
-        escaped_medium = active_medium & ~coll_valid
 
-        # null vs real
-        u_ev, smp = smp.next_1d()
-        p_real = gat.select_channel(sigma_t, st.channel) \
-            / jnp.maximum(mj, 1e-30)
-        act_real = coll_valid & (u_ev < p_real)
-        act_null = coll_valid & ~act_real
-        throughput = jnp.where(
-            act_null[:, None],
-            throughput * sigma_n * (mj / jnp.maximum(
-                gat.select_channel(sigma_n, st.channel),
-                1e-30))[:, None], throughput)
+        # --- fused delta tracking (homogeneous + heterogeneous lanes) --------
+        act_med_std = active_medium & ~is_nl
+        mray = Ray(cur_ray.o, cur_ray.d, cur_ray.mint,
+                   jnp.where(si.valid, si.t, jnp.inf))
+        mi, w_med, smp = medium_mod.sample_real_interaction(
+            scene, meta, mray, smp, st.channel, st.medium_idx, act_med_std)
+        throughput = jnp.where(act_med_std[:, None], throughput * w_med,
+                               throughput)
+        coll_std = act_med_std & mi.valid
+
+        # --- NL lanes: analytic homogeneous free flight along the bent ray ---
+        if has_nl:
+            coll_nl = is_nl & (mj > 0) & (t_coll < si.t)
+            seg_t = jnp.minimum(t_coll, si.t)
+            seg_t = jnp.where(jnp.isfinite(seg_t), seg_t, 0.0)
+            tr_vec = jnp.exp(-seg_t[:, None] * majorant)
+            tr_ch = gat.select_channel(tr_vec, st.channel)
+            tr_pdf = jnp.where(coll_nl, tr_ch * mj, tr_ch)
+            throughput = jnp.where(
+                is_nl[:, None],
+                throughput * jnp.where(
+                    (tr_pdf > 0)[:, None],
+                    tr_vec / jnp.maximum(tr_pdf, 1e-30)[:, None], 0.0),
+                throughput)
+        else:
+            coll_nl = jnp.zeros((N,), bool)
+
+        coll_any = coll_std | coll_nl
+        p_coll = mi.p
+        if has_nl:
+            p_coll = jnp.where(coll_nl[:, None],
+                               cur_ray.at(jnp.where(coll_nl, t_coll, 0.0)),
+                               p_coll)
+        sigma_s, sigma_n, sigma_t = medium_mod.get_scattering_coefficients(
+            scene, meta, st.medium_idx, p_coll, coll_any)
+        escaped_medium = active_medium & ~coll_any
+
+        act_real = coll_any
         depth = jnp.where(act_real, st.depth + 1, st.depth)
         trunc = trunc | (active & (depth >= max_depth + 1))
         active = active & (depth < max_depth + 1)
         act_real = act_real & active
 
+        # real-collision factor: sigma_s * maj_ch / sigma_t_ch against the
+        # majorant the distance was actually sampled with (the supervoxel-
+        # LOCAL one for delta-tracked lanes, the global bound for NL lanes)
+        comb = mi.combined_extinction
+        if has_nl:
+            comb = jnp.where(coll_nl[:, None], majorant, comb)
         throughput = jnp.where(
             act_real[:, None],
-            throughput * sigma_s * (mj / jnp.maximum(
-                gat.select_channel(sigma_t, st.channel),
-                1e-30))[:, None], throughput)
+            throughput * sigma_s * (
+                gat.select_channel(comb, st.channel) / jnp.maximum(
+                    gat.select_channel(sigma_t, st.channel),
+                    1e-30))[:, None], throughput)
 
         # volume photon: first scatter in the chain (vrl.cpp:273-275), or
         # every scatter for the photonmapper (photonmapper.cpp:198-241)
@@ -412,7 +435,7 @@ def shoot(scene, meta, key, n_paths: int, max_depth: int = 8,
                                si.target_medium(wo_world), st.medium_idx)
 
         # assemble next ray
-        o_next = jnp.where((act_real | act_null)[:, None], p_coll,
+        o_next = jnp.where(act_real[:, None], p_coll,
                            jnp.where(active_surface[:, None], si.p,
                                      cur_ray.o))
         d_next = jnp.where(act_real[:, None], wo_med,
@@ -429,14 +452,17 @@ def shoot(scene, meta, key, n_paths: int, max_depth: int = 8,
                    st.vrl_depth, st.vrl_direct,
                    vrl_end_ok & end_len_ok & (st.vrl_medium >= 0))
 
-        # after a real scatter the subsequent light is indirect
+        # after a real scatter the subsequent light is indirect. (Null
+        # collisions no longer reach this point — the medium sampler
+        # resolves them — so VRL segments correctly SPAN null events
+        # instead of restarting, and every medium stretch is covered.)
         is_direct = jnp.where(act_real, False, st.is_direct)
-        restart = act_real | active_surface | act_null
+        restart = act_real | active_surface
         new_vrl_start = jnp.where(restart[:, None], o_next, vrl_start)
         new_vrl_flux = jnp.where(restart[:, None],
                                  st.flux * throughput, st.vrl_flux)
 
-        alive = (act_real | act_null | active_surface) & active
+        alive = (act_real | active_surface) & active
         alive = alive & jnp.any(throughput != 0, axis=-1)
         alive = alive & (~active_surface | (bs.pdf > 0))
 
@@ -535,14 +561,77 @@ def photon_radii(grid: hashgrid.HashGrid, pos, valid, k: float = 8.0,
     return jnp.clip(r, 0.25 * r0, r0)
 
 
+def _thin(key, valid, flux, arrays, cap: int):
+    """Keep min(count, cap) uniformly-random valid rows (without
+    replacement) and scale their flux by count/kept — unbiased budget
+    enforcement. Returns (kept, vmask, flux_out, arrays_out), leading
+    dimension cap."""
+    n = valid.shape[0]
+    r = jax.random.uniform(key, (n,))
+    order = jnp.argsort(jnp.where(valid, r, 2.0))
+    take = order[:cap]
+    count = valid.sum(dtype=jnp.int32)
+    kept = jnp.minimum(count, cap)
+    vmask = jnp.arange(cap) < kept
+    scale = count.astype(jnp.float32) \
+        / jnp.maximum(kept, 1).astype(jnp.float32)
+    flux_out = jnp.where(vmask[:, None], flux[take] * scale, 0.0)
+    return kept, vmask, flux_out, [a[take] for a in arrays]
+
+
+def thin_raw(key, raw: RawDeposits, sp_cap: int, vp_cap: int,
+             vrl_cap: int) -> RawDeposits:
+    """Thin over-full deposit reservoirs down to the configured map
+    budgets. The reference shoots serially UNTIL each map is full and
+    normalizes by the paths that got deposits in (vrl.cpp:117,
+    vrl_map.h:43-53); the wavefront analog shoots everything at once into
+    headroom-sized reservoirs and keeps a uniformly-random subset with
+    flux scaled by count/kept — unbiased, respects the query-cost budget,
+    and avoids the depth-biased truncation a fill-order drop would cause
+    (the reservoir fills iteration-by-iteration, so overflow would drop
+    the DEEP deposits first)."""
+    ks, kv, kr = jax.random.split(key, 3)
+    sp_v = jnp.arange(raw.sp_pos.shape[0]) < raw.sp_count
+    n_sp, _, sp_pow, (sp_pos, sp_dir, sp_nrm, sp_dep, sp_cau) = _thin(
+        ks, sp_v, raw.sp_power,
+        [raw.sp_pos, raw.sp_dir, raw.sp_normal, raw.sp_depth,
+         raw.sp_caustic], sp_cap)
+    vp_v = jnp.arange(raw.vp_pos.shape[0]) < raw.vp_count
+    n_vp, _, vp_pow, (vp_pos, vp_dir, vp_dep) = _thin(
+        kv, vp_v, raw.vp_power, [raw.vp_pos, raw.vp_dir, raw.vp_depth],
+        vp_cap)
+    vrl_v = jnp.arange(raw.vrl_o.shape[0]) < raw.vrl_count
+    n_vrl, _, vrl_flux, (vrl_o, vrl_e, vrl_med, vrl_dep, vrl_dir) = _thin(
+        kr, vrl_v, raw.vrl_flux,
+        [raw.vrl_o, raw.vrl_e, raw.vrl_medium, raw.vrl_depth,
+         raw.vrl_direct], vrl_cap)
+    return raw._replace(
+        sp_pos=sp_pos, sp_power=sp_pow, sp_dir=sp_dir, sp_normal=sp_nrm,
+        sp_depth=sp_dep, sp_caustic=sp_cau, sp_count=n_sp,
+        vp_pos=vp_pos, vp_power=vp_pow, vp_dir=vp_dir, vp_depth=vp_dep,
+        vp_count=n_vp,
+        vrl_o=vrl_o, vrl_e=vrl_e, vrl_flux=vrl_flux, vrl_medium=vrl_med,
+        vrl_depth=vrl_dep, vrl_direct=vrl_dir, vrl_count=n_vrl)
+
+
 def build_maps(scene, meta, raw: RawDeposits, r_global, r_caustic,
                r_volume) -> PhotonMaps:
-    """Build hash grids + contributing-path scale factors over the already-
-    compact reservoirs (the analog of the reference's map builds,
-    vrl.cpp:383-438)."""
-    sp_paths = jnp.maximum(raw.sp_contrib.sum(), 1)
-    vp_paths = jnp.maximum(raw.vp_contrib.sum(), 1)
-    vrl_paths = jnp.maximum(raw.vrl_contrib.sum(), 1)
+    """Build hash grids + map scale factors over the already-compact
+    reservoirs (the analog of the reference's map builds, vrl.cpp:383-438).
+
+    Deviation (validated): the reference scales each map by 1/contributing-
+    path-count (vrl.cpp:370-380,:431 — surfacePath/volumePath flags), which
+    over-brightens whenever shot paths can miss the scene entirely
+    (constant/envmap emitters shooting inward from the bounding sphere:
+    a missed path carries its flux share away and must still count in the
+    normalization). We divide by the number of paths SHOT — the unbiased
+    estimator — cross-checked against volpath ground truth in
+    tests/test_nlvrl.py. For interior emitters (the thesis anchor scenes)
+    essentially every path contributes and the two scales coincide."""
+    n_shot = jnp.float32(raw.sp_contrib.shape[0])
+    sp_paths = n_shot
+    vp_paths = n_shot
+    vrl_paths = n_shot
 
     sp_vmask = jnp.arange(raw.sp_pos.shape[0]) < raw.sp_count
     vp_vmask = jnp.arange(raw.vp_pos.shape[0]) < raw.vp_count

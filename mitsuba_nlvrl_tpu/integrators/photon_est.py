@@ -140,6 +140,11 @@ def estimate_beam(scene, meta, maps, o, d, t_max, wo, medium_idx, active,
                 -pdir.reshape(-1, 3), jnp.repeat(wo, K, axis=0),
                 jnp.ones((idx.size,), bool)).reshape(idx.shape)
             kern = m.sqr(1.0 - perp2 / rr2) / rr2 * m.InvPi * 3.0
+            # closed-form Tr to the closest approach: exact for
+            # homogeneous/NL media; heterogeneous media over-attenuate
+            # (majorant bound) — BRE is opt-in (use_bre, the reference
+            # ships it disabled, photonmapper.cpp:373); the gather-point
+            # path handles het media exactly via _medium_segment_tr
             tr = jnp.exp(-t_p[..., None] * majorant[:, None, :])
             contrib = maps.vp_power[idx] * (pf * kern)[..., None] * tr
             return inner + jnp.where(sel[..., None], contrib, 0.0).sum(1)

@@ -42,7 +42,7 @@ from ..ops.gather import select_channel as _selch
 from ..scene.types import F_SMOOTH, MEDIUM_TYPES
 from . import lighttrace
 from . import photon_est
-from .volpath import transmittance_to_point
+from .volpath import transmittance_to_point, _medium_segment_tr
 
 def scene_radius_of(scene):
     """Reference radius convention: |bbox.center - bbox.max|
@@ -73,13 +73,21 @@ def preprocess(scene, meta, key, vp_all_scatters: bool = False):
     max_bends = int(meta.iprop('max_nl_bends', 32)) if has_nl else 0
 
     photon_cap = max(int(meta.iprop('global_photons', 250000)), target_vp)
+    vrl_budget = max(target_vrls, 8)
+    # shoot into headroom-sized reservoirs, then thin each family down to
+    # its configured budget with unbiased flux rescaling (thin_raw) — the
+    # wavefront analog of the reference's shoot-until-full loop
+    head = lambda cap: min(4 * cap, max(cap, n_paths * (max_depth + 2)))
     shoot_fn = jax.jit(partial(
         lighttrace.shoot, n_paths=n_paths, max_depth=max_depth,
         rr_depth=rr_depth, max_bends=max_bends, min_vrl_len=min_vrl,
-        vp_all_scatters=vp_all_scatters, sp_cap=photon_cap,
-        vp_cap=photon_cap, vrl_cap=max(target_vrls, 8)),
+        vp_all_scatters=vp_all_scatters, sp_cap=head(photon_cap),
+        vp_cap=head(photon_cap), vrl_cap=head(vrl_budget)),
         static_argnames=('meta',))
     raw = shoot_fn(scene, meta, key)
+    raw = jax.jit(partial(lighttrace.thin_raw, sp_cap=photon_cap,
+                          vp_cap=photon_cap, vrl_cap=vrl_budget))(
+        jax.random.fold_in(key, 0x7411), raw)
 
     # keep radii as device scalars: host pulls are expensive on remote TPUs
     sr = scene_radius_of(scene)
@@ -93,7 +101,9 @@ def preprocess(scene, meta, key, vp_all_scatters: bool = False):
         maps = jax.jit(_lengthen_vrls)(scene, maps)
     dice = int(meta.iprop('dice_vrl', 1))
     if dice > 1:
-        maps = jax.jit(partial(_dice_vrls, dice=dice))(scene, maps)
+        maps = jax.jit(partial(_dice_vrls, dice=dice),
+                       static_argnames=('meta',))(
+            scene, meta, jax.random.fold_in(key, 0xd1ce), maps)
     if bool(meta.iprop('use_light_cut', True)):
         n_cl = int(meta.iprop('vrl_clusters', 512))
         clusters = jax.jit(partial(build_vrl_clusters, n_clusters=n_cl))(
@@ -114,7 +124,7 @@ def _lengthen_vrls(scene, maps):
     return maps._replace(vrl_len=new_len)
 
 
-def _dice_vrls(scene, maps, dice: int):
+def _dice_vrls(scene, meta, key, maps, dice: int):
     """dice_vrl > 1: re-chunk every VRL into sub-VRLs of uniform length
     avg_len/dice; each sub-VRL's flux pre-absorbs Tr(origin -> sub start)
     so energy stays exact (dice(), vrl_struct.h:88-128; dicingVRL,
@@ -133,8 +143,14 @@ def _dice_vrls(scene, maps, dice: int):
     rep = lambda a: jnp.repeat(a, K, axis=0)
     med = rep(maps.vrl_medium)
     start_f = jnp.broadcast_to(start[None, :], (V, K)).reshape(V * K)
-    tr = medium_mod.homogeneous_transmittance(scene, med, start_f,
-                                              valid.reshape(V * K))
+    # Tr(VRL origin -> sub-VRL start), pre-absorbed into the sub-VRL flux
+    # (dice(), vrl_struct.h:100-112). Stochastic-Tr is fine here: flux is
+    # linear in it, so the diced estimator stays unbiased for
+    # heterogeneous VRL media too.
+    tr, _ = _medium_segment_tr(
+        scene, meta, Sampler.make(key, V * K), rep(maps.vrl_o),
+        rep(maps.vrl_d), start_f, med,
+        jnp.zeros((V * K,), jnp.int32), valid.reshape(V * K))
     o = (maps.vrl_o[:, None, :]
          + maps.vrl_d[:, None, :] * start[None, :, None]).reshape(V * K, 3)
     n, vmask, (o, d, ln, flux, med, dep, direct) = lighttrace._compact_dev(
@@ -229,9 +245,13 @@ def vrl_contrib(scene, meta, maps, seg_o, seg_d, seg_len, cam_medium,
     sig_s_vrl, _, _ = medium_mod.get_scattering_coefficients(
         scene, meta, med_v, p_vrl, act)
 
-    tr_cam = medium_mod.homogeneous_transmittance(scene, cam_medium, t_cam,
-                                                  act)
-    tr_vrl = medium_mod.homogeneous_transmittance(scene, med_v, t_vrl, act)
+    # Tr along the camera segment and along the VRL (evalTransmittance,
+    # vrl_struct.h:509-572): closed-form for homogeneous/NL media,
+    # supervoxel ratio tracking for heterogeneous ones
+    tr_cam, sampler = _medium_segment_tr(scene, meta, sampler, seg_o, seg_d,
+                                         t_cam, cam_medium, channel, act)
+    tr_vrl, sampler = _medium_segment_tr(scene, meta, sampler, o_v, d_v,
+                                         t_vrl, med_v, channel, act)
     act_tr = act & (ray_pf > 0) & (vrl_pf > 0)
     tr_link, sampler = transmittance_to_point(
         scene, meta, sampler, p_cam, dirn, dist, cam_medium, channel,
@@ -616,7 +636,7 @@ def make_sample(use_vrls: bool):
                 S = bent.seg_len.shape[1]
 
                 def seg_body(s_i, carry):
-                    acc, seg_tr = carry
+                    acc, seg_tr, ismp = carry
                     so = jax.lax.dynamic_index_in_dim(bent.seg_o, s_i, 1,
                                                       False)
                     sd = jax.lax.dynamic_index_in_dim(bent.seg_d, s_i, 1,
@@ -628,34 +648,40 @@ def make_sample(use_vrls: bool):
                         scene, meta, maps, so, sd, sl, -sd, st.medium_idx,
                         ok, radius, n_steps=g_cap), meta)
                     acc = acc + jnp.where(ok[:, None], seg_tr * est, 0.0)
-                    seg_tr = seg_tr * medium_mod.homogeneous_transmittance(
-                        scene, st.medium_idx, sl, ok)
-                    return acc, seg_tr
+                    tr_s, ismp = _medium_segment_tr(
+                        scene, meta, ismp, so, sd, sl, st.medium_idx,
+                        st.channel, ok)
+                    return acc, seg_tr * tr_s, ismp
 
-                direct_v, _ = jax.lax.fori_loop(
-                    0, S, seg_body, (jnp.zeros((N, 3)), jnp.ones((N, 3))))
+                direct_v, _, smp = jax.lax.fori_loop(
+                    0, S, seg_body,
+                    (jnp.zeros((N, 3)), jnp.ones((N, 3)), smp))
                 result = result + throughput * direct_v * maps.vp_scale
             elif use_direct:
                 def gather_body(g, carry):
-                    acc, tr_run, last_t = carry
+                    acc, tr_run, last_t, ismp = carry
                     t_g = radius + 2.0 * radius * g
                     ok = in_medium & (t_g <= bent.total)
                     p_g = bent.at(t_g)
-                    # transmittance from previous gather point
-                    step_tr = medium_mod.homogeneous_transmittance(
-                        scene, st.medium_idx, t_g - last_t, ok)
+                    # transmittance from previous gather point (het lanes
+                    # are never bent, so the straight camera direction is
+                    # exact for them; homogeneous-like lanes use the
+                    # closed form, which ignores the geometry)
+                    step_tr, ismp = _medium_segment_tr(
+                        scene, meta, ismp, bent.at(last_t), st.ray.d,
+                        t_g - last_t, st.medium_idx, st.channel, ok)
                     tr_run = jnp.where(ok[:, None], tr_run * step_tr, tr_run)
                     est = _map_psum(photon_est.estimate_volume(
                         scene, meta, maps, p_g, -st.ray.d, st.medium_idx,
                         ok, radius), meta)
                     acc = acc + jnp.where(ok[:, None], tr_run * est, 0.0)
                     last_t = jnp.where(ok, t_g, last_t)
-                    return acc, tr_run, last_t
+                    return acc, tr_run, last_t, ismp
 
                 acc0 = (jnp.zeros((N, 3)), jnp.ones((N, 3)),
-                        jnp.zeros((N,)))
-                direct_v, _, _ = jax.lax.fori_loop(0, g_cap, gather_body,
-                                                   acc0)
+                        jnp.zeros((N,)), smp)
+                direct_v, _, _, smp = jax.lax.fori_loop(0, g_cap,
+                                                        gather_body, acc0)
                 result = result + throughput * direct_v * maps.vp_scale
 
             # indirect: VRL query per bent segment
@@ -674,13 +700,18 @@ def make_sample(use_vrls: bool):
                     q = _map_psum(q, meta)
                     vrl_acc = vrl_acc + jnp.where(seg_ok[:, None],
                                                   seg_tr * q, 0.0)
-                    seg_tr = seg_tr * medium_mod.homogeneous_transmittance(
-                        scene, st.medium_idx, bent.seg_len[:, s_i], seg_ok)
+                    tr_s, smp = _medium_segment_tr(
+                        scene, meta, smp, bent.seg_o[:, s_i],
+                        bent.seg_d[:, s_i], bent.seg_len[:, s_i],
+                        st.medium_idx, st.channel, seg_ok)
+                    seg_tr = seg_tr * tr_s
                 result = result + throughput * vrl_acc
 
-            # camera attenuation through the medium
-            thr_med = medium_mod.homogeneous_transmittance(
-                scene, st.medium_idx, bent.total, in_medium)
+            # camera attenuation through the medium (het lanes are never
+            # bent, so the straight ray is their exact geometry)
+            thr_med, smp = _medium_segment_tr(
+                scene, meta, smp, st.ray.o, st.ray.d, bent.total,
+                st.medium_idx, st.channel, in_medium)
             throughput = throughput * thr_med
 
             # ---- surface leg ---------------------------------------------

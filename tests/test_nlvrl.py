@@ -368,3 +368,42 @@ def test_bre_per_photon_radii():
     bre = np.asarray(render(s2, m2, spp=4, seed=3)).mean()
     assert bre > 0 and np.isfinite(bre)
     assert abs(bre - gp) / gp < 0.35, (bre, gp)
+
+
+def test_vrl_heterogeneous_medium_matches_volpath():
+    """VRL/photonmapper transport through a HETEROGENEOUS medium: the
+    estimator's three transmittances (camera segment, VRL segment, link)
+    ratio-track the density grid instead of assuming homogeneous Tr
+    (reference evalTransmittance, medium.h:109-155 / vrl_struct.h:509-572
+    support grids too). Gate: agree with volpath ground truth."""
+    import jax.numpy as jnp
+    from mitsuba_nlvrl_tpu.scene.vol_io import VolumeGrid
+
+    # smooth blobby density in [0, 1]: dense center, thin edges
+    g = np.zeros((12, 12, 12), np.float32)
+    zz, yy, xx = np.meshgrid(*[np.linspace(-1, 1, 12)] * 3, indexing='ij')
+    g = np.exp(-2.5 * (xx**2 + yy**2 + zz**2)).astype(np.float32)
+    vg = VolumeGrid(data=g[..., None],
+                    bbox_min=np.float32([-0.95, -0.95, -0.95]),
+                    bbox_max=np.float32([0.95, 0.95, 0.95]))
+    med = {'type': 'heterogeneous',
+           'sigma_t': {'type': 'gridvolume', '_grid': vg},
+           'albedo': 0.85, 'scale': 2.0}
+
+    dv = cornell_box(spp=8, res=16,
+                     integrator={'type': 'volpath', 'max_depth': 6},
+                     medium=med, light='point')
+    sv, mv = build_scene(dv)
+    gt = np.asarray(render(sv, mv, spp=8, seed=1)).mean()
+
+    dd = cornell_box(spp=4, res=16,
+                     integrator={'type': 'vrl', 'max_depth': 6,
+                                 'target_vrls': 2000, 'samples_per_query': 4,
+                                 'min_vrl_length': 0.02,
+                                 'use_direct_illum': True,
+                                 'volume_lookup_radius_relative': 0.03},
+                     medium=med, light='point')
+    sd, md = build_scene(dd)
+    vr = np.asarray(render(sd, md, spp=4, seed=1)).mean()
+    assert np.isfinite(vr) and vr > 0
+    assert abs(vr - gt) / gt < 0.35, (vr, gt)
