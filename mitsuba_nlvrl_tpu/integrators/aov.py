@@ -84,8 +84,14 @@ def sample_stokes(scene, meta, sampler: Sampler, ray: Ray, active=None,
     _, meta2 = _nested(meta)
     comp = int(meta.iprop('component', 0))
     if meta2.integrator == 'path':
-        stokes, valid, sampler = path_polarized.sample_full(
-            scene, meta2, sampler, ray, active, diff=diff, aux=aux)
+        if getattr(meta2, 'spectral', False):
+            # *_spectral_polarized: hero-wavelength Mueller transport
+            from . import path_spectral_polarized
+            stokes, valid, sampler = path_spectral_polarized.sample_full(
+                scene, meta2, sampler, ray, active, diff=diff, aux=aux)
+        else:
+            stokes, valid, sampler = path_polarized.sample_full(
+                scene, meta2, sampler, ray, active, diff=diff, aux=aux)
         return stokes[:, :, comp], valid, sampler
     inner = get_integrator(meta2.integrator)
     L, valid, sampler = inner(scene, meta2, sampler, ray, active, diff=diff,
