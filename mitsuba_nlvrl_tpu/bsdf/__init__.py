@@ -58,12 +58,18 @@ def pack_params(props: dict) -> Tuple[int, int, list]:
         return code, flags | F_TWOSIDED, p
     if t == 'mask':
         # opacity-masked wrapper (reference src/bsdfs/mask.cpp): the nested
-        # bsdf's row with opacity in slot 14; dispatch handles pass-through
+        # bsdf's row with opacity in slot 14; dispatch handles pass-through.
+        # Textured opacity (mask.cpp:55 holds a Texture) rides slot 18 as
+        # id+1 and rewrites slot 14 per lane in _apply_param_textures.
         inner = props.get('bsdf', {'type': 'diffuse'})
         code, flags, p = pack_params(inner)
         op = props.get('opacity', 0.5)
-        p[14] = float(op if isinstance(op, (int, float)) else
-                      sum(op) / len(op))
+        if isinstance(op, dict):
+            p[14] = 0.5      # per-lane rewrite from the slot-18 texture
+        else:
+            p[14] = float(op if isinstance(op, (int, float)) else
+                          sum(op) / len(op))
+        p[18] = float(props.get('_opacity_tex', -1)) + 1.0
         return code, flags | F_MASK | F_NULL | F_TRANSMISSION, p
 
     def rgb(key, default):
@@ -629,6 +635,10 @@ def _apply_param_textures(scene, meta, si, P, btype):
     d_id = jnp.where(plas, P[:, 15].astype(jnp.int32), -1)
     tex_d = tex_mod.eval(scene, d_id, si.uv)
     P = P.at[:, 0:3].set(jnp.where((d_id >= 0)[:, None], tex_d, P[:, 0:3]))
+    # textured mask opacity (slot 18 = id+1 -> slot 14)
+    o_id = P[:, 18].astype(jnp.int32) - 1
+    tex_o = tex_mod.eval(scene, jnp.maximum(o_id, 0), si.uv)[:, 0]
+    P = P.at[:, 14].set(jnp.where(o_id >= 0, tex_o, P[:, 14]))
     return P
 
 
@@ -907,6 +917,7 @@ def eval_null_transmission(scene, meta, si):
     from ..ops.gather import take_many
     flags, P, btype = take_many([scene.bsdfs.flags, scene.bsdfs.params,
                                  scene.bsdfs.type], si.bsdf_idx)
+    P = _apply_param_textures(scene, meta, si, P, btype)
     is_mask = (flags & F_MASK) > 0
     is_null = ((flags & F_NULL) > 0) & ~is_mask
     out = jnp.where(is_null[:, None], jnp.ones((si.wi.shape[0], 3)), 0.0)

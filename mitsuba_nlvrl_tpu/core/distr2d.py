@@ -266,52 +266,66 @@ def eval(dist: Marginal2D, pos, params=()):
 
 # --- Hierarchical2D (mip-pyramid sample warping) ------------------------------
 #
-# TPU-native rebuild of the reference ``Hierarchical2D<Float, 0>``
+# TPU-native rebuild of the reference ``Hierarchical2D<Float, Dim>``
 # (include/mitsuba/core/distr_2d.h:335-817): the same bilinear-interpolant
 # density as Marginal2D, but sampled by a coarse-to-fine MIP traversal with
 # very little shear (the envmap's warp, src/emitters/envmap.cpp:67,123).
-# Levels are plain row-major (h, w) arrays — the reference's interleaved
-# 2x2 memory layout (distr_2d.h:738-751) is a CPU cache optimization that
-# XLA's gathers don't need. The descent is a statically unrolled loop
-# (level count is a build-time fact), all lanes in lockstep.
+# Levels are plain row-major (S, h, w) arrays with a leading parameter-
+# slice axis — the reference's interleaved 2x2 memory layout
+# (distr_2d.h:738-751) is a CPU cache optimization that XLA's gathers
+# don't need. The descent is a statically unrolled loop (level count is a
+# build-time fact), all lanes in lockstep; conditioning parameters
+# interpolate 2^D corner slices at every lookup, like the reference's
+# Dim > 0 instantiations (bound as Hierarchical2D1/2,
+# src/libcore/python/distr_2d_v.cpp:107-109).
 
 
 class Hierarchical2D(NamedTuple):
-    nodes: jnp.ndarray                # (h, w) normalized node values
+    nodes: jnp.ndarray                # (S, h, w) normalized node values
     levels: Tuple[jnp.ndarray, ...]   # coarsest (<=2x2) ... finest patches
+    param_values: Tuple[jnp.ndarray, ...] = ()   # D slice coordinate arrays
 
 
-def build_hierarchical(data: np.ndarray, normalize: bool = True
-                       ) -> Hierarchical2D:
-    """data: (h, w) node values of the bilinear interpolant.  Normalizes
-    so the interpolant integrates to 1 over the unit square
+def build_hierarchical(data: np.ndarray, param_values=(),
+                       normalize: bool = True) -> Hierarchical2D:
+    """data: (*param_res, h, w) node values of the bilinear interpolant,
+    one slice per conditioning-parameter grid point. Normalizes each slice
+    so its interpolant integrates to 1 over the unit square
     (distr_2d.h:372-466)."""
-    d = np.asarray(data, np.float64)
-    h, w = d.shape
+    param_values = tuple(np.asarray(p, np.float32) for p in param_values)
+    dd = np.asarray(data, np.float64)
+    h, w = dd.shape[-2], dd.shape[-1]
+    d = dd.reshape(-1, h, w)
     ph, pw = max(h - 1, 1), max(w - 1, 1)
     if h < 2 or w < 2:          # degenerate 1-node axis: constant density
-        d = np.pad(d, ((0, 2 - h if h < 2 else 0),
+        d = np.pad(d, ((0, 0), (0, 2 - h if h < 2 else 0),
                        (0, 2 - w if w < 2 else 0)), mode='edge')
-        h, w = d.shape
+        h, w = d.shape[1:]
         ph, pw = h - 1, w - 1
-    patch = 0.25 * (d[:-1, :-1] + d[:-1, 1:] + d[1:, :-1] + d[1:, 1:])
-    scale = (ph * pw) / max(patch.sum(), 1e-30) if normalize else 1.0
+    patch = 0.25 * (d[:, :-1, :-1] + d[:, :-1, 1:]
+                    + d[:, 1:, :-1] + d[:, 1:, 1:])
+    if normalize:
+        scale = (ph * pw) / np.maximum(
+            patch.sum(axis=(1, 2), keepdims=True), 1e-30)
+    else:
+        scale = np.ones((d.shape[0], 1, 1))
     nodes = d * scale
     levels = []
     cur = patch * scale
     while True:
-        hp = cur.shape[0] + (cur.shape[0] & 1)
-        wp = cur.shape[1] + (cur.shape[1] & 1)
-        padded = np.zeros((hp, wp))
-        padded[:cur.shape[0], :cur.shape[1]] = cur
+        hp = cur.shape[1] + (cur.shape[1] & 1)
+        wp = cur.shape[2] + (cur.shape[2] & 1)
+        padded = np.zeros((cur.shape[0], hp, wp))
+        padded[:, :cur.shape[1], :cur.shape[2]] = cur
         levels.append(padded)
         if hp <= 2 and wp <= 2:
             break
-        cur = (padded[0::2, 0::2] + padded[0::2, 1::2]
-               + padded[1::2, 0::2] + padded[1::2, 1::2])
+        cur = (padded[:, 0::2, 0::2] + padded[:, 0::2, 1::2]
+               + padded[:, 1::2, 0::2] + padded[:, 1::2, 1::2])
     return Hierarchical2D(
         nodes=jnp.asarray(nodes, jnp.float32),
-        levels=tuple(jnp.asarray(l, jnp.float32) for l in reversed(levels)))
+        levels=tuple(jnp.asarray(l, jnp.float32) for l in reversed(levels)),
+        param_values=tuple(jnp.asarray(p) for p in param_values))
 
 
 def _interval_to_linear(v0, v1, s):
@@ -330,17 +344,23 @@ def _linear_to_interval(v0, v1, t):
     return jnp.where(non_const, t * ((2.0 - t) * v0 + t * v1) / den, t)
 
 
-def _block(L, oy, ox):
-    """2x2 child block at (2oy, 2ox); JAX index clamping keeps the reads
-    in range on padded odd tails (pad cells are zero so they are never
-    selected)."""
-    y, x = 2 * oy, 2 * ox
-    return L[y, x], L[y, x + 1], L[y + 1, x], L[y + 1, x + 1]
+def _mk_block(lookup):
+    """2x2 child block at (2oy, 2ox) with parameter-slice interpolation;
+    JAX index clamping keeps the reads in range on padded odd tails (pad
+    cells are zero so they are never selected)."""
+    def block(L, oy, ox):
+        y, x = 2 * oy, 2 * ox
+        return (lookup(L, y, x), lookup(L, y, x + 1),
+                lookup(L, y + 1, x), lookup(L, y + 1, x + 1))
+    return block
 
 
-def sample_hierarchical(dist: Hierarchical2D, u2):
+def sample_hierarchical(dist: Hierarchical2D, u2, params=()):
     """Hierarchical sample warping (distr_2d.h:470-565): returns
     (pos (N, 2) in [0, 1]^2, pdf) — the pdf is the unit-square density."""
+    idxs, wts, strides = _param_setup(dist, params)
+    lookup = _mk_lookup(_corners(idxs, wts, strides))
+    _block = _mk_block(lookup)
     sx = jnp.clip(u2[..., 0], 0.0, 1.0)
     sy = jnp.clip(u2[..., 1], 0.0, 1.0)
     ox = jnp.zeros(sx.shape, jnp.int32)
@@ -362,13 +382,13 @@ def sample_hierarchical(dist: Hierarchical2D, u2):
             / jnp.maximum(jnp.where(mx, c1, c0), 1e-30)
         sx = jnp.clip(sx, 0.0, 1.0)
         sy = jnp.clip(sy, 0.0, 1.0)
-    h, w = dist.nodes.shape
+    h, w = dist.nodes.shape[1:]
     ox = jnp.minimum(ox, w - 2)
     oy = jnp.minimum(oy, h - 2)
-    v00 = dist.nodes[oy, ox]
-    v10 = dist.nodes[oy, ox + 1]
-    v01 = dist.nodes[oy + 1, ox]
-    v11 = dist.nodes[oy + 1, ox + 1]
+    v00 = lookup(dist.nodes, oy, ox)
+    v10 = lookup(dist.nodes, oy, ox + 1)
+    v01 = lookup(dist.nodes, oy + 1, ox)
+    v11 = lookup(dist.nodes, oy + 1, ox + 1)
     # square_to_bilinear (warp.h:393-407)
     sy = _interval_to_linear(v00 + v10, v01 + v11, sy)
     c0 = v00 + sy * (v01 - v00)
@@ -379,20 +399,23 @@ def sample_hierarchical(dist: Hierarchical2D, u2):
     return pos, pdf
 
 
-def invert_hierarchical(dist: Hierarchical2D, pos):
+def invert_hierarchical(dist: Hierarchical2D, pos, params=()):
     """Exact inverse of sample_hierarchical (distr_2d.h:567-646):
     returns (u2, pdf)."""
-    h, w = dist.nodes.shape
+    idxs, wts, strides = _param_setup(dist, params)
+    lookup = _mk_lookup(_corners(idxs, wts, strides))
+    _block = _mk_block(lookup)
+    h, w = dist.nodes.shape[1:]
     px = jnp.clip(pos[..., 0], 0.0, 1.0) * (w - 1)
     py = jnp.clip(pos[..., 1], 0.0, 1.0) * (h - 1)
     ox = jnp.clip(px.astype(jnp.int32), 0, w - 2)
     oy = jnp.clip(py.astype(jnp.int32), 0, h - 2)
     sx = px - ox
     sy = py - oy
-    v00 = dist.nodes[oy, ox]
-    v10 = dist.nodes[oy, ox + 1]
-    v01 = dist.nodes[oy + 1, ox]
-    v11 = dist.nodes[oy + 1, ox + 1]
+    v00 = lookup(dist.nodes, oy, ox)
+    v10 = lookup(dist.nodes, oy, ox + 1)
+    v01 = lookup(dist.nodes, oy + 1, ox)
+    v11 = lookup(dist.nodes, oy + 1, ox + 1)
     # bilinear_to_square (warp.h:410-426)
     c0 = v00 + sy * (v01 - v00)
     c1 = v10 + sy * (v11 - v10)
@@ -417,18 +440,20 @@ def invert_hierarchical(dist: Hierarchical2D, pos):
     return jnp.stack([sx, sy], axis=-1), pdf
 
 
-def eval_hierarchical(dist: Hierarchical2D, pos):
+def eval_hierarchical(dist: Hierarchical2D, pos, params=()):
     """Unit-square density at pos (distr_2d.h:648-686)."""
-    h, w = dist.nodes.shape
+    idxs, wts, strides = _param_setup(dist, params)
+    lookup = _mk_lookup(_corners(idxs, wts, strides))
+    h, w = dist.nodes.shape[1:]
     px = jnp.clip(pos[..., 0], 0.0, 1.0) * (w - 1)
     py = jnp.clip(pos[..., 1], 0.0, 1.0) * (h - 1)
     ox = jnp.clip(px.astype(jnp.int32), 0, w - 2)
     oy = jnp.clip(py.astype(jnp.int32), 0, h - 2)
     fx = px - ox
     fy = py - oy
-    v00 = dist.nodes[oy, ox]
-    v10 = dist.nodes[oy, ox + 1]
-    v01 = dist.nodes[oy + 1, ox]
-    v11 = dist.nodes[oy + 1, ox + 1]
+    v00 = lookup(dist.nodes, oy, ox)
+    v10 = lookup(dist.nodes, oy, ox + 1)
+    v01 = lookup(dist.nodes, oy + 1, ox)
+    v11 = lookup(dist.nodes, oy + 1, ox + 1)
     return ((1.0 - fy) * ((1.0 - fx) * v00 + fx * v10)
             + fy * ((1.0 - fx) * v01 + fx * v11))

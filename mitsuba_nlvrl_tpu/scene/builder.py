@@ -304,7 +304,8 @@ class SceneBuilder:
         for key, marker in (('reflectance', '_texture_id'),
                             ('diffuse_reflectance', '_texture_id'),
                             ('alpha', '_alpha_tex'),
-                            ('specular_reflectance', '_spec_tex')):
+                            ('specular_reflectance', '_spec_tex'),
+                            ('opacity', '_opacity_tex')):
             if isinstance(props.get(key), dict) and marker not in props:
                 props = dict(
                     props, **{marker: self._texture_index(props[key])})
@@ -863,7 +864,7 @@ class SceneBuilder:
                 r[0] == TEXTURE_TYPES['mesh_attribute']
                 for r in self.tex_rows),
             has_param_textures=any(
-                r[2][16] > 0 or r[2][17] > 0
+                r[2][16] > 0 or r[2][17] > 0 or r[2][18] > 0
                 or (r[0] in (BSDF_TYPES['plastic'],
                              BSDF_TYPES['roughplastic'],
                              BSDF_TYPES['pplastic']) and r[2][15] >= 0)

@@ -75,6 +75,10 @@ class XMLContext:
         # missing-asset substitution: basename -> replacement path (used by
         # the golden suite where the reference checkout lacks data files)
         self.substitutions: Dict[str, str] = dict(substitutions or {})
+        # extra <path value=.../> search directories (the reference's
+        # FileResolver tag, xml.cpp "path" handling): consulted after the
+        # scene file's own directory
+        self.search_paths: list = []
 
     def resolve(self, fname: str) -> str:
         base = os.path.basename(fname)
@@ -82,7 +86,13 @@ class XMLContext:
             return self.substitutions[base]
         if os.path.isabs(fname):
             return fname
-        return os.path.join(self.base_dir, fname)
+        primary = os.path.join(self.base_dir, fname)
+        if not os.path.exists(primary):
+            for sp in self.search_paths:
+                cand = os.path.join(sp, fname)
+                if os.path.exists(cand):
+                    return cand
+        return primary
 
     def subst(self, s: str) -> str:
         def repl(mt):
@@ -315,6 +325,13 @@ def _parse_scene_elem(root, ctx: XMLContext, desc: dict, declared=None):
                     desc.setdefault('emitters', []).append(e)
         elif tag == 'alias':
             ctx.named[ch.get('as')] = ctx.named[ch.get('id')]
+        elif tag == 'path':
+            # <path value="..."/>: extra file-resolver search directory
+            # (relative to the current scene file)
+            p = ctx.subst(ch.get('value', ''))
+            if not os.path.isabs(p):
+                p = os.path.normpath(os.path.join(ctx.base_dir, p))
+            ctx.search_paths.append(p)
         else:
             raise ValueError(f"unknown scene-level tag <{tag}>")
 

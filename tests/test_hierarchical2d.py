@@ -113,3 +113,55 @@ def test_envmap_luminance_sampling_unbiased():
     L_u = np.asarray(em._env_eval_uv(scene, u_s, v_s)).mean(-1)
     est_uni = float(np.mean(L_u) * 4.0 * np.pi)
     assert abs(est_is - est_uni) / est_uni < 0.03, (est_is, est_uni)
+
+
+def test_param_conditioned_hierarchical():
+    """Dim > 0 instantiations (reference Hierarchical2D1/2 python
+    bindings, src/libcore/python/distr_2d_v.cpp:107-109): slices are
+    selected by conditioning parameters and interpolated linearly."""
+    rng = np.random.default_rng(2)
+    # density family: gaussian bump whose center slides with the parameter
+    pv = np.asarray([0.0, 0.5, 1.0], np.float32)
+    yy, xx = np.meshgrid(np.linspace(0, 1, 12), np.linspace(0, 1, 20),
+                         indexing='ij')
+    slices = np.stack([np.exp(-60.0 * ((xx - (0.2 + 0.6 * p)) ** 2
+                                       + (yy - 0.5) ** 2)) + 0.01
+                       for p in pv])
+    dist = d2.build_hierarchical(slices, param_values=(pv,))
+
+    N = 20_000
+    u = jnp.asarray(rng.uniform(size=(N, 2)), jnp.float32)
+    for p in (0.0, 0.5, 1.0):                       # exact grid points
+        par = (jnp.full((N,), p, jnp.float32),)
+        pos, pdf = d2.sample_hierarchical(dist, u, par)
+        ref = d2.build_hierarchical(
+            slices[int(np.searchsorted(pv, p))])
+        pos_r, pdf_r = d2.sample_hierarchical(ref, u)
+        assert np.abs(np.asarray(pos) - np.asarray(pos_r)).max() < 1e-5
+        assert np.allclose(np.asarray(pdf), np.asarray(pdf_r), rtol=1e-4)
+
+    # intermediate parameter: self-consistency (pdf == eval at pos,
+    # invert o sample == id, normalized) and the bump is where the
+    # interpolated family puts it
+    par = (jnp.full((N,), 0.25, jnp.float32),)
+    pos, pdf = d2.sample_hierarchical(dist, u, par)
+    pe = np.asarray(d2.eval_hierarchical(dist, pos, par))
+    assert np.allclose(np.asarray(pdf), pe, rtol=1e-4, atol=1e-5)
+    u2, _ = d2.invert_hierarchical(dist, pos, par)
+    assert np.abs(np.asarray(u2) - np.asarray(u)).max() < 3e-4
+    area = float(np.mean(1.0 / np.maximum(np.asarray(pdf), 1e-12)))
+    assert abs(area - 1.0) < 0.03
+    mean_x = float(np.asarray(pos)[:, 0].mean())
+    assert 0.25 < mean_x < 0.45, mean_x      # bump near x~0.35
+
+    # two conditioning parameters
+    pv2 = np.asarray([0.0, 1.0], np.float32)
+    s2 = np.stack([slices, slices[::-1]])           # (2, 3, 12, 20)
+    dist2 = d2.build_hierarchical(s2, param_values=(pv2, pv))
+    par2 = (jnp.full((N,), 1.0, jnp.float32),
+            jnp.full((N,), 0.0, jnp.float32))
+    pos2, pdf2 = d2.sample_hierarchical(dist2, u, par2)
+    # (p0=1, p1=0) selects slices[::-1][0] == slices[2] (bump at x=0.8)
+    ref2 = d2.build_hierarchical(slices[2])
+    pos_r2, _ = d2.sample_hierarchical(ref2, u)
+    assert np.abs(np.asarray(pos2) - np.asarray(pos_r2)).max() < 1e-5
