@@ -42,6 +42,14 @@ class BSDFSample(NamedTuple):
 
 # --- parameter packing (host side, used by scene builder) -------------------
 
+def _iorf(v):
+    """Named-IOR-aware float coercion (reference ior.h lookup_ior)."""
+    if isinstance(v, str):
+        from ..scene.ior_data import lookup_ior
+        return float(lookup_ior(v))
+    return float(v)
+
+
 def pack_params(props: dict) -> Tuple[int, int, list]:
     """Return (type_code, flags, params[BSDF_NPARAM]) for a bsdf dict."""
     t = props['type']
@@ -105,14 +113,14 @@ def pack_params(props: dict) -> Tuple[int, int, list]:
         p[11] = 0.0 if props.get('distribution', 'ggx') == 'ggx' else 1.0
         return BSDF_TYPES[t], F_SMOOTH, p
     if t in ('dielectric', 'thindielectric'):
-        p[0] = float(props.get('int_ior', 1.5046))   # bk7
-        p[1] = float(props.get('ext_ior', 1.000277))  # air
+        p[0] = _iorf(props.get('int_ior', 1.5046))   # bk7
+        p[1] = _iorf(props.get('ext_ior', 1.000277))  # air
         p[2:5] = rgb('specular_reflectance', 1.0)
         p[5:8] = rgb('specular_transmittance', 1.0)
         return BSDF_TYPES[t], F_DELTA | F_TRANSMISSION, p
     if t == 'roughdielectric':
-        p[0] = float(props.get('int_ior', 1.5046))
-        p[1] = float(props.get('ext_ior', 1.000277))
+        p[0] = _iorf(props.get('int_ior', 1.5046))
+        p[1] = _iorf(props.get('ext_ior', 1.000277))
         p[2:5] = rgb('specular_reflectance', 1.0)
         p[5:8] = rgb('specular_transmittance', 1.0)
         a = scalar('alpha', 0.1)
@@ -146,8 +154,8 @@ def pack_params(props: dict) -> Tuple[int, int, list]:
         # specular reflection + refract-scatter-refract diffuse, its own
         # type so the polarized layer can build its Mueller lobes
         p[0:3] = rgb('diffuse_reflectance', 0.5)
-        p[3] = float(props.get('int_ior', 1.49))
-        p[4] = float(props.get('ext_ior', 1.000277))
+        p[3] = _iorf(props.get('int_ior', 1.49))
+        p[4] = _iorf(props.get('ext_ior', 1.000277))
         p[5] = 1.0 if props.get('nonlinear', False) else 0.0
         p[6:9] = rgb('specular_reflectance', 1.0)
         p[9] = scalar('alpha', 0.1 if t != 'pplastic' else 0.06)
@@ -704,6 +712,24 @@ def _perturb_si(scene, meta, si):
                        wi=newf.to_local(f.to_world(si.wi)))
 
 
+def _blend_weight(scene, meta, si, P):
+    """Per-lane blend weight: constant slot 2, or the slot-19 texture
+    (blendbsdf.cpp holds a Texture weight; eval_1 semantics = channel
+    mean)."""
+    w = P[:, 2]
+    if not getattr(meta, 'has_textures', False):
+        return w
+    from .. import texture as tex_mod
+    t_id = P[:, 19].astype(jnp.int32) - 1
+    kw = {}
+    if getattr(meta, 'has_3d_textures', False):
+        kw['p_world'] = si.p
+    if getattr(meta, 'has_attr_textures', False):
+        kw['attr'] = tex_mod.vertex_attr(scene, si)
+    tex = tex_mod.eval(scene, jnp.maximum(t_id, 0), si.uv, **kw)
+    return jnp.where(t_id >= 0, tex.mean(-1), w)
+
+
 def _blend_sub(si, P, which):
     row = P[:, which].astype(jnp.int32)
     is_blend_row = None
@@ -725,7 +751,7 @@ def eval(scene, meta, si, wo, mode=RADIANCE, textures=None,
         textures = _textured_reflectance(scene, meta, si, P)
     if _BLEND in meta.bsdf_types and _depth == 0:
         is_b = btype == _BLEND
-        w = P[:, 2]
+        w = _blend_weight(scene, meta, si, P)
         fa = eval(scene, meta, _blend_sub(si, P, 0), wo, mode, None, 1)
         fb = eval(scene, meta, _blend_sub(si, P, 1), wo, mode, None, 1)
         blend_val = (1.0 - w)[:, None] * fa + w[:, None] * fb
@@ -772,7 +798,7 @@ def pdf(scene, meta, si, wo, _depth: int = 0):
     P = _apply_param_textures(scene, meta, si, P, btype)
     if _BLEND in meta.bsdf_types and _depth == 0:
         is_b = btype == _BLEND
-        w = P[:, 2]
+        w = _blend_weight(scene, meta, si, P)
         pa = pdf(scene, meta, _blend_sub(si, P, 0), wo, 1)
         pb = pdf(scene, meta, _blend_sub(si, P, 1), wo, 1)
         base = pdf(scene, meta, si, wo, 1)
@@ -824,7 +850,7 @@ def sample(scene, meta, si, u1, u2, mode=RADIANCE, textures=None,
         # chosen sub-bsdf's sample is reused with pdf scaled by the
         # selection probability (unbiased; sub rows may not be blends)
         is_b = btype == _BLEND
-        w = P[:, 2]
+        w = _blend_weight(scene, meta, si, P)
         pick_b = u1 < w
         sub_row = jnp.where(pick_b, P[:, 1], P[:, 0]).astype(jnp.int32)
         si_sub = si._replace(bsdf_idx=jnp.where(is_b, sub_row, si.bsdf_idx))

@@ -39,9 +39,13 @@ def estimate_surface(scene, meta, maps, si, active, radius, caustic: bool,
         wo_local = jnp.stack(
             [m.dot(v, fr.s[:, None, :]), m.dot(v, fr.t[:, None, :]),
              m.dot(v, fr.n[:, None, :])], axis=-1)   # (N, K, 3)
+        # repeat EVERY field the BSDF layer can touch (textured lobes read
+        # uv/p/prim_index/shape_idx/valid for bitmap/3d/attribute lookups)
+        rep = lambda a: jnp.repeat(a, K, axis=0)
         si_flat = si._replace(
-            wi=jnp.repeat(si.wi, K, axis=0),
-            bsdf_idx=jnp.repeat(si.bsdf_idx, K, axis=0))
+            wi=rep(si.wi), bsdf_idx=rep(si.bsdf_idx), uv=rep(si.uv),
+            p=rep(si.p), prim_index=rep(si.prim_index),
+            shape_idx=rep(si.shape_idx), valid=rep(si.valid))
         f = bsdf_mod.eval(scene, meta, si_flat,
                           wo_local.reshape(N * K, 3)).reshape(N, K, 3)
         # Density estimation wants f_r alone: the photon arrival density

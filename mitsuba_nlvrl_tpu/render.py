@@ -73,12 +73,22 @@ def render_passes(scene, meta, key, n_passes: int,
 
 
 def preprocess(scene, meta, seed: int = 0, integrator: Optional[str] = None):
-    """Run the integrator's preprocess (photon/VRL shooting) if any."""
-    pre = get_preprocess(integrator or meta.integrator)
+    """Run the integrator's preprocess (photon/VRL shooting) if any.
+    Wrapper integrators (moment/stokes/aov) delegate to their nested
+    integrator — a moment-wrapped photonmapper still shoots photons."""
+    name = integrator or meta.integrator
+    meta_p = meta
+    for _ in range(4):                   # unwrap nested wrappers
+        if name not in ('moment', 'stokes', 'aov'):
+            break
+        from .integrators.aov import _nested
+        _, meta_p = _nested(meta_p)
+        name = meta_p.integrator
+    pre = get_preprocess(name)
     if pre is None:
         return None
     key = jax.random.fold_in(jax.random.PRNGKey(seed), 0x9e37)
-    return pre(scene, meta, key)
+    return pre(scene, meta_p, key)
 
 
 @partial(jax.jit, static_argnames=('meta', 'integrator', 'band_h'))

@@ -201,6 +201,19 @@ class SceneBuilder:
         key = id(props)
         if key in self.tex_cache:
             return self.tex_cache[key]
+        if props.get('type') == 'mesh_attribute':
+            # the per-corner attribute buffer (geo.c0/c1/c2) is filled from
+            # whichever named attribute the scene's mesh_attribute textures
+            # request ("vertex_color" / "face_color" / "face_weight", the
+            # reference's naming contract, mesh_attribute.cpp:66-68). One
+            # buffered name per scene; a second distinct name warns.
+            name = props.get('name', 'vertex_color')
+            prev = getattr(self, 'mesh_attr_name', None)
+            if prev is not None and prev != name:
+                print(f"warning: multiple mesh_attribute names "
+                      f"({prev!r}, {name!r}); only {prev!r} is buffered")
+            else:
+                self.mesh_attr_name = name
         row = tex_mod.pack(props, self.tex_bitmaps, self.tex_volumes)
         idx = len(self.tex_rows)
         self.tex_rows.append(row)
@@ -253,7 +266,14 @@ class SceneBuilder:
             w = props.get('weight', 0.5)
             p = [0.0] * BSDF_NPARAM
             p[0], p[1] = float(rowA), float(rowB)
-            p[2] = float(w if isinstance(w, (int, float)) else 0.5)
+            if isinstance(w, dict):
+                # textured blend weight (blendbsdf.cpp holds a Texture):
+                # slot 19 = texture id + 1, rewritten per lane in
+                # bsdf._blend_weight
+                p[2] = 0.5
+                p[19] = float(self._texture_index(w)) + 1.0
+            else:
+                p[2] = float(w)
             fl = self.bsdf_rows[rowA][1] | self.bsdf_rows[rowB][1]
             idx = len(self.bsdf_rows)
             self.bsdf_rows.append((BSDF_TYPES['blendbsdf'], fl, p))
@@ -420,9 +440,18 @@ class SceneBuilder:
                 tri_v.append(v[faces].astype(np.float32))       # (F,3,3)
                 tri_n.append(n[faces].astype(np.float32))
                 tri_uv.append(uv[faces].astype(np.float32))
-                col = getattr(mesh, 'colors', None)
-                if col is not None:
-                    tri_c.append(col[faces].astype(np.float32))
+                attr_name = getattr(self, 'mesh_attr_name', 'vertex_color') \
+                    or 'vertex_color'
+                fa = getattr(mesh, 'face_attrs', None) or {}
+                if attr_name.startswith('face_') \
+                        and attr_name[5:] in fa:
+                    # constant per-face attribute: identical corners make
+                    # the barycentric interpolation exact
+                    fv = fa[attr_name[5:]].astype(np.float32)   # (F, 3)
+                    tri_c.append(np.repeat(fv[:, None, :], 3, axis=1))
+                    any_colors = True
+                elif getattr(mesh, 'colors', None) is not None:
+                    tri_c.append(mesh.colors[faces].astype(np.float32))
                     any_colors = True
                 else:
                     tri_c.append(np.zeros((len(faces), 3, 3), np.float32))

@@ -20,6 +20,10 @@ class MeshData(NamedTuple):
     normals: Optional[np.ndarray]   # (V, 3) float32 per-vertex or None
     uvs: Optional[np.ndarray]       # (V, 2) float32 or None
     colors: Optional[np.ndarray] = None  # (V, 3) float32 vertex colors
+    # per-OUTPUT-triangle face attributes (after fan-triangulation):
+    # {"color": (F, 3), "weight": (F, 3), ...} — the reference's
+    # "face_<name>" mesh attributes (mesh_attribute.cpp, ply.cpp)
+    face_attrs: Optional[dict] = None
 
 
 def load_obj(path: str) -> MeshData:
@@ -116,6 +120,7 @@ def load_ply(path: str) -> MeshData:
     verts = normals = uvs = colors = None
     faces = []
     face_arrays = []  # vectorized chunks from the uniform-arity fast path
+    face_attr_cols = {}   # per-output-triangle scalar columns by name
     if fmt == 'ascii':
         body = data[header_end:].decode('ascii', errors='replace').split()
         pos = 0
@@ -129,11 +134,20 @@ def load_ply(path: str) -> MeshData:
                 cols = {nm: arr[:, i] for i, nm in enumerate(names)}
                 verts, normals, uvs, colors = _ply_vertex_cols(cols)
             elif name == 'face':
+                extras = [p[-1] for p in props if p[0] != 'list']
+                fa_rows = {e: [] for e in extras}
                 for _ in range(count):
                     n = int(body[pos]); pos += 1
                     ids = [int(x) for x in body[pos:pos + n]]; pos += n
+                    ex = [float(x) for x in body[pos:pos + len(extras)]]
+                    pos += len(extras)
                     for k in range(1, n - 1):
                         faces.append([ids[0], ids[k], ids[k + 1]])
+                        for e, val in zip(extras, ex):
+                            fa_rows[e].append(val)
+                face_attr_cols.update(
+                    {e: np.asarray(v, np.float32) for e, v in
+                     fa_rows.items()})
             else:
                 # skip unknown ascii element conservatively
                 ncols = len(props)
@@ -148,16 +162,23 @@ def load_ply(path: str) -> MeshData:
                 cols = {nm: arr[nm].astype(np.float64) for nm in arr.dtype.names}
                 verts, normals, uvs, colors = _ply_vertex_cols(cols)
             elif name == 'face':
-                ct = np.dtype(endian + type_map[props[0][1]])
-                it = np.dtype(endian + type_map[props[0][2]])
+                li = next(i for i, p in enumerate(props) if p[0] == 'list')
+                ct = np.dtype(endian + type_map[props[li][1]])
+                it = np.dtype(endian + type_map[props[li][2]])
+                # scalar per-face properties after the index list
+                # (reference ply.cpp face attributes, e.g. color_0/weight_0)
+                extras = [(p[-1], np.dtype(endian + type_map[p[0]]))
+                          for p in props[li + 1:]]
+                ex_size = sum(dt.itemsize for _, dt in extras)
                 # uniform-arity fast path: nearly every PLY has all-tri or
                 # all-quad faces — reinterpret the whole block with a
                 # strided record dtype instead of a per-face python loop
                 n0 = int(np.frombuffer(data, ct, 1, off)[0]) if count else 0
-                rec = ct.itemsize + n0 * it.itemsize
+                rec = ct.itemsize + n0 * it.itemsize + ex_size
                 uniform = False
                 if count and off + rec * count <= len(data):
-                    fdt = np.dtype([('n', ct), ('ids', it, (n0,))])
+                    fdt = np.dtype([('n', ct), ('ids', it, (n0,))]
+                                   + [(e, dt) for e, dt in extras])
                     block = np.frombuffer(data, fdt, count, off)
                     if (block['n'] == n0).all():
                         ids = block['ids'].astype(np.int64)   # (count, n0)
@@ -165,16 +186,31 @@ def load_ply(path: str) -> MeshData:
                             np.stack([ids[:, 0], ids[:, k], ids[:, k + 1]],
                                      -1)                      # fan-triangulate
                             for k in range(1, n0 - 1))
+                        # one attribute row per fan triangle, in the same
+                        # concatenation order as face_arrays (k-major)
+                        for e, _ in extras:
+                            face_attr_cols[e] = np.tile(
+                                block[e].astype(np.float32), n0 - 2)
                         off += rec * count
                         uniform = True
                 if not uniform:
+                    fa_rows = {e: [] for e, _ in extras}
                     for _ in range(count):
                         n = int(np.frombuffer(data, ct, 1, off)[0])
                         off += ct.itemsize
                         ids = np.frombuffer(data, it, n, off).astype(np.int64)
                         off += it.itemsize * n
+                        ex = {}
+                        for e, dt in extras:
+                            ex[e] = float(np.frombuffer(data, dt, 1, off)[0])
+                            off += dt.itemsize
                         for k in range(1, n - 1):
                             faces.append([ids[0], ids[k], ids[k + 1]])
+                            for e, _ in extras:
+                                fa_rows[e].append(ex[e])
+                    face_attr_cols.update(
+                        {e: np.asarray(v, np.float32) for e, v in
+                         fa_rows.items()})
             else:
                 row = sum(np.dtype(type_map[p[0]]).itemsize for p in props
                           if p[0] != 'list')
@@ -184,7 +220,30 @@ def load_ply(path: str) -> MeshData:
         raise ValueError(f"{path}: no vertex element")
     all_faces = np.vstack(
         [np.asarray(faces, np.int64).reshape(-1, 3)] + face_arrays)
-    return MeshData(verts, all_faces.astype(np.int32), normals, uvs, colors)
+    return MeshData(verts, all_faces.astype(np.int32), normals, uvs, colors,
+                    face_attrs=_group_attr_cols(face_attr_cols) or None)
+
+
+def _group_attr_cols(cols: dict) -> dict:
+    """Group scalar columns name_0/name_1/... into (F, 3) attributes;
+    single columns broadcast to 3 channels (the reference exposes
+    1- and 3-channel mesh attributes, mesh_attribute.cpp eval/eval_1)."""
+    out = {}
+    bases = {}
+    for key in cols:
+        if '_' in key and key.rsplit('_', 1)[1].isdigit():
+            base, ix = key.rsplit('_', 1)
+            bases.setdefault(base, {})[int(ix)] = cols[key]
+        else:
+            bases.setdefault(key, {})[0] = cols[key]
+    for base, parts in bases.items():
+        n = max(parts) + 1
+        first = parts[0]
+        stack = [parts.get(i, first) for i in range(min(n, 3))]
+        while len(stack) < 3:
+            stack.append(stack[-1])
+        out[base] = np.stack(stack, -1).astype(np.float32)
+    return out
 
 
 def _ply_vertex_cols(cols):
@@ -203,6 +262,13 @@ def _ply_vertex_cols(cols):
                           -1).astype(np.float32)
         if colors.max() > 1.0:     # uchar-encoded colors
             colors = colors / 255.0
+    elif 'color_0' in cols:
+        # float vertex attributes named color_0/1/2 (the reference's
+        # "vertex_color" mesh attribute, ply.cpp attribute columns)
+        colors = np.stack([cols['color_0'],
+                           cols.get('color_1', cols['color_0']),
+                           cols.get('color_2', cols['color_0'])],
+                          -1).astype(np.float32)
     return verts, normals, uvs, colors
 
 

@@ -250,13 +250,11 @@ def _parse_object(elem, ctx: XMLContext, within_emitter=False) -> dict:
         else:
             raise ValueError(f"unknown tag <{ctag}> in <{tag}>")
 
-    # post-process well-known nested names
-    if tag == 'dielectric' or props.get('type') in ('dielectric',
-                                                    'roughdielectric',
-                                                    'thindielectric'):
-        for k in ('int_ior', 'ext_ior'):
-            if isinstance(props.get(k), str):
-                props[k] = lookup_ior(props[k])
+    # named IOR strings ("bk7", "diamond", "air", ...) are accepted by the
+    # whole dielectric/plastic family (reference ior.h lookup_ior)
+    for k in ('int_ior', 'ext_ior'):
+        if isinstance(props.get(k), str):
+            props[k] = lookup_ior(props[k])
     return props
 
 
@@ -273,9 +271,14 @@ def _predeclare(root, ctx: XMLContext):
             fname = ctx.resolve(ctx.subst(ch.get('filename')))
             sub_tree = ET.parse(fname).getroot()
             old = ctx.base_dir
+            # the reference's FileResolver keeps the ORIGINAL scene dir
+            # searchable inside includes (nested includes name paths
+            # relative to the top-level scene)
+            ctx.search_paths.append(old)
             ctx.base_dir = os.path.dirname(fname)
             _predeclare(sub_tree, ctx)
             ctx.base_dir = old
+            ctx.search_paths.pop()
         elif tag in ('bsdf', 'medium', 'emitter', 'texture') and ch.get('id'):
             obj = _parse_object(ch, ctx, within_emitter=(tag == 'emitter'))
             obj['_tag'] = tag
@@ -293,9 +296,11 @@ def _parse_scene_elem(root, ctx: XMLContext, desc: dict, declared=None):
             sub_tree = ET.parse(fname).getroot()
             sub_ctx_dir = os.path.dirname(fname)
             old = ctx.base_dir
+            ctx.search_paths.append(old)   # see _predeclare include note
             ctx.base_dir = sub_ctx_dir
             _parse_scene_elem(sub_tree, ctx, desc)
             ctx.base_dir = old
+            ctx.search_paths.pop()
         elif tag == 'integrator':
             desc['integrator'] = _parse_object(ch, ctx)
         elif tag == 'sensor':
