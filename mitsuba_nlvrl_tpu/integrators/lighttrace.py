@@ -182,9 +182,14 @@ def _march_nonlinear(scene, meta, st: ShootState, t_coll, active_nl,
         new_start = jnp.where(changed[:, None], nli.p, vrl_start)
         dep = (dep_o, dep_e, vrl_flux, st.medium_idx, st.depth,
                st.is_direct, dep_ok)
+        # keep the incoming mint for lanes that did not bend — zeroing it
+        # unconditionally made area-emitter light rays (spawned with an
+        # epsilon offset ON the luminaire) self-intersect their own
+        # emitter at t~0 and die (paths terminate on emitter hits,
+        # vrl.cpp:309-310)
         new_ray = Ray(o=jnp.where(bend[:, None], nli.p, ray.o),
                       d=jnp.where(bend[:, None], nli.wo, ray.d),
-                      mint=jnp.zeros((N,)), maxt=ray.maxt)
+                      mint=jnp.where(bend, 0.0, ray.mint), maxt=ray.maxt)
         remaining = jnp.where(bend, remaining - nli.t, remaining)
         return (new_ray, remaining, new_start, vrl_flux, bend), dep
 

@@ -427,6 +427,8 @@ def query_vrls(scene, meta, maps, seg_o, seg_d, seg_len, cam_medium, channel,
         ((N, V) sweeps; highest quality, ~2.5x cost)"""
     N = seg_o.shape[0]
     V = maps.vrl_o.shape[0]
+    if V == 0:          # statically empty VRL map (target_vrls = 0)
+        return jnp.zeros((N, 3)), sampler
     count = jnp.maximum(maps.vrl_count, 1)
     acc = jnp.zeros((N, 3))
 

@@ -66,6 +66,8 @@ def fold_neighbors(grid: HashGrid, x: jnp.ndarray, active, fold_fn: Callable,
     cap K are dropped (size K to the expected local density).
     """
     P = grid.keys_sorted.shape[0]
+    if P == 0:          # statically empty map (e.g. global_photons = 0)
+        return init
     K = max_per_cell
     base = jnp.floor((x - grid.origin) / grid.cell_size).astype(jnp.int32)
     offs = jnp.arange(K, dtype=jnp.int32)[None, :]

@@ -47,6 +47,20 @@ def _parse_floats(s: str) -> List[float]:
     return [float(x) for x in re.split(r'[,\s]+', s.strip()) if x]
 
 
+def _parse_xml_file(path: str):
+    """ET.parse tolerating junk after the root element (several thesis
+    scene files carry leftover shapes below </scene>; the reference's
+    pugixml parse_default mode ignores them too)."""
+    try:
+        return ET.parse(path).getroot()
+    except ET.ParseError:
+        text = open(path, 'r', errors='replace').read()
+        end = text.find('</scene>')
+        if end < 0:
+            raise
+        return ET.fromstring(text[:end + len('</scene>')])
+
+
 def _parse_spectrum(value: str, within_emitter: bool, name: str):
     """Parse a <spectrum value=...>: either wavelength:value pairs or a
     uniform value. Emitter SPDs stay dicts (the spectral variant samples
@@ -62,6 +76,11 @@ def _parse_spectrum(value: str, within_emitter: bool, name: str):
             return {'type': 'irregular', 'value': list(zip(wav, vals))}
         bounded = name not in _UNBOUNDED
         return tuple(spectrum_to_rgb(wav, vals, bounded=bounded))
+    parts = [p for p in re.split(r'[,\s]+', value.strip()) if p]
+    if len(parts) == 3:
+        # comma/space triple without wavelengths: treat as RGB (thesis
+        # scene files use this shorthand, e.g. cboxtest.xml reflectance)
+        return tuple(float(p) for p in parts)
     v = float(value)
     return (v, v, v)
 
@@ -269,7 +288,7 @@ def _predeclare(root, ctx: XMLContext):
             ctx.defaults.setdefault(ch.get('name'), ch.get('value'))
         elif tag == 'include':
             fname = ctx.resolve(ctx.subst(ch.get('filename')))
-            sub_tree = ET.parse(fname).getroot()
+            sub_tree = _parse_xml_file(fname)
             old = ctx.base_dir
             # the reference's FileResolver keeps the ORIGINAL scene dir
             # searchable inside includes (nested includes name paths
@@ -293,7 +312,7 @@ def _parse_scene_elem(root, ctx: XMLContext, desc: dict, declared=None):
             ctx.defaults.setdefault(ch.get('name'), ch.get('value'))
         elif tag == 'include':
             fname = ctx.resolve(ctx.subst(ch.get('filename')))
-            sub_tree = ET.parse(fname).getroot()
+            sub_tree = _parse_xml_file(fname)
             sub_ctx_dir = os.path.dirname(fname)
             old = ctx.base_dir
             ctx.search_paths.append(old)   # see _predeclare include note
@@ -346,8 +365,7 @@ def load_file(path: str, params: Optional[Dict[str, str]] = None,
     """Load a Mitsuba XML scene file into a scene description dict
     (consumed by scene.builder.build_scene). ``substitutions`` maps asset
     basenames to replacement paths (for checkouts with missing data)."""
-    tree = ET.parse(path)
-    root = tree.getroot()
+    root = _parse_xml_file(path)
     if root.tag != 'scene':
         raise ValueError(f"{path}: root tag must be <scene>")
     ctx = XMLContext(os.path.dirname(os.path.abspath(path)), params,
