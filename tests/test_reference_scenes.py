@@ -89,3 +89,43 @@ def test_thesis_scene_renders(name):
     assert np.isfinite(img).all()
     if name in NONBLACK:
         assert img.mean() > 0, "black render"
+
+
+# remaining scene directories: FBD15ALVRL thesis scenes (vrl in dense
+# media), the original glass config, and matpreview (.serialized meshes)
+EXTRA = [
+    '/root/reference/data/glass/glass_original.xml',
+    '/root/reference/data/FBD15ALVRL_scenes/box/box.xml',
+    '/root/reference/data/FBD15ALVRL_scenes/brain/brain.xml',
+    '/root/reference/data/FBD15ALVRL_scenes/glass/glass.xml',
+    '/root/reference/data/scenes/matpreview/matpreview.xml',
+]
+
+
+@pytest.mark.parametrize(
+    'path', EXTRA, ids=['/'.join(p.split('/')[-2:]) for p in EXTRA])
+def test_extra_scene_renders(path):
+    from golden_scenes import SUBSTITUTIONS
+    from mitsuba_nlvrl_tpu import build_scene
+    from mitsuba_nlvrl_tpu.scene.xml import load_file
+    from mitsuba_nlvrl_tpu.render import render, preprocess
+    subs = dict(SUBSTITUTIONS)
+    subs['envmap.exr'] = '/root/reference/data/envmap.exr'
+    d = load_file(path, substitutions=subs)
+    d['sensor']['film']['width'] = 24
+    d['sensor']['film']['height'] = 16
+    it = d.get('integrator') or {'type': 'path'}
+    d['integrator'] = it
+    for k, v in (('target_vrls', 800), ('global_photons', 20000),
+                 ('volume_photons', 20000), ('caustic_photons', 20000)):
+        if k in it:
+            it[k] = min(int(it[k]), v)
+    it['max_depth'] = min(int(it.get('max_depth', 8) or 8), 8)
+    it['max_cam_iters'] = 8
+    it['gather_points_cap'] = 8
+    it['samples_per_query'] = 1
+    scene, meta = build_scene(d)
+    aux = preprocess(scene, meta, 0)
+    img = np.asarray(render(scene, meta, spp=1, seed=0, aux=aux))
+    assert np.isfinite(img).all()
+    assert img.mean() > 0
