@@ -457,3 +457,133 @@ def eval_hierarchical(dist: Hierarchical2D, pos, params=()):
     v11 = lookup(dist.nodes, oy + 1, ox + 1)
     return ((1.0 - fy) * ((1.0 - fx) * v00 + fx * v10)
             + fy * ((1.0 - fx) * v01 + fx * v11))
+
+
+# --- Marginal2D, discrete variant ---------------------------------------------
+#
+# ``Marginal2D<Float, Dim, false>`` (distr_2d.h:805-818,913-938): discrete
+# row/column PATCH selection by CDF over bilinear-patch integrals, then an
+# exact square_to_bilinear warp inside the chosen patch (the continuous
+# variant instead interpolates neighboring CDF rows). Bound in the
+# reference as MarginalDiscrete2D0..3 (distr_2d_v.cpp:116-119).
+
+
+class Marginal2DDiscrete(NamedTuple):
+    data: jnp.ndarray        # (S, h, w) densities (normalized per slice)
+    marg_cdf: jnp.ndarray    # (S, h-1) row-patch CDF
+    cond_cdf: jnp.ndarray    # (S, h-1, w-1) per-row patch CDF
+    param_values: Tuple[jnp.ndarray, ...]
+
+    @property
+    def h(self):
+        return self.data.shape[1]
+
+    @property
+    def w(self):
+        return self.data.shape[2]
+
+
+def build_discrete(data: np.ndarray, param_values=(), normalize: bool = True
+                   ) -> Marginal2DDiscrete:
+    """data: (*param_res, h, w) node values."""
+    param_values = tuple(np.asarray(p, np.float32) for p in param_values)
+    h, w = data.shape[-2], data.shape[-1]
+    d = np.asarray(data, np.float64).reshape(-1, h, w)
+    scale = 0.25 / ((w - 1) * (h - 1))
+    patch = scale * (d[:, :-1, :-1] + d[:, :-1, 1:]
+                     + d[:, 1:, :-1] + d[:, 1:, 1:])      # (S, h-1, w-1)
+    cond = np.cumsum(patch, axis=2)
+    marg = np.cumsum(cond[:, :, -1], axis=1)
+    if normalize:
+        norm = 1.0 / np.maximum(marg[:, -1:], 1e-30)
+        d = d * norm[:, :, None]
+        cond = cond * norm[:, :, None]
+        marg = marg * norm
+    return Marginal2DDiscrete(
+        data=jnp.asarray(d, jnp.float32),
+        marg_cdf=jnp.asarray(marg, jnp.float32),
+        cond_cdf=jnp.asarray(cond, jnp.float32),
+        param_values=tuple(jnp.asarray(p) for p in param_values))
+
+
+def sample_discrete(dist: Marginal2DDiscrete, u2, params=()):
+    """(pos (N, 2) in [0,1]^2, pdf) — distr_2d.h sample_discrete."""
+    idxs, wts, strides = _param_setup(dist, params)
+    lookup = _mk_lookup(_corners(idxs, wts, strides))
+    h, w = dist.h, dist.w
+    n_marg = h - 1
+    sx = jnp.clip(u2[..., 0], 1e-6, 1.0 - 1e-6)
+    sy = jnp.clip(u2[..., 1], 1e-6, 1.0 - 1e-6)
+
+    def fetch_marg(idx):
+        return lookup(dist.marg_cdf, idx)
+
+    row = _binary_search(n_marg, lambda i: fetch_marg(
+        jnp.clip(i, 0, n_marg - 1)) < sy)(
+            jnp.zeros_like(sy, jnp.int32),
+            jnp.full(sy.shape, n_marg - 1, jnp.int32))
+    cdf0 = jnp.where(row > 0, fetch_marg(jnp.maximum(row - 1, 0)), 0.0)
+    cdf1 = fetch_marg(row)
+    sy = (sy - cdf0) * m.safe_rcp(cdf1 - cdf0)
+
+    def fetch_cond(idx):
+        return lookup(dist.cond_cdf, row, idx)
+
+    sx = sx * fetch_cond(w - 2)
+    col = _binary_search(w - 1, lambda i: fetch_cond(
+        jnp.clip(i, 0, w - 2)) < sx)(
+            jnp.zeros_like(sx, jnp.int32),
+            jnp.full(sx.shape, w - 2, jnp.int32))
+    ccdf0 = jnp.where(col > 0, fetch_cond(jnp.maximum(col - 1, 0)), 0.0)
+    ccdf1 = fetch_cond(col)
+    sx = (sx - ccdf0) * m.safe_rcp(ccdf1 - ccdf0)
+
+    v00 = lookup(dist.data, row, col)
+    v10 = lookup(dist.data, row, col + 1)
+    v01 = lookup(dist.data, row + 1, col)
+    v11 = lookup(dist.data, row + 1, col + 1)
+    # square_to_bilinear (warp.h:393-407)
+    sy = _interval_to_linear(v00 + v10, v01 + v11, sy)
+    c0 = v00 + sy * (v01 - v00)
+    c1 = v10 + sy * (v11 - v10)
+    sx = _interval_to_linear(c0, c1, sx)
+    pdf = c0 + sx * (c1 - c0)
+    pos = jnp.stack([(col + sx) / (w - 1), (row + sy) / (h - 1)], axis=-1)
+    return pos, pdf
+
+
+def invert_discrete(dist: Marginal2DDiscrete, pos, params=()):
+    """Exact inverse of sample_discrete."""
+    idxs, wts, strides = _param_setup(dist, params)
+    lookup = _mk_lookup(_corners(idxs, wts, strides))
+    h, w = dist.h, dist.w
+    px = jnp.clip(pos[..., 0], 0.0, 1.0) * (w - 1)
+    py = jnp.clip(pos[..., 1], 0.0, 1.0) * (h - 1)
+    col = jnp.clip(px.astype(jnp.int32), 0, w - 2)
+    row = jnp.clip(py.astype(jnp.int32), 0, h - 2)
+    fx = px - col
+    fy = py - row
+    v00 = lookup(dist.data, row, col)
+    v10 = lookup(dist.data, row, col + 1)
+    v01 = lookup(dist.data, row + 1, col)
+    v11 = lookup(dist.data, row + 1, col + 1)
+    c0 = v00 + fy * (v01 - v00)
+    c1 = v10 + fy * (v11 - v10)
+    pdf = c0 + fx * (c1 - c0)
+    sx = _linear_to_interval(c0, c1, fx)
+    sy = _linear_to_interval(v00 + v10, v01 + v11, fy)
+
+    def fetch_cond(idx):
+        return lookup(dist.cond_cdf, row, idx)
+
+    ccdf0 = jnp.where(col > 0, fetch_cond(jnp.maximum(col - 1, 0)), 0.0)
+    ccdf1 = fetch_cond(col)
+    sx = (ccdf0 + sx * (ccdf1 - ccdf0)) * m.safe_rcp(fetch_cond(w - 2))
+
+    def fetch_marg(idx):
+        return lookup(dist.marg_cdf, idx)
+
+    cdf0 = jnp.where(row > 0, fetch_marg(jnp.maximum(row - 1, 0)), 0.0)
+    cdf1 = fetch_marg(row)
+    sy = cdf0 + sy * (cdf1 - cdf0)
+    return jnp.stack([sx, sy], axis=-1), pdf

@@ -165,3 +165,42 @@ def test_param_conditioned_hierarchical():
     ref2 = d2.build_hierarchical(slices[2])
     pos_r2, _ = d2.sample_hierarchical(ref2, u)
     assert np.abs(np.asarray(pos2) - np.asarray(pos_r2)).max() < 1e-5
+
+
+def test_marginal_discrete():
+    """MarginalDiscrete2D (Marginal2D<Dim, false>, distr_2d.h:805-818):
+    self-consistency (pdf == eval, invert o sample == id, normalized)
+    and histogram agreement, plus a conditioned 1-parameter family."""
+    rng = np.random.default_rng(5)
+    data = rng.uniform(0.05, 1.0, (9, 13)) ** 2 * 5
+    dist = d2.build_discrete(data)
+    N = 200_000
+    u = jnp.asarray(rng.uniform(size=(N, 2)), jnp.float32)
+    pos, pdf = d2.sample_discrete(dist, u)
+    pe = np.asarray(d2.eval(dist, pos))
+    assert np.allclose(np.asarray(pdf), pe, rtol=2e-4, atol=1e-5)
+    u2, pdf2 = d2.invert_discrete(dist, pos)
+    assert np.abs(np.asarray(u2) - np.asarray(u)).max() < 3e-4
+    assert np.allclose(np.asarray(pdf2), np.asarray(pdf), rtol=1e-4)
+    area = float(np.mean(1.0 / np.maximum(np.asarray(pdf), 1e-12)))
+    assert abs(area - 1.0) < 0.02, area
+    # histogram matches the bilinear density
+    H = np.histogram2d(np.asarray(pos)[:, 1], np.asarray(pos)[:, 0],
+                       bins=4, range=[[0, 1], [0, 1]])[0] / N * 16
+    fy, fx = np.meshgrid((np.arange(32) + 0.5) / 32,
+                         (np.arange(32) + 0.5) / 32, indexing='ij')
+    ev = np.asarray(d2.eval(dist, jnp.asarray(
+        np.stack([fx.ravel(), fy.ravel()], -1), jnp.float32)))
+    cell = ev.reshape(4, 8, 4, 8).mean((1, 3))
+    assert np.abs(H - cell).max() / cell.max() < 0.05
+
+    # parameter-conditioned: grid points reproduce the per-slice build
+    pv = np.asarray([0.0, 1.0], np.float32)
+    fam = np.stack([data, data[::-1]])
+    distp = d2.build_discrete(fam, param_values=(pv,))
+    for p, sl in ((0.0, data), (1.0, data[::-1])):
+        par = (jnp.full((N,), p, jnp.float32),)
+        pos_p, pdf_p = d2.sample_discrete(distp, u, par)
+        ref = d2.build_discrete(sl)
+        pos_r, pdf_r = d2.sample_discrete(ref, u)
+        assert np.abs(np.asarray(pos_p) - np.asarray(pos_r)).max() < 1e-5
