@@ -41,6 +41,17 @@ SURFACE_WALK_ITERS = 16       # null-boundary crossings per shadow/MIS walk
 HET_COLLISION_ITERS = 1024    # majorant collisions per medium segment
 
 
+def _run_walk(cond, body, st, bound: int, diff: bool):
+    """while_loop normally; under differentiation a bounded checkpointed
+    scan (reverse-mode cannot differentiate while_loop). The walk bodies
+    are fully masked, so extra iterations are identity."""
+    if not diff:
+        return jax.lax.while_loop(cond, body, st)
+    ck = jax.checkpoint(lambda s, _: (body(s), None))
+    st, _ = jax.lax.scan(ck, st, None, length=bound)
+    return st
+
+
 def _index_spec(spec, channel):
     from ..ops.gather import select_channel
     return select_channel(spec, channel)
@@ -67,7 +78,7 @@ def _masked_intersect(scene, ray, si_cached, needs):
 
 
 def _medium_segment_tr(scene, meta, sampler, o, d, seg_len, medium_idx,
-                       channel, active):
+                       channel, active, diff: bool = False):
     """Spectral transmittance over one medium segment [0, seg_len] along
     (o, d) — telescoped ratio-tracking estimator.
 
@@ -121,8 +132,10 @@ def _medium_segment_tr(scene, meta, sampler, o, d, seg_len, medium_idx,
         u = jax.random.uniform(k, (N,))
         maj_loc, mj_loc = medium_mod._block_majorant(
             scene, meta, medium_idx, bidx, channel)
+        mj_pos = mj_loc > 1e-20    # constant-fallback: see medium sampler
         dt = -jnp.log1p(-jnp.clip(u, 0, m.OneMinusEpsilon)) \
-            / jnp.maximum(mj_loc, 1e-30)
+            / jnp.where(mj_pos, mj_loc, 1.0)
+        dt = jnp.where(mj_pos, dt, jnp.float32(3e38))
         t_exit = jnp.min(t_next_ax, axis=-1)
         t_stop = jnp.minimum(t_exit, seg)
         boundary = act & (t + dt > t_stop)
@@ -133,7 +146,7 @@ def _medium_segment_tr(scene, meta, sampler, o, d, seg_len, medium_idx,
         sigma_n_loc = jnp.maximum(maj_loc - sigma_t_v, 0.0)
         tr = jnp.where(col[:, None],
                        tr * sigma_n_loc
-                       / jnp.maximum(mj_loc, 1e-30)[:, None], tr)
+                       * m.safe_rcp(mj_loc)[:, None], tr)
         escaped = boundary & (t_stop >= seg)
         crossed = boundary & ~escaped
         step_ax = crossed[:, None] & (t_next_ax <= t_exit[:, None])
@@ -145,7 +158,8 @@ def _medium_segment_tr(scene, meta, sampler, o, d, seg_len, medium_idx,
     t0 = jnp.zeros((N,))
     tr0 = jnp.ones((N, 3))
     carry = (t0, tr0, is_het, bidx0, t_next0, jnp.int32(0), key)
-    _, tr_het, still, _, _, _, _ = jax.lax.while_loop(cond, body, carry)
+    _, tr_het, still, _, _, _, _ = _run_walk(
+        cond, body, carry, min(HET_COLLISION_ITERS, 192), diff)
     tr_het = jnp.where(still[:, None], 0.0, tr_het)  # hit the cap
 
     tr = jnp.where(is_het[:, None], tr_het, tr_homo)
@@ -165,7 +179,7 @@ class WalkState(NamedTuple):
 
 
 def transmittance_to_point(scene, meta, sampler, p_ref, d, dist, medium_idx,
-                           channel, active, on_medium):
+                           channel, active, on_medium, diff: bool = False):
     """Transmittance from p_ref along d over dist, through null BSDFs and
     media (reference sample_emitter walk, volpath.cpp:275-368): outer loop
     over surface crossings, media handled per-segment by
@@ -193,7 +207,7 @@ def transmittance_to_point(scene, meta, sampler, p_ref, d, dist, medium_idx,
         in_med = active & (st.medium_idx >= 0)
         tr_seg, smp = _medium_segment_tr(scene, meta, st.sampler, st.o, d,
                                          seg_end, st.medium_idx, channel,
-                                         in_med)
+                                         in_med, diff=diff)
         smp = smp.count_rays(active)              # shadow-walk rays
         transmittance = st.transmittance * tr_seg
 
@@ -217,13 +231,13 @@ def transmittance_to_point(scene, meta, sampler, p_ref, d, dist, medium_idx,
             medium_idx=new_medium, active=alive,
             emitted=st.emitted, emitter_pdf=st.emitter_pdf, it=st.it + 1)
 
-    st = jax.lax.while_loop(cond, body, st)
+    st = _run_walk(cond, body, st, SURFACE_WALK_ITERS, diff)
     tr_out = jnp.where(st.active[:, None], 0.0, st.transmittance)
     return jnp.where(active[:, None], tr_out, 1.0), st.sampler
 
 
 def trace_emission(scene, meta, sampler, ray_in: Ray, medium_idx, p_ref,
-                   channel, active):
+                   channel, active, diff: bool = False):
     """Follow a sampled ray to the first emissive/non-null surface or the
     environment, accumulating transmittance (the reference
     evaluate_direct_light, volpath.cpp:370-466).
@@ -253,7 +267,7 @@ def trace_emission(scene, meta, sampler, ray_in: Ray, medium_idx, p_ref,
         seg_for_tr = jnp.minimum(seg_end, 4.0 * scene.bsphere_r)
         tr_seg, smp = _medium_segment_tr(scene, meta, st.sampler, st.o, d,
                                          seg_for_tr, st.medium_idx, channel,
-                                         in_med)
+                                         in_med, diff=diff)
         smp = smp.count_rays(active)              # MIS-walk rays
         transmittance = st.transmittance * tr_seg
 
@@ -289,7 +303,7 @@ def trace_emission(scene, meta, sampler, ray_in: Ray, medium_idx, p_ref,
             medium_idx=new_medium, active=alive,
             emitted=emitted, emitter_pdf=emitter_pdf, it=st.it + 1)
 
-    st = jax.lax.while_loop(cond, body, st)
+    st = _run_walk(cond, body, st, SURFACE_WALK_ITERS, diff)
     return st.emitted, st.emitter_pdf, st.sampler
 
 
@@ -376,7 +390,8 @@ def sample(scene, meta, sampler: Sampler, ray: Ray, active=None,
         mray = Ray(st.ray.o, st.ray.d, st.ray.mint,
                    jnp.where(si.valid, si.t, jnp.full((N,), jnp.inf)))
         mi, w_med, smp = medium_mod.sample_real_interaction(
-            scene, meta, mray, smp, st.channel, st.medium_idx, active_medium)
+            scene, meta, mray, smp, st.channel, st.medium_idx, active_medium,
+            diff=diff)
         throughput = jnp.where(active_medium[:, None],
                                throughput * w_med, throughput)
 
@@ -402,7 +417,7 @@ def sample(scene, meta, sampler: Sampler, ray: Ray, active=None,
             scene, meta, mi.p, u_sel, u2, act_real)
         tr_nee, smp = transmittance_to_point(
             scene, meta, smp, mi.p, ds.d, ds.dist, st.medium_idx, st.channel,
-            act_real & (ds.pdf > 0), jnp.ones((N,), bool))
+            act_real & (ds.pdf > 0), jnp.ones((N,), bool), diff=diff)
         phase_val = phase_mod.eval(scene, meta, st.medium_idx, mi.wi, ds.d,
                                    act_real)
         w_med_nee = mis_weight(ds.pdf, jnp.where(ds.delta, 0.0, phase_val)) \
@@ -422,7 +437,7 @@ def sample(scene, meta, sampler: Sampler, ray: Ray, active=None,
                          jnp.full((N,), jnp.inf))
             ph_emitted, ph_em_pdf, smp = trace_emission(
                 scene, meta, smp, ph_ray, st.medium_idx, mi.p, st.channel,
-                act_real & (phase_pdf > 0))
+                act_real & (phase_pdf > 0), diff=diff)
             result = result + jnp.where(
                 act_real[:, None],
                 mis_weight(phase_pdf, ph_em_pdf)[:, None] * throughput
@@ -451,7 +466,8 @@ def sample(scene, meta, sampler: Sampler, ray: Ray, active=None,
             scene, meta, si.p, u_sel2, u22, active_e)
         tr_nee_s, smp = transmittance_to_point(
             scene, meta, smp, si.p, ds_s.d, ds_s.dist, st.medium_idx,
-            st.channel, active_e & (ds_s.pdf > 0), jnp.zeros((N,), bool))
+            st.channel, active_e & (ds_s.pdf > 0), jnp.zeros((N,), bool),
+            diff=diff)
         wo_l = si.to_local(ds_s.d)
         f_val = bsdf_mod.eval(scene, meta, si, wo_l)
         b_pdf = bsdf_mod.pdf(scene, meta, si, wo_l)
@@ -488,7 +504,7 @@ def sample(scene, meta, sampler: Sampler, ray: Ray, active=None,
         bsdf_ray = spawn_ray(si.p, wo_world)
         emitted, em_pdf2, smp = trace_emission(
             scene, meta, smp, bsdf_ray, new_medium, si.p, st.channel,
-            add_emitter)
+            add_emitter, diff=diff)
         result = result + jnp.where(
             add_emitter[:, None],
             mis_weight(bs.pdf, em_pdf2)[:, None] * throughput * emitted,

@@ -288,7 +288,8 @@ def is_homogeneous_like(scene, meta, medium_idx):
 
 
 def sample_real_interaction(scene, meta, ray: Ray, sampler, channel,
-                            medium_idx, active, max_steps: int = 4096
+                            medium_idx, active, max_steps: int = 4096,
+                            diff: bool = False
                             ) -> Tuple[MediumInteraction, jnp.ndarray, object]:
     """Delta tracking to the next REAL collision, null collisions resolved
     in an internal loop.
@@ -342,8 +343,13 @@ def sample_real_interaction(scene, meta, ray: Ray, sampler, channel,
         # are crossed in ONE free step
         maj_loc, mj_loc = _block_majorant(scene, meta, medium_idx, bidx,
                                           channel)
+        # empty blocks must step to the boundary: dt "infinite" via a
+        # CONSTANT (a 1/mj_loc form leaks NaN into reverse-mode as
+        # 0 * d(1/mj)/dp with mj -> 0)
+        mj_pos = mj_loc > 1e-20
         dt = -jnp.log1p(-jnp.clip(u[:, 0], 0.0, m.OneMinusEpsilon)) \
-            / jnp.maximum(mj_loc, 1e-30)
+            / jnp.where(mj_pos, mj_loc, 1.0)
+        dt = jnp.where(mj_pos, dt, jnp.float32(3e38))
         t_exit = jnp.min(t_next_ax, axis=-1)    # absolute block-exit t
         t_stop = jnp.minimum(t_exit, maxt)
         boundary = walking & (t + dt > t_stop)
@@ -368,9 +374,12 @@ def sample_real_interaction(scene, meta, ray: Ray, sampler, channel,
         p_real = st_ch / jnp.maximum(mj_loc, 1e-30)
         real = col & (u[:, 1] < p_real)
         null = col & ~real
+        # safe_div, not maximum(sn_ch, eps): the division's VJP forms
+        # -x/y^2 BEFORE the clamp masks it, and y=1e-30 overflows f32 to
+        # inf -> masked inf*0 = NaN poisoning every medium-param gradient
         w = jnp.where(null[:, None],
                       w * sigma_n_loc
-                      * (mj_loc / jnp.maximum(sn_ch, 1e-30))[:, None], w)
+                      * m.safe_div(mj_loc, sn_ch)[:, None], w)
         found = found | real
         escaped = boundary & (t_stop >= maxt)
         # incremental 3D-DDA: block-face crossings step the carried index
@@ -387,13 +396,29 @@ def sample_real_interaction(scene, meta, ray: Ray, sampler, channel,
     t0 = jnp.where(walking, mint, 0.0)
     carry = (t0, jnp.ones((N, 3)), walking, jnp.zeros((N,), bool),
              bidx0, t_next0, jnp.int32(0), key)
-    t, w, still, found, bidx_f, _, _, _ = jax.lax.while_loop(cond, body,
-                                                             carry)
+    if diff:
+        # reverse-mode cannot differentiate while_loop: bounded
+        # checkpointed scan (the body is fully masked, extra trips are
+        # identity)
+        # reverse-mode cannot differentiate while_loop: bounded
+        # checkpointed scan (the body is fully masked, extra trips are
+        # identity)
+        ck = jax.checkpoint(lambda c, _: (body(c), None))
+        carry, _ = jax.lax.scan(ck, carry, None,
+                                length=min(max_steps, 192))
+        t, w, still, found, bidx_f = carry[:5]
+    else:
+        t, w, still, found, bidx_f, _, _, _ = jax.lax.while_loop(
+            cond, body, carry)
     # zero-hero-majorant lanes never walk: they escape the whole segment
     # with the exact Beer-Lambert ratio of the OTHER channels
     never = act & ~walking
+    # finite clamp: maxt is inf for unbounded segments, and inf * 0
+    # (gray media) is a NaN that would poison reverse-mode through the
+    # masked branch even though the lane is never selected
+    seg_n = jnp.minimum(jnp.maximum(maxt - mint, 0.0), 3e37)
     w = jnp.where(never[:, None],
-                  jnp.exp(-jnp.maximum(maxt - mint, 0.0)[:, None]
+                  jnp.exp(-seg_n[:, None]
                           * (majorant - mj_glob[:, None])), w)
 
     p = ray.at(jnp.where(found, t, 0.0))

@@ -294,4 +294,14 @@ def compute_si(scene, ray: Ray, pi: PreliminaryHit) -> SurfaceInteraction:
 
 
 def ray_intersect(scene, ray: Ray, maxt=None) -> SurfaceInteraction:
-    return compute_si(scene, ray, intersect_preliminary(scene, ray, maxt))
+    """Closest-hit intersection. DETACHED from reverse-mode AD: geometric
+    derivatives (shape gradients) are out of scope — the reference's
+    differentiable mode likewise detaches its sampling structure and
+    differentiates throughput weights only (autodiff.py:177-190 /
+    vrl.cpp:185 detach). Without this, parameter-dependent ray origins
+    (e.g. sampled medium collision points) push cotangents into the
+    masked Möller-Trumbore lanes whose degenerate-triangle guards turn
+    them into NaN."""
+    ray = jax.tree_util.tree_map(jax.lax.stop_gradient, ray)
+    si = compute_si(scene, ray, intersect_preliminary(scene, ray, maxt))
+    return jax.tree_util.tree_map(jax.lax.stop_gradient, si)
