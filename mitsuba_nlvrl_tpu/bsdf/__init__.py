@@ -94,18 +94,31 @@ def pack_params(props: dict) -> Tuple[int, int, list]:
         v = props.get(key, default)
         return float(default) if isinstance(v, dict) else float(v)
 
+    def conductor_eta_k():
+        """eta/k from explicit rgb props or a named material's tabulated
+        complex-IOR spectra (conductor.cpp 'material' prop; default
+        'none' = perfect mirror)."""
+        mat = props.get('material')
+        if isinstance(mat, str):
+            from ..scene.ior_data import conductor_rgb
+            pair = conductor_rgb(mat)
+            if pair is None:
+                print(f"warning: conductor material {mat!r} has no "
+                      f".spd data; keeping eta/k defaults")
+            else:
+                return list(pair[0]), list(pair[1])
+        return rgb('eta', 0.0), rgb('k', 1.0)
+
     if t == 'diffuse':
         p[0:3] = rgb('reflectance', 0.5)
         p[15] = float(props.get('_texture_id', -1))
         return BSDF_TYPES[t], F_SMOOTH | twosided, p
     if t == 'conductor':
-        p[0:3] = rgb('eta', 0.0)
-        p[3:6] = rgb('k', 1.0)
+        p[0:3], p[3:6] = conductor_eta_k()
         p[6:9] = rgb('specular_reflectance', 1.0)
         return BSDF_TYPES[t], F_DELTA, p
     if t == 'roughconductor':
-        p[0:3] = rgb('eta', 0.0)
-        p[3:6] = rgb('k', 1.0)
+        p[0:3], p[3:6] = conductor_eta_k()
         p[6:9] = rgb('specular_reflectance', 1.0)
         a = scalar('alpha', 0.1)
         p[9] = scalar('alpha_u', a)

@@ -42,3 +42,70 @@ def lookup_ior(name):
     if key not in IOR_TABLE:
         raise KeyError(f"unknown IOR material {name!r}")
     return IOR_TABLE[key]
+
+
+# --- named conductor materials (reference data/ior/<name>.{eta,k}.spd) --------
+
+import os as _os
+import re as _re
+
+_SPD_DIRS = [p for p in (
+    _os.environ.get('MNT_IOR_DIR', ''),
+    '/root/reference/data/ior',
+) if p]
+
+
+def load_spd(path):
+    """Parse a two-column .spd file -> (wavelengths_nm, values) lists.
+    The reference's SPD files are whitespace-separated with '#' comments
+    (libcore Properties spd loader semantics)."""
+    wav, val = [], []
+    with open(path, 'r', errors='replace') as f:
+        for line in f:
+            line = line.split('#')[0].strip()
+            if not line:
+                continue
+            parts = _re.split(r'[\s,]+', line)
+            if len(parts) < 2:
+                continue
+            try:
+                w, v = float(parts[0]), float(parts[1])
+            except ValueError:
+                continue
+            wav.append(w)
+            val.append(v)
+    return wav, val
+
+
+def _find_spd(name, which):
+    for d in _SPD_DIRS:
+        p = _os.path.join(d, f'{name}.{which}.spd')
+        if _os.path.exists(p):
+            return p
+    return None
+
+
+_CONDUCTOR_CACHE = {}
+
+
+def conductor_rgb(name):
+    """(eta_rgb, k_rgb) for a named conductor (conductor.cpp 'material'
+    prop): the tabulated complex-IOR spectra CIE-integrate to linear sRGB,
+    exactly how every other spectrum enters the RGB variant. 'none' is the
+    reference's perfect-mirror default. Returns None when no data dir has
+    the material (the caller keeps its defaults and warns)."""
+    key = name.strip()
+    if key.lower() == 'none':
+        return (0.0, 0.0, 0.0), (1.0, 1.0, 1.0)
+    if key in _CONDUCTOR_CACHE:
+        return _CONDUCTOR_CACHE[key]
+    pe, pk = _find_spd(key, 'eta'), _find_spd(key, 'k')
+    if pe is None or pk is None:
+        return None
+    from ..core.spectrum import spectrum_to_rgb
+    we, ve = load_spd(pe)
+    wk, vk = load_spd(pk)
+    eta = tuple(spectrum_to_rgb(we, ve, bounded=False))
+    k = tuple(spectrum_to_rgb(wk, vk, bounded=False))
+    _CONDUCTOR_CACHE[key] = (eta, k)
+    return eta, k

@@ -87,3 +87,37 @@ def test_path_tag_and_textured_mask_opacity():
     scene, meta = build_scene(d)
     img = np.asarray(render(scene, meta, spp=2, seed=0))
     assert np.isfinite(img).all() and img.mean() > 0.01
+
+
+def test_named_conductor_materials():
+    """conductor material="Au" loads the tabulated complex IOR
+    (data/ior/Au.{eta,k}.spd) and renders with gold's chroma: the specular
+    reflection of white light is red-dominant (reference conductor.cpp
+    material prop)."""
+    import numpy as np
+    from mitsuba_nlvrl_tpu import build_scene
+    from mitsuba_nlvrl_tpu.render import render
+    from mitsuba_nlvrl_tpu.core import fresnel as fr
+    import jax.numpy as jnp
+    from mitsuba_nlvrl_tpu.scene.ior_data import conductor_rgb
+    pair = conductor_rgb('Au')
+    if pair is None:
+        import pytest
+        pytest.skip("reference ior data unavailable")
+    eta, k = pair
+    # normal-incidence conductor reflectance R = ((n-1)^2+k^2)/((n+1)^2+k^2)
+    R = [((e - 1) ** 2 + kk ** 2) / ((e + 1) ** 2 + kk ** 2)
+         for e, kk in zip(eta, k)]
+    assert R[0] > R[2] + 0.2, R      # gold: red >> blue reflectance
+
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from scenes import sphere_scene
+    d = sphere_scene(spp=4, res=24,
+                     bsdf={'type': 'roughconductor', 'material': 'Au',
+                           'alpha': 0.2})
+    scene, meta = build_scene(d)
+    img = np.asarray(render(scene, meta, spp=4, seed=0))
+    assert np.isfinite(img).all()
+    sphere = img[4:14, 8:16]   # center region: the gold sphere
+    assert sphere[..., 0].mean() > sphere[..., 2].mean() * 1.2
