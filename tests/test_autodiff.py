@@ -161,3 +161,28 @@ def test_grad_heterogeneous_grid_density():
           - float(loss_of(jnp.asarray(Gm)))) / (2 * eps)
     ad = gr[iz, iy, ix]
     assert abs(fd - ad) < 0.15 * max(abs(fd), abs(ad), 1e-4), (fd, ad)
+
+
+def test_render_torch_bridge():
+    """render_torch (reference autodiff.py:381-460): the torch.autograd
+    bridge's backward must agree with the native jax gradient."""
+    import torch
+    from mitsuba_nlvrl_tpu import autodiff as ad
+
+    scene, meta = build_scene(cornell_box(spp=1, res=8))
+    fn = ad.render_torch(scene, meta, spp=1, seed=4,
+                         param_keys=['bsdfs.params'])
+    t = fn.initial_values[0].clone().requires_grad_(True)
+    img = fn(t)
+    assert img.shape[-1] == 3 and torch.isfinite(img).all()
+    loss = img.mean()
+    loss.backward()
+    g_torch = t.grad.numpy()
+
+    pm = ad.traverse(scene).keep(['bsdfs.params'])
+    g_jax = np.asarray(jax.grad(
+        lambda p: jnp.mean(ad.render(scene, meta,
+                                     params={'bsdfs.params': p},
+                                     pmap=pm, spp=1, seed=4)))(
+        scene.bsdfs.params))
+    assert np.allclose(g_torch, g_jax, rtol=1e-4, atol=1e-6)
