@@ -94,27 +94,49 @@ def _spawn(key, timeout_s):
     return None, err[-200:]
 
 
+def _device_alive(timeout_s=300):
+    """Fast liveness probe: the remote TPU worker can be down for hours
+    (observed 8h+ outages); a tiny matmul either completes in seconds or
+    hangs on the tunnel handshake."""
+    try:
+        r = subprocess.run(
+            [sys.executable, '-c',
+             'import jax, jax.numpy as jnp;'
+             '(jnp.ones((8,8)) @ jnp.ones((8,8))).block_until_ready();'
+             'print("ALIVE")'],
+            capture_output=True, text=True, timeout=timeout_s)
+        return 'ALIVE' in (r.stdout or '')
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
     extra = {}
     headline = None
+    alive = _device_alive()
+    extra['device_alive'] = alive
+    # when the worker is down, one short attempt per config (it may have
+    # recovered since the probe) instead of hour-long retry ladders
+    n_head, n_vol, t_scale = (3, 2, 1.0) if alive else (1, 1, 0.5)
     # headline first (so a volumetric worker crash can't take it down),
     # with retries — the remote worker may still be recovering from a
     # previous crash when the driver starts the bench
-    for attempt in range(3):
-        headline, err = _spawn('cbox_path', 1200)
+    for attempt in range(n_head):
+        headline, err = _spawn('cbox_path', int(1200 * t_scale))
         if headline is not None:
             break
         extra['cbox_path_error'] = err
         time.sleep(180)
     for key, timeout_s in (('hetvol_volpath', 1500), ('cbox_nlvrl', 1500)):
-        for attempt in range(2):
-            mrays, err = _spawn(key, timeout_s)
+        for attempt in range(n_vol):
+            mrays, err = _spawn(key, int(timeout_s * t_scale))
             if mrays is not None:
                 extra[key + '_mrays'] = round(mrays, 3)
                 extra.pop(key + '_error', None)
                 break
             extra[key + '_error'] = err
-            time.sleep(180)   # typical worker recovery time
+            if attempt + 1 < n_vol:
+                time.sleep(180)   # typical worker recovery time
 
     baseline = 10.0  # internal target Mrays/s/chip (no published reference)
     print(json.dumps({
