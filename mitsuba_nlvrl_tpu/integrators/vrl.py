@@ -221,7 +221,12 @@ def vrl_contrib(scene, meta, maps, seg_o, seg_d, seg_len, cam_medium,
     t_cam = jnp.clip(uu - u0_hat, 0.0, seg_len)
     p_cam = seg_o + seg_d * t_cam[:, None]
 
-    # degenerate fallback: uniform MC (sampleMC, vrl_struct.h:239-243)
+    # degenerate fallback: uniform MC (sampleMC, vrl_struct.h:239-243);
+    # also forced by the reference's use_uniform_sampling prop
+    # (vrl.cpp:62 picks sampleMC over the Kulla samplingVRL)
+    if bool(meta.iprop('use_uniform_sampling',
+                       meta.iprop('use_nl_atomic_query', False))):
+        degenerate = jnp.ones_like(degenerate)
     t_cam_mc = u1 * seg_len
     t_vrl_mc = u2 * len_v
     inv_pdf_mc = seg_len * len_v

@@ -407,3 +407,25 @@ def test_vrl_heterogeneous_medium_matches_volpath():
     vr = np.asarray(render(sd, md, spp=4, seed=1)).mean()
     assert np.isfinite(vr) and vr > 0
     assert abs(vr - gt) / gt < 0.35, (vr, gt)
+
+
+def test_vrl_uniform_sampling_prop_unbiased():
+    """use_uniform_sampling=true (reference vrl.cpp:62 -> sampleMC) forces
+    uniform MC point sampling along VRL/camera segments; the estimator
+    stays unbiased, just higher-variance than the Kulla warp."""
+    med = {'type': 'homogeneous', 'sigma_t': 0.5, 'albedo': 0.8}
+    base = {'type': 'vrl', 'max_depth': 6, 'target_vrls': 2000,
+            'samples_per_query': 4, 'min_vrl_length': 0.02,
+            'use_direct_illum': False,
+            'volume_lookup_radius_relative': 0.03}
+    dk = cornell_box(spp=8, res=12, integrator=dict(base),
+                     medium=med, light='point')
+    sk, mk = build_scene(dk)
+    kulla = float(np.asarray(render(sk, mk, spp=8, seed=1)).mean())
+    du = cornell_box(spp=8, res=12,
+                     integrator=dict(base, use_uniform_sampling=True),
+                     medium=med, light='point')
+    su, mu = build_scene(du)
+    uni = float(np.asarray(render(su, mu, spp=8, seed=1)).mean())
+    assert uni > 0 and np.isfinite(uni)
+    assert abs(uni - kulla) / max(kulla, 1e-6) < 0.35, (uni, kulla)
