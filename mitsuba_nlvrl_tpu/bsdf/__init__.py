@@ -97,15 +97,20 @@ def pack_params(props: dict) -> Tuple[int, int, list]:
     def conductor_eta_k():
         """eta/k from explicit rgb props or a named material's tabulated
         complex-IOR spectra (conductor.cpp 'material' prop; default
-        'none' = perfect mirror)."""
+        'none' = perfect mirror). Named materials also register their full
+        curves for per-wavelength Fresnel in the spectral variants
+        (slot 13 = curve id + 1; 0 = RGB-only)."""
         mat = props.get('material')
         if isinstance(mat, str):
-            from ..scene.ior_data import conductor_rgb
+            from ..scene.ior_data import conductor_rgb, conductor_spd_id
             pair = conductor_rgb(mat)
             if pair is None:
                 print(f"warning: conductor material {mat!r} has no "
                       f".spd data; keeping eta/k defaults")
             else:
+                sid = conductor_spd_id(mat)
+                if sid is not None:
+                    p[13] = float(sid + 1)
                 return list(pair[0]), list(pair[1])
         return rgb('eta', 0.0), rgb('k', 1.0)
 
@@ -947,6 +952,52 @@ def sample(scene, meta, si, u1, u2, mode=RADIANCE, textures=None,
         weight = jnp.where(pass_thru[:, None], jnp.ones((N, 3)), weight)
         # nested lobe keeps weight (pdf scaling by opacity cancels f*opacity)
     return _unperturb_wo(_f_orig, si, bs), weight
+
+
+def spectral_fresnel_ratio(scene, meta, si, wo, lam):
+    """Per-hero-wavelength conductor Fresnel correction for the spectral
+    variants (reference: in spectral builds conductor.cpp/roughconductor.cpp
+    evaluate fresnel_conductor with the tabulated complex IOR at the ray's
+    wavelengths; the RGB build integrates eta/k to RGB at load time).
+
+    The spectral integrators form weights as upsample(f_rgb, lam). For a
+    conductor, f_rgb = spec_reflectance * F_rgb(cos_h) * geometry, so
+    multiplying by F(lam, cos_h) / upsample(F_rgb, lam) replaces the
+    band-quantized upsampled Fresnel with the true spectral one (exact for
+    achromatic spec_reflectance, the overwhelmingly common case). Returns
+    an (N, L) factor (1 on non-conductor lanes / RGB-only conductors), or
+    None when the scene carries no tabulated curves. Limitation: conductor
+    rows reached through a blendbsdf wrapper keep the RGB upsampling."""
+    if not getattr(meta, 'has_conductor_spd', False):
+        return None
+    from ..core import spectral as sp
+    if _has_perturb(meta):
+        f0 = si.sh_frame
+        si = _perturb_si(scene, meta, si)
+        wo = si.sh_frame.to_local(f0.to_world(wo))
+    from ..ops.gather import take_many, take_rows
+    btype, flags, P = take_many([scene.bsdfs.type, scene.bsdfs.flags,
+                                 scene.bsdfs.params], si.bsdf_idx)
+    wi, wo = _maybe_flip(flags, si.wi, wo)
+    is_cond = ((btype == BSDF_TYPES['conductor'])
+               | (btype == BSDF_TYPES['roughconductor']))
+    sid = P[:, 13].astype(jnp.int32) - 1
+    use = is_cond & (sid >= 0)
+    # half-vector cosine: for the delta conductor wo = reflect(wi), so
+    # normalize(wi + wo) is the normal and cos_h = cos_theta_i
+    h = m.normalize(wi + wo)
+    cos_h = jnp.abs(m.dot(wi, h))
+    C = scene.conductor_spd.shape[0]
+    K = scene.conductor_spd.shape[-1]
+    curves = take_rows(scene.conductor_spd.reshape(C, 2 * K),
+                       jnp.maximum(sid, 0)).reshape(-1, 2, K)
+    eta_l = sp.cie_table_eval(curves[:, 0, :], lam)
+    k_l = sp.cie_table_eval(curves[:, 1, :], lam)
+    F_l = fresnel_conductor(cos_h, eta_l, k_l)                  # (N, L)
+    F_rgb = fresnel_conductor(cos_h, P[:, 0:3], P[:, 3:6])      # (N, 3)
+    F_up = sp.upsample_weight(F_rgb, lam)                       # (N, L)
+    return jnp.where(use[:, None] & (F_up > 1e-6),
+                     F_l / jnp.maximum(F_up, 1e-6), 1.0)
 
 
 def eval_null_transmission(scene, meta, si):

@@ -272,6 +272,23 @@ def upsample_weight(rgb, lam):
     return val * mx[:, None]
 
 
+def cie_table_eval(tab, lam):
+    """Linearly interpolate tables sampled on the CIE wavelength grid
+    (CIE_MIN..CIE_MAX, CIE_SAMPLES points): tab (..., CIE_SAMPLES)
+    broadcast against lam (..., L) -> values (..., L). Wavelengths outside
+    the grid clamp to the endpoints (the tabulated .spd curves extend past
+    the visible range, so clamping only ever extrapolates flatly)."""
+    t = (lam - CIE_MIN) * ((CIE_SAMPLES - 1) / (CIE_MAX - CIE_MIN))
+    t = jnp.clip(t, 0.0, CIE_SAMPLES - 1.0)
+    i0 = jnp.clip(t.astype(jnp.int32), 0, CIE_SAMPLES - 2)
+    w1 = t - i0
+    if tab.ndim < lam.ndim:
+        tab = jnp.broadcast_to(tab, lam.shape[:-1] + (tab.shape[-1],))
+    v0 = jnp.take_along_axis(tab, i0, axis=-1)
+    v1 = jnp.take_along_axis(tab, i0 + 1, axis=-1)
+    return v0 * (1.0 - w1) + v1 * w1
+
+
 _D65_F32 = D65_HAT.astype(np.float32)
 
 

@@ -7,7 +7,11 @@ spectral sample vector, and every RGB-packed scene quantity is upsampled
 on the fly with the sigmoid-polynomial model (core/spectral.py):
 
   * BSDF weights via ``upsample_weight`` — chroma through the reflectance
-    model, achromatic geometry/pdf factors pass through exactly.
+    model, achromatic geometry/pdf factors pass through exactly. Named
+    conductors with tabulated .spd complex-IOR curves additionally swap
+    the upsampled RGB Fresnel for the true per-wavelength
+    F(lambda, cos_h) (bsdf.spectral_fresnel_ratio), matching the
+    reference's spectral conductor.cpp evaluation.
   * RGB emitters via ``emitter_spectrum`` — upsampled chroma times the D65
     illuminant, the reference's srgb_d65 expansion (src/spectra/srgb_d65.cpp).
   * blackbody emitters evaluate Planck's law directly at the hero
@@ -129,8 +133,12 @@ def sample(scene, meta, sampler: Sampler, ray: Ray, active=None,
         w_nee = jnp.where(ds.delta, 1.0, mis_weight(ds.pdf, b_pdf))
         em_weight_s = emitter_mod.spectral_radiance(scene, em_weight,
                                                     ds.emitter_idx, st.lam)
-        contrib = st.throughput * sp.upsample_weight(f_val, st.lam) \
-            * em_weight_s * w_nee[:, None]
+        f_s = sp.upsample_weight(f_val, st.lam)
+        fr_nee = bsdf_mod.spectral_fresnel_ratio(scene, meta, si, wo_local,
+                                                 st.lam)
+        if fr_nee is not None:
+            f_s = f_s * fr_nee
+        contrib = st.throughput * f_s * em_weight_s * w_nee[:, None]
         result = result + jnp.where((nee_active & ~occluded)[:, None],
                                     contrib, 0.0)
 
@@ -138,7 +146,12 @@ def sample(scene, meta, sampler: Sampler, ray: Ray, active=None,
         u1b, smp = smp.next_1d()
         u2b, smp = smp.next_2d()
         bs, b_weight = bsdf_mod.sample(scene, meta, si, u1b, u2b)
-        throughput = st.throughput * sp.upsample_weight(b_weight, st.lam)
+        w_s = sp.upsample_weight(b_weight, st.lam)
+        fr_b = bsdf_mod.spectral_fresnel_ratio(scene, meta, si, bs.wo,
+                                               st.lam)
+        if fr_b is not None:
+            w_s = w_s * fr_b
+        throughput = st.throughput * w_s
         eta = st.eta * bs.eta
         wo_world = si.to_world(bs.wo)
         new_ray = spawn_ray(si.p, wo_world)

@@ -14,10 +14,11 @@ polarization structure M/m00 is taken from the RGB band containing the
 wavelength (B < 490nm <= G < 580nm <= R). For achromatic Mueller
 structures — ideal polarizer/retarder/circular, dielectrics with scalar
 IOR, diffuse — the structure is channel-independent and the factorization
-is EXACT; only conductors' slowly-varying Fresnel phase is band-quantized.
-The reference's spectral data files (.spd IOR curves) are integrated to
-RGB at load time (core/spectrum.py), so a per-wavelength Fresnel
-evaluation has no more spectral information available than this.
+is EXACT; only conductors' Fresnel phase is band-quantized. For named
+conductor materials with tabulated .spd IOR curves the Mueller MAGNITUDE
+is corrected per hero wavelength by the true F(lambda, cos_h)
+(bsdf.spectral_fresnel_ratio); the normalized polarization structure
+(phase retardation) still comes from the RGB band.
 """
 from __future__ import annotations
 
@@ -150,6 +151,10 @@ def sample_stokes_vec(scene, meta, sampler: Sampler, ray: Ray, active=None,
         wo_local = si.to_local(ds.d)
         M_nee = mueller_to_spectral(
             bpol.eval_pol(scene, meta, si, wo_local), st.lam)
+        fr_nee = bsdf_mod.spectral_fresnel_ratio(scene, meta, si, wo_local,
+                                                 st.lam)
+        if fr_nee is not None:
+            M_nee = M_nee * fr_nee[..., None, None]
         b_pdf = bsdf_mod.pdf(scene, meta, si, wo_local)
         w_nee = jnp.where(ds.delta, 1.0, mis_weight(ds.pdf, b_pdf))
         em_weight_s = emitter_mod.spectral_radiance(scene, em_weight,
@@ -163,7 +168,12 @@ def sample_stokes_vec(scene, meta, sampler: Sampler, ray: Ray, active=None,
         u1b, smp = smp.next_1d()
         u2b, smp = smp.next_2d()
         bs, M_w = bpol.sample_pol(scene, meta, si, u1b, u2b)
-        throughput = st.throughput @ mueller_to_spectral(M_w, st.lam)
+        M_ws = mueller_to_spectral(M_w, st.lam)
+        fr_b = bsdf_mod.spectral_fresnel_ratio(scene, meta, si, bs.wo,
+                                               st.lam)
+        if fr_b is not None:
+            M_ws = M_ws * fr_b[..., None, None]
+        throughput = st.throughput @ M_ws
         eta = st.eta * bs.eta
         wo_world = si.to_world(bs.wo)
         new_ray = spawn_ray(si.p, wo_world)

@@ -755,6 +755,20 @@ class SceneBuilder:
         bsdfs_t = BSDFTable(type=jnp.asarray(btype), flags=jnp.asarray(bflags),
                             params=jnp.asarray(bparams))
 
+        # tabulated conductor eta/k curves for spectral per-wavelength
+        # Fresnel: a row is live when some conductor's param slot 13 points
+        # at it (pack_params registered the curve via conductor_spd_id)
+        from .ior_data import spd_curves
+        from ..core.cie_data import CIE_SAMPLES
+        _curves = spd_curves()
+        has_cond_spd = bool(
+            _curves is not None
+            and any(r[0] in (BSDF_TYPES['conductor'],
+                             BSDF_TYPES['roughconductor'])
+                    and r[2][13] > 0 for r in self.bsdf_rows))
+        cond_spd = jnp.asarray(_curves if has_cond_spd
+                               else np.zeros((1, 2, CIE_SAMPLES), np.float32))
+
         emitters_t = EmitterTable(
             type=jnp.asarray(np.asarray([r[0] for r in emitter_rows], np.int32)),
             params=jnp.asarray(np.asarray([r[1] for r in emitter_rows],
@@ -868,7 +882,8 @@ class SceneBuilder:
             bsphere_c=jnp.asarray(center, jnp.float32),
             bsphere_r=jnp.asarray(radius, jnp.float32),
             measured=tuple(md for md, _ in self.measured),
-            measured_pol=tuple(self.measured_pol))
+            measured_pol=tuple(self.measured_pol),
+            conductor_spd=cond_spd)
 
         # camera medium: if the camera origin is inside a medium-bearing
         # shape's bbox and that shape has a null/transparent boundary we
@@ -899,6 +914,7 @@ class SceneBuilder:
                              BSDF_TYPES['pplastic']) and r[2][15] >= 0)
                 for r in self.bsdf_rows),
             spectral=bool(self.desc.get('spectral', False)),
+            has_conductor_spd=has_cond_spd,
             measured_meta=tuple(mm for _, mm in self.measured))
         return scene, meta
 

@@ -211,6 +211,10 @@ class SceneData(NamedTuple):
     # measured polarized pBRDF grids, one MeasuredPolData per material
     # (bsdf/measured_pol.py); row params[0] holds the slot index
     measured_pol: Tuple = ()
+    # named-conductor complex-IOR curves on the CIE grid (C, 2, CIE_SAMPLES)
+    # for per-wavelength Fresnel in spectral variants; bsdf param slot 13
+    # holds the row id + 1. (1, 2, K) zeros dummy when unused.
+    conductor_spd: jnp.ndarray = ()
 
 
 @dataclass(frozen=True)
@@ -250,6 +254,7 @@ class SceneMeta:
     has_param_textures: bool = False  # alpha/specular/plastic-diffuse maps
     camera_medium: int = -1    # medium the camera starts in (-1 vacuum)
     spectral: bool = False     # hero-wavelength spectral transport variant
+    has_conductor_spd: bool = False  # tabulated eta/k curves present
     measured_meta: Tuple = ()  # per-measured-material MeasuredMeta
 
     def iprop(self, name, default=None):

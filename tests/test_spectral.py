@@ -125,3 +125,70 @@ def test_rgb_mode_unaffected_by_spectrum_dicts():
         {'type': 'blackbody', 'temperature': 5000.0}, spectral=False))
     img = np.asarray(render(s, m, spp=8, seed=1))
     assert np.isfinite(img).all() and img.mean() > 0
+
+
+# --- per-wavelength conductor Fresnel ----------------------------------------
+
+def _gold_box(spectral=True, spp=8, res=8):
+    base = cornell_box(spp=spp, res=res)
+    base['shapes'][0]['bsdf'] = {'type': 'roughconductor',
+                                 'material': 'Au', 'alpha': 0.3}
+    base['spectral'] = spectral
+    return base
+
+
+def test_conductor_spectral_fresnel_ratio():
+    """Named conductors evaluate Fresnel per hero wavelength from the
+    tabulated complex-IOR curves (spectral conductor.cpp semantics): the
+    bsdf-layer correction times the upsampled RGB Fresnel reproduces the
+    true F(lambda) at normal incidence."""
+    import pytest
+    from mitsuba_nlvrl_tpu import bsdf as bsdf_mod
+    from mitsuba_nlvrl_tpu.core.ray import Ray
+    from mitsuba_nlvrl_tpu.core.spectral import upsample_weight
+    from mitsuba_nlvrl_tpu.ops import intersect as isect
+    from mitsuba_nlvrl_tpu.scene.ior_data import _find_spd, load_spd
+
+    if _find_spd('Au', 'eta') is None:
+        pytest.skip('no conductor .spd data available')
+    s, mt = build_scene(_gold_box())
+    assert mt.has_conductor_spd
+
+    # straight-down ray onto the gold floor: wi = wo = +z in the local
+    # frame, so cos_h = 1 (normal incidence)
+    ray = Ray.make(jnp.asarray([[0.0, 0.0, 0.0]]),
+                   jnp.asarray([[0.0, -1.0, 0.0]]))
+    si = isect.ray_intersect(s, ray)
+    assert bool(si.valid[0])
+    lam = jnp.asarray([[420.0, 520.0, 620.0, 720.0]])
+    ratio = bsdf_mod.spectral_fresnel_ratio(s, mt, si, si.wi, lam)
+    assert ratio is not None
+
+    P = np.asarray(s.bsdfs.params[int(si.bsdf_idx[0])])
+    from mitsuba_nlvrl_tpu.core.fresnel import fresnel_conductor
+    F_rgb = fresnel_conductor(jnp.asarray([1.0]), jnp.asarray(P[0:3])[None],
+                              jnp.asarray(P[3:6])[None])
+    got = np.asarray(ratio * upsample_weight(F_rgb, lam))[0]
+
+    # independent ground truth straight from the .spd files
+    we, ve = load_spd(_find_spd('Au', 'eta'))
+    wk, vk = load_spd(_find_spd('Au', 'k'))
+    lam_np = np.asarray(lam)[0]
+    eta = np.interp(lam_np, we, ve)
+    k = np.interp(lam_np, wk, vk)
+    F_true = ((eta - 1.0) ** 2 + k ** 2) / ((eta + 1.0) ** 2 + k ** 2)
+    assert np.abs(got - F_true).max() < 0.02 * F_true.max(), (got, F_true)
+    # gold: red Fresnel well above blue
+    assert F_true[2] > 1.3 * F_true[0]
+
+
+def test_conductor_spectral_render_smoke():
+    """Spectral render of a gold-floored box stays finite and in the same
+    energy regime as the RGB render (the correction rescales chroma, not
+    total power)."""
+    s0, m0 = build_scene(_gold_box(spectral=False, spp=16, res=8))
+    ref = np.asarray(render(s0, m0, spp=16, seed=2)).mean()
+    s1, m1 = build_scene(_gold_box(spectral=True, spp=16, res=8))
+    img = np.asarray(render(s1, m1, spp=16, seed=2))
+    assert np.isfinite(img).all()
+    assert 0.5 * ref < img.mean() < 2.0 * ref
