@@ -115,18 +115,25 @@ def estimate_beam(scene, meta, maps, o, d, t_max, wo, medium_idx, active,
     N = o.shape[0]
     r2 = jnp.broadcast_to(jnp.asarray(radius) ** 2, (N,))
     step = 2.0 * jnp.broadcast_to(jnp.asarray(radius), (N,))
-    majorant = medium_mod.get_majorant(scene, medium_idx)
     # per-photon kNN-style radii when build_maps provided them
     # (bre.h:39-73); falls back to the caller's global radius
     pr = getattr(maps, 'vp_radius', ())
     per_photon = isinstance(pr, jnp.ndarray) and pr.ndim == 1 \
         and pr.shape[0] == maps.vp_pos.shape[0]
 
-    def step_body(g, acc):
+    def step_body(g, carry):
+        tau, acc = carry
         t0 = g * step
         t1 = jnp.minimum(t0 + step, t_max)
         ok_step = active & (t0 < t_max)
         x = o + d * (0.5 * (t0 + t1))[:, None]
+        # extinction at the step midpoint: the running optical depth
+        # integrates it piecewise (midpoint rule at the 2r marching step),
+        # which is EXACT for homogeneous/NL media and a consistent
+        # estimate for heterogeneous grids (the previous majorant bound
+        # over-attenuated dense-grid scenes)
+        _, _, st_mid = medium_mod.get_scattering_coefficients(
+            scene, meta, medium_idx, x, ok_step)
 
         def fold(inner, idx, okk):
             ppos = maps.vp_pos[idx]                   # (N, K, 3)
@@ -144,16 +151,21 @@ def estimate_beam(scene, meta, maps, o, d, t_max, wo, medium_idx, active,
                 -pdir.reshape(-1, 3), jnp.repeat(wo, K, axis=0),
                 jnp.ones((idx.size,), bool)).reshape(idx.shape)
             kern = m.sqr(1.0 - perp2 / rr2) / rr2 * m.InvPi * 3.0
-            # closed-form Tr to the closest approach: exact for
-            # homogeneous/NL media; heterogeneous media over-attenuate
-            # (majorant bound) — BRE is opt-in (use_bre, the reference
-            # ships it disabled, photonmapper.cpp:373); the gather-point
-            # path handles het media exactly via _medium_segment_tr
-            tr = jnp.exp(-t_p[..., None] * majorant[:, None, :])
+            # Tr to the closest approach: optical depth accumulated over
+            # completed steps plus the midpoint-extinction remainder
+            # inside this step (bre.h:150-160 samples Tr stochastically;
+            # here the 2r march doubles as the quadrature)
+            depth = tau[:, None, :] + jnp.maximum(
+                t_p - t0[:, None], 0.0)[..., None] * st_mid[:, None, :]
+            tr = jnp.exp(-depth)
             contrib = maps.vp_power[idx] * (pf * kern)[..., None] * tr
             return inner + jnp.where(sel[..., None], contrib, 0.0).sum(1)
 
-        return acc + hashgrid.fold_neighbors(
+        acc = acc + hashgrid.fold_neighbors(
             maps.vp_grid, x, ok_step, fold, jnp.zeros((N, 3)), max_per_cell)
+        dtau = jnp.where(ok_step[:, None], (t1 - t0)[:, None] * st_mid, 0.0)
+        return (tau + dtau, acc)
 
-    return jax.lax.fori_loop(0, n_steps, step_body, jnp.zeros((N, 3)))
+    _, acc = jax.lax.fori_loop(0, n_steps, step_body,
+                               (jnp.zeros((N, 3)), jnp.zeros((N, 3))))
+    return acc

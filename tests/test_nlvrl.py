@@ -370,6 +370,40 @@ def test_bre_per_photon_radii():
     assert abs(bre - gp) / gp < 0.35, (bre, gp)
 
 
+def test_bre_heterogeneous_transmittance():
+    """BRE through a HETEROGENEOUS grid: the marching loop integrates the
+    actual midpoint extinction into a running optical depth instead of the
+    majorant bound (which over-attenuates everywhere density < 1), so the
+    beam estimate agrees with the gather-point path, which ratio-tracks
+    the grid exactly (reference bre.h:150-160 samples Tr per photon)."""
+    from mitsuba_nlvrl_tpu.scene.vol_io import VolumeGrid
+
+    # strongly non-uniform density: the majorant bound would kill ~e^-2
+    # of the energy where the local density is ~0.1
+    zz, yy, xx = np.meshgrid(*[np.linspace(-1, 1, 12)] * 3, indexing='ij')
+    g = (0.1 + 0.9 * np.exp(-6.0 * (xx**2 + yy**2 + zz**2))) \
+        .astype(np.float32)
+    vg = VolumeGrid(data=g[..., None],
+                    bbox_min=np.float32([-0.95, -0.95, -0.95]),
+                    bbox_max=np.float32([0.95, 0.95, 0.95]))
+    med = {'type': 'heterogeneous',
+           'sigma_t': {'type': 'gridvolume', '_grid': vg},
+           'albedo': 0.9, 'scale': 2.5}
+    base = {'type': 'vrl', 'max_depth': 5, 'use_direct_illum': True,
+            'target_vrls': 256, 'samples_per_query': 1,
+            'min_vrl_length': 5.0,   # VRL off: isolate the direct term
+            'volume_lookup_radius_relative': 0.04, 'max_cam_iters': 6}
+    d1 = cornell_box(spp=4, res=12, integrator=dict(base), medium=med)
+    s1, m1 = build_scene(d1)
+    gp = np.asarray(render(s1, m1, spp=4, seed=3)).mean()
+    d2 = cornell_box(spp=4, res=12, integrator=dict(base, use_bre=True),
+                     medium=med)
+    s2, m2 = build_scene(d2)
+    bre = np.asarray(render(s2, m2, spp=4, seed=3)).mean()
+    assert bre > 0 and np.isfinite(bre)
+    assert abs(bre - gp) / gp < 0.35, (bre, gp)
+
+
 def test_vrl_heterogeneous_medium_matches_volpath():
     """VRL/photonmapper transport through a HETEROGENEOUS medium: the
     estimator's three transmittances (camera segment, VRL segment, link)
