@@ -252,6 +252,64 @@ def _polarize_weight(scene, meta, si, wo_loc, w_unpol, mode,
     return _to_world_mueller(si, weight, -wo_hat, wi_hat)
 
 
+def spectral_conductor_structure(scene, meta, si, wo_loc, lam, mode=RADIANCE,
+                                 null_lane=None):
+    """Per-hero-wavelength conductor Mueller structure for the
+    spectral_polarized variant.
+
+    The reference's spectral_polarized build evaluates
+    ``mueller::specular_reflection(cos, Complex(eta(lam), k(lam)))`` with
+    the tabulated complex IOR at the ray's wavelengths
+    (conductor.cpp:242-264 under is_spectral_v) — so both the Fresnel
+    MAGNITUDE and the polarization STRUCTURE (phase retardation entries
+    m22/m23/m32/m33) are per-wavelength. ``mueller_to_spectral`` only
+    corrects the magnitude; this returns the true normalized per-lambda
+    structure, in the same implicit world Stokes bases as ``eval_pol``.
+
+    Returns ``(use (N,), Mw (N, H, 4, 4))`` — Mw has m00 == 1 on `use`
+    lanes (rotator conjugation preserves m00) — or ``None`` when the scene
+    carries no tabulated conductor curves."""
+    if not getattr(meta, 'has_conductor_spd', False):
+        return None
+    types = meta.bsdf_types
+    if (BSDF_TYPES['conductor'] not in types
+            and BSDF_TYPES['roughconductor'] not in types):
+        return None
+    from ..core import spectral as sp
+    from ..ops.gather import take_many, take_rows
+    btype, flags, P = take_many(
+        [scene.bsdfs.type, scene.bsdfs.flags, scene.bsdfs.params],
+        si.bsdf_idx)
+    wi_loc, wo_l = _maybe_flip(flags, si.wi, wo_loc)
+    wo_hat = wo_l if mode == RADIANCE else wi_loc
+    wi_hat = wi_loc if mode == RADIANCE else wo_l
+    n_loc = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), wi_loc.shape)
+
+    is_rough = btype == BSDF_TYPES['roughconductor']
+    is_cond = (btype == BSDF_TYPES['conductor']) | is_rough
+    sid = P[:, 13].astype(jnp.int32) - 1
+    use = is_cond & (sid >= 0)
+    if null_lane is not None:
+        # masked-conductor pass-through lanes keep the identity Mueller
+        use = use & ~null_lane
+
+    H = _safe_dir(wi_loc + wo_l, n_loc)
+    axis = jnp.where(is_rough[:, None], H, n_loc)
+    cosm = jnp.where(is_rough, m.dot(wo_hat, H), fr.cos_theta(wo_hat))
+
+    C = scene.conductor_spd.shape[0]
+    K = scene.conductor_spd.shape[-1]
+    curves = take_rows(scene.conductor_spd.reshape(C, 2 * K),
+                       jnp.maximum(sid, 0)).reshape(-1, 2, K)
+    eta_l = sp.cie_table_eval(curves[:, 0, :], lam)   # (N, Hλ)
+    k_l = sp.cie_table_eval(curves[:, 1, :], lam)
+    Mc = _norm00(mu.specular_reflection_conductor(cosm, eta_l, k_l))
+    Mc = _rot_to_implicit(Mc, axis[:, None], wo_hat[:, None],
+                          wi_hat[:, None])
+    Mw = _to_world_mueller(si, Mc, -wo_hat, wi_hat)
+    return use, Mw
+
+
 def eval_pol(scene, meta, si, wo_loc, mode=RADIANCE):
     """Polarized f(wi, wo)*cos: (N, 3, 4, 4) world-frame Mueller whose
     (0, 0) entries reproduce ``bsdf.eval``."""

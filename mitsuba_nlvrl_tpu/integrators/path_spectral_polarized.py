@@ -14,11 +14,13 @@ polarization structure M/m00 is taken from the RGB band containing the
 wavelength (B < 490nm <= G < 580nm <= R). For achromatic Mueller
 structures — ideal polarizer/retarder/circular, dielectrics with scalar
 IOR, diffuse — the structure is channel-independent and the factorization
-is EXACT; only conductors' Fresnel phase is band-quantized. For named
-conductor materials with tabulated .spd IOR curves the Mueller MAGNITUDE
-is corrected per hero wavelength by the true F(lambda, cos_h)
-(bsdf.spectral_fresnel_ratio); the normalized polarization structure
-(phase retardation) still comes from the RGB band.
+is EXACT. For named conductor materials with tabulated .spd IOR curves
+both the Mueller MAGNITUDE (bsdf.spectral_fresnel_ratio) and the
+normalized polarization STRUCTURE (phase retardation;
+bsdf.polarized.spectral_conductor_structure) are evaluated per hero
+wavelength from the complex IOR eta(lambda) + i*k(lambda) — matching the
+reference's is_spectral_v conductor arm exactly. Only RGB-literal
+conductors (no tabulated curve) keep the band-quantized structure.
 """
 from __future__ import annotations
 
@@ -155,6 +157,14 @@ def sample_stokes_vec(scene, meta, sampler: Sampler, ray: Ray, active=None,
                                                  st.lam)
         if fr_nee is not None:
             M_nee = M_nee * fr_nee[..., None, None]
+        ov = bpol.spectral_conductor_structure(scene, meta, si, wo_local,
+                                               st.lam)
+        if ov is not None:
+            # true per-lambda conductor structure (phase retardation);
+            # keeps the magnitude m00 already corrected above
+            use, Mw = ov
+            M_nee = jnp.where(use[:, None, None, None],
+                              M_nee[..., 0:1, 0:1] * Mw, M_nee)
         b_pdf = bsdf_mod.pdf(scene, meta, si, wo_local)
         w_nee = jnp.where(ds.delta, 1.0, mis_weight(ds.pdf, b_pdf))
         em_weight_s = emitter_mod.spectral_radiance(scene, em_weight,
@@ -173,6 +183,12 @@ def sample_stokes_vec(scene, meta, sampler: Sampler, ray: Ray, active=None,
                                                st.lam)
         if fr_b is not None:
             M_ws = M_ws * fr_b[..., None, None]
+        ov_b = bpol.spectral_conductor_structure(scene, meta, si, bs.wo,
+                                                 st.lam, null_lane=bs.null)
+        if ov_b is not None:
+            use_b, Mw_b = ov_b
+            M_ws = jnp.where(use_b[:, None, None, None],
+                             M_ws[..., 0:1, 0:1] * Mw_b, M_ws)
         throughput = st.throughput @ M_ws
         eta = st.eta * bs.eta
         wo_world = si.to_world(bs.wo)

@@ -87,3 +87,94 @@ def test_s0_matches_spectral_path_on_diffuse():
     assert np.isfinite(img).all()
     rel = abs(img.mean() - ref.mean()) / ref.mean()
     assert rel < 0.05, (img.mean(), ref.mean())
+
+
+def test_conductor_structure_per_wavelength():
+    """Named conductors carry the TRUE per-hero-wavelength Mueller
+    STRUCTURE (phase retardation), not the RGB-band-quantized one
+    (reference: conductor.cpp:242-264 under is_spectral_v evaluates
+    mueller::specular_reflection with Complex(eta(lam), k(lam))).
+
+    The verification exploits a rotation invariant: every basis change in
+    the chain (plane-of-incidence alignment, world re-expression) is a
+    Mueller ROTATOR, which leaves row/column 3 untouched — so the
+    normalized m33 entry survives unchanged and can be compared against
+    the analytic c*cos(delta)/a from the tabulated complex IOR."""
+    import pytest
+    from mitsuba_nlvrl_tpu.bsdf import polarized as bpol
+    from mitsuba_nlvrl_tpu.core.ray import Ray
+    from mitsuba_nlvrl_tpu.ops import intersect as isect
+    from mitsuba_nlvrl_tpu.scene.ior_data import _find_spd, load_spd
+
+    if _find_spd('Au', 'eta') is None:
+        pytest.skip('no conductor .spd data available')
+    d = cornell_box(spp=4, res=4)
+    d['shapes'][0]['bsdf'] = {'type': 'conductor', 'material': 'Au'}
+    d['spectral'] = True
+    s, mt = build_scene(d)
+    assert mt.has_conductor_spd
+
+    # oblique ray onto the gold floor; wo = specular reflection of wi
+    ray = Ray.make(jnp.asarray([[0.0, 0.5, 0.0]]),
+                   jnp.asarray([[0.0, -1.0, 0.6]])
+                   / math.sqrt(1.0 + 0.36))
+    si = isect.ray_intersect(s, ray)
+    assert bool(si.valid[0])
+    wo_loc = si.wi * jnp.asarray([-1.0, -1.0, 1.0])
+    lam = jnp.asarray([[450.0, 520.0, 600.0, 650.0]])
+    out = bpol.spectral_conductor_structure(s, mt, si, wo_loc, lam)
+    assert out is not None
+    use, Mw = out
+    assert bool(use[0]), 'ray must land on the tabulated conductor'
+    Mw = np.asarray(Mw)[0]                       # (4, 4, 4) per lambda
+
+    # m00 stays exactly 1 through the rotator chain
+    assert np.abs(Mw[:, 0, 0] - 1.0).max() < 1e-5
+    assert np.abs(Mw[:, 0, 3]).max() < 1e-5
+    assert np.abs(Mw[:, 3, 0]).max() < 1e-5
+
+    # analytic normalized m33 from the .spd curves
+    we, ve = load_spd(_find_spd('Au', 'eta'))
+    wk, vk = load_spd(_find_spd('Au', 'k'))
+    lam_np = np.asarray(lam)[0]
+    eta = np.interp(lam_np, we, ve) + 1j * np.interp(lam_np, wk, vk)
+    ci = abs(float(si.wi[0, 2]))
+    st2 = (1.0 - ci * ci) / (eta * eta)
+    ct = np.sqrt(1.0 - st2)
+    a_s = (ci - eta * ct) / (ci + eta * ct)
+    a_p = (eta * ci - ct) / (eta * ci + ct)
+    r_s, r_p = np.abs(a_s) ** 2, np.abs(a_p) ** 2
+    a = 0.5 * (r_s + r_p)
+    c = np.sqrt(r_s * r_p)
+    cos_d = np.real(a_p * np.conj(a_s)) / np.abs(a_p * np.conj(a_s))
+    m33_true = c * cos_d / a
+    assert np.abs(Mw[:, 3, 3] - m33_true).max() < 2e-2, (Mw[:, 3, 3],
+                                                         m33_true)
+    # and the structure genuinely varies with wavelength (not quantized):
+    # gold's retardation differs measurably between 450nm and 650nm
+    assert abs(m33_true[0] - m33_true[-1]) > 0.01
+    assert abs(Mw[0, 3, 3] - Mw[-1, 3, 3]) > 0.5 * abs(
+        m33_true[0] - m33_true[-1])
+
+
+def test_spectral_polarized_gold_render_finite():
+    """End-to-end: the spectral_polarized variant with a tabulated
+    conductor in the scene renders finite Stokes output with S0 in the
+    same energy regime as the plain spectral render."""
+    d = cornell_box(spp=8, res=8)
+    d['shapes'][0]['bsdf'] = {'type': 'roughconductor', 'material': 'Au',
+                              'alpha': 0.3}
+    d['spectral'] = True
+    sv, mv = build_scene(d)
+    ref = np.asarray(render(sv, mv, spp=8, seed=3)).mean()
+
+    d2 = cornell_box(spp=8, res=8)
+    d2['shapes'][0]['bsdf'] = {'type': 'roughconductor', 'material': 'Au',
+                               'alpha': 0.3}
+    d2['spectral'] = True
+    d2['integrator'] = {'type': 'stokes', 'component': 0,
+                        'integrator': {'type': 'path', 'max_depth': 4}}
+    s0, m0 = build_scene(d2)
+    img = np.asarray(render(s0, m0, spp=8, seed=3))
+    assert np.isfinite(img).all()
+    assert 0.5 * ref < img.mean() < 2.0 * ref
