@@ -40,6 +40,19 @@ _DIFF_LEAVES = {
 def _set_leaf(scene: SceneData, key: str, value) -> SceneData:
     group, leaf = key.split('.', 1)
     sub = getattr(scene, group)
+    if key == 'media.grid_sigma_t':
+        # the density grid has derived copies (supervoxel majorants +
+        # corner-packed trilinear rows). Concrete updates (optimizer
+        # steps) refresh them; traced updates (inside jax.grad) can't —
+        # there the diff render path reads grid_sigma_t directly and the
+        # packed copy is dropped, while grid_sup stays a fixed bound
+        # (valid while densities stay below it).
+        if isinstance(value, jax.core.Tracer):
+            sub = sub._replace(grid_sigma_t=value, grid_sigma_p8=None)
+        else:
+            from .medium import with_sigma_grid
+            sub = with_sigma_grid(sub, value)
+        return scene._replace(media=sub)
     return scene._replace(**{group: sub._replace(**{leaf: value})})
 
 

@@ -4,19 +4,27 @@ TPU-native redesign of the reference ``volpath`` plugin
 (src/integrators/volpath.cpp): spectral-MIS delta tracking with a per-path
 hero channel (volpath.cpp:62-66), real/null event split (:123-133), NEE
 through media with ratio-tracking transmittance + null-BSDF pass-through
-(sample_emitter, :263-368), and the BSDF-arm MIS via a transmittance walk
-to the first non-null hit (evaluate_direct_light).
+(sample_emitter, :263-368).
 
-Performance structure (beyond the reference's wavefront):
-  * transmittance walks are two-level: an outer loop over *surface*
-    segments (few) and an inner, intersection-free collision loop for
-    heterogeneous media; optically-homogeneous media use the closed-form
-    Beer-Lambert factor with NO loop at all (the ratio-tracking estimator
-    telescopes exactly).
-  * the main bounce loop caches the SurfaceInteraction across null
-    collisions (the reference's needs_intersection bookkeeping,
-    volpath.cpp:107-115) and skips the whole scene intersection via
-    ``lax.cond`` when no lane needs one.
+Performance structure (beyond the reference's wavefront; these are what
+make hetvol-class scenes TPU-viable — the sequential collision loops are
+the entire wall time, scripts/profile_hetvol.py):
+  * ONE transmittance walk per bounce: a lane is at either a medium vertex
+    or a surface vertex, so medium-NEE and surface-NEE share the walk.
+  * NO evaluate_direct_light walk in the primal path: the reference's
+    per-bounce MIS transmittance walk (volpath.cpp:370-466) is replaced by
+    carried MIS state (prev_pdf/em_full/p_prev) — the sampled ray is
+    followed by the next bounce anyway, whose delta-tracking throughput
+    already estimates the same transmittance. Diff mode keeps the explicit
+    walk (trace_emission): the carried arm's Tr lives in a detached
+    discrete event and has no pathwise derivative.
+  * collision loops run in medium.sample_real_interaction /
+    medium.segment_tr with ONE corner-packed row-gather per iteration and
+    supervoxel empty-space skipping; optically-homogeneous media use the
+    closed-form Beer-Lambert factor with NO loop at all.
+  * the main bounce loop caches the SurfaceInteraction (the reference's
+    needs_intersection bookkeeping, volpath.cpp:107-115) and skips the
+    whole scene intersection via ``lax.cond`` when no lane needs one.
 """
 from __future__ import annotations
 
@@ -80,90 +88,11 @@ def _masked_intersect(scene, ray, si_cached, needs):
 def _medium_segment_tr(scene, meta, sampler, o, d, seg_len, medium_idx,
                        channel, active, diff: bool = False):
     """Spectral transmittance over one medium segment [0, seg_len] along
-    (o, d) — telescoped ratio-tracking estimator.
-
-    Homogeneous-like media (sigma_n == 0): exact closed form
-    exp(-(maj_vec - maj_ch) * L) ... == exp(-maj*L)/exp(-maj_ch*L) per the
-    hero-channel estimator; gray media give exactly Beer-Lambert ratios.
-    Heterogeneous media run an intersection-free collision loop.
-    """
-    N = o.shape[0]
-    majorant = medium_mod.get_majorant(scene, medium_idx)
-    mj = jnp.maximum(_index_spec(majorant, channel), 1e-30)
-    seg = jnp.maximum(jnp.where(jnp.isfinite(seg_len), seg_len, 0.0), 0.0)
-
-    # homogeneous-like media (sigma_n == 0): transmittance is EXACT
-    # Beer-Lambert (the reference's homoEvalTransmittance, medium.h:103-107)
-    # — zero variance, no sampling needed.
-    tr_homo = jnp.exp(-majorant * seg[:, None])
-
-    if not _has_hetero(meta):
-        return jnp.where(active[:, None], tr_homo, 1.0), sampler
-
-    midx = jnp.maximum(medium_idx, 0)
-    is_het = (scene.media.type[midx] == MEDIUM_TYPES['heterogeneous']) \
-        & active
-
-    # heterogeneous: collision loop (grid lookups only). Per-lane counter
-    # RNG keeps the loop free of the shared dimension counter.
-    key = jax.random.fold_in(sampler.key, sampler.dim)
-    sampler = sampler._replace(dim=sampler.dim + 1)
-
-    # supervoxel ratio tracking: collisions sampled against the LOCAL
-    # block majorant (empty blocks crossed in one free DDA step), factor
-    # sigma_n_loc / mj_loc per collision — reduces to the classic global
-    # walk when no supervoxel grid exists (_dda_init returns inf
-    # crossings and _block_majorant the global bound)
-    from ..core.ray import Ray as _Ray
-    bidx0, t_next0, t_delta = medium_mod._dda_init(
-        scene, meta, medium_idx, _Ray(o, d, jnp.zeros((N,)),
-                                      jnp.full((N,), jnp.inf)),
-        jnp.zeros((N,)))
-    sgn_d = jnp.sign(d).astype(jnp.int32)
-
-    def cond(carry):
-        act = carry[2]
-        it = carry[5]
-        return jnp.any(act) & (it < HET_COLLISION_ITERS)
-
-    def body(carry):
-        t, tr, act, bidx, t_next_ax, it, k = carry
-        k = jax.random.fold_in(k, it)
-        u = jax.random.uniform(k, (N,))
-        maj_loc, mj_loc = medium_mod._block_majorant(
-            scene, meta, medium_idx, bidx, channel)
-        mj_pos = mj_loc > 1e-20    # constant-fallback: see medium sampler
-        dt = -jnp.log1p(-jnp.clip(u, 0, m.OneMinusEpsilon)) \
-            / jnp.where(mj_pos, mj_loc, 1.0)
-        dt = jnp.where(mj_pos, dt, jnp.float32(3e38))
-        t_exit = jnp.min(t_next_ax, axis=-1)
-        t_stop = jnp.minimum(t_exit, seg)
-        boundary = act & (t + dt > t_stop)
-        col = act & ~boundary
-        p = o + d * (t + dt)[:, None]
-        _, _, sigma_t_v = medium_mod.get_scattering_coefficients(
-            scene, meta, medium_idx, p, col)
-        sigma_n_loc = jnp.maximum(maj_loc - sigma_t_v, 0.0)
-        tr = jnp.where(col[:, None],
-                       tr * sigma_n_loc
-                       * m.safe_rcp(mj_loc)[:, None], tr)
-        escaped = boundary & (t_stop >= seg)
-        crossed = boundary & ~escaped
-        step_ax = crossed[:, None] & (t_next_ax <= t_exit[:, None])
-        bidx = bidx + jnp.where(step_ax, sgn_d, 0)
-        t_next_ax = t_next_ax + jnp.where(step_ax, t_delta, 0.0)
-        t_new = jnp.where(col, t + dt, jnp.where(crossed, t_stop, t))
-        return (t_new, tr, col | crossed, bidx, t_next_ax, it + 1, k)
-
-    t0 = jnp.zeros((N,))
-    tr0 = jnp.ones((N, 3))
-    carry = (t0, tr0, is_het, bidx0, t_next0, jnp.int32(0), key)
-    _, tr_het, still, _, _, _, _ = _run_walk(
-        cond, body, carry, min(HET_COLLISION_ITERS, 192), diff)
-    tr_het = jnp.where(still[:, None], 0.0, tr_het)  # hit the cap
-
-    tr = jnp.where(is_het[:, None], tr_het, tr_homo)
-    return jnp.where(active[:, None], tr, 1.0), sampler
+    (o, d) — delegates to medium.segment_tr (exact Beer-Lambert for
+    optically homogeneous media; supervoxel ratio tracking with ONE
+    row-gather per collision for heterogeneous)."""
+    return medium_mod.segment_tr(scene, meta, sampler, o, d, seg_len,
+                                 medium_idx, channel, active, diff=diff)
 
 
 class WalkState(NamedTuple):
@@ -173,8 +102,6 @@ class WalkState(NamedTuple):
     total_dist: jnp.ndarray
     medium_idx: jnp.ndarray
     active: jnp.ndarray
-    emitted: jnp.ndarray
-    emitter_pdf: jnp.ndarray
     it: jnp.ndarray
 
 
@@ -189,7 +116,6 @@ def transmittance_to_point(scene, meta, sampler, p_ref, d, dist, medium_idx,
                    transmittance=jnp.ones((N, 3)),
                    total_dist=jnp.zeros((N,)),
                    medium_idx=medium_idx, active=active,
-                   emitted=jnp.zeros((N, 3)), emitter_pdf=jnp.zeros((N,)),
                    it=jnp.int32(0))
     first_mint = jnp.where(on_medium, 0.0, m.RayEpsilon)
 
@@ -228,8 +154,7 @@ def transmittance_to_point(scene, meta, sampler, p_ref, d, dist, medium_idx,
         return WalkState(
             sampler=smp, o=jnp.where(hit[:, None], si.p, st.o),
             transmittance=transmittance, total_dist=total_dist,
-            medium_idx=new_medium, active=alive,
-            emitted=st.emitted, emitter_pdf=st.emitter_pdf, it=st.it + 1)
+            medium_idx=new_medium, active=alive, it=st.it + 1)
 
     st = _run_walk(cond, body, st, SURFACE_WALK_ITERS, diff)
     tr_out = jnp.where(st.active[:, None], 0.0, st.transmittance)
@@ -240,46 +165,40 @@ def trace_emission(scene, meta, sampler, ray_in: Ray, medium_idx, p_ref,
                    channel, active, diff: bool = False):
     """Follow a sampled ray to the first emissive/non-null surface or the
     environment, accumulating transmittance (the reference
-    evaluate_direct_light, volpath.cpp:370-466).
+    evaluate_direct_light, volpath.cpp:370-466). Used by the DIFF bounce
+    loop only — the primal loop folds this arm into the next bounce via
+    carried MIS state (see sample()).
     Returns (emitted, emitter_pdf, sampler)."""
     N = p_ref.shape[0]
-    st = WalkState(sampler=sampler, o=ray_in.o,
-                   transmittance=jnp.ones((N, 3)),
-                   total_dist=jnp.zeros((N,)),
-                   medium_idx=medium_idx, active=active,
-                   emitted=jnp.zeros((N, 3)), emitter_pdf=jnp.zeros((N,)),
-                   it=jnp.int32(0))
     d = ray_in.d
+    st = (sampler, ray_in.o, jnp.ones((N, 3)), medium_idx, active,
+          jnp.zeros((N, 3)), jnp.zeros((N,)), jnp.int32(0))
 
     def cond(st):
-        return jnp.any(st.active) & (st.it < SURFACE_WALK_ITERS)
+        return jnp.any(st[4]) & (st[7] < SURFACE_WALK_ITERS)
 
     def body(st):
-        active = st.active
-        ray = Ray(st.o, d, jnp.full((N,), m.RayEpsilon),
+        smp, o, transmittance, med, active, emitted, emitter_pdf, it = st
+        ray = Ray(o, d, jnp.full((N,), m.RayEpsilon),
                   jnp.full((N,), jnp.inf))
         si = isect.ray_intersect(scene, ray)
         seg_end = jnp.where(si.valid, si.t, jnp.inf)
 
-        in_med = active & (st.medium_idx >= 0)
-        # escaped to env through a medium: unbounded segment -> tr 0 unless
-        # vacuum; clamp segment to scene bsphere diameter
+        in_med = active & (med >= 0)
         seg_for_tr = jnp.minimum(seg_end, 4.0 * scene.bsphere_r)
-        tr_seg, smp = _medium_segment_tr(scene, meta, st.sampler, st.o, d,
-                                         seg_for_tr, st.medium_idx, channel,
+        tr_seg, smp = _medium_segment_tr(scene, meta, smp, o, d,
+                                         seg_for_tr, med, channel,
                                          in_med, diff=diff)
-        smp = smp.count_rays(active)              # MIS-walk rays
-        transmittance = st.transmittance * tr_seg
+        smp = smp.count_rays(active)
+        transmittance = transmittance * tr_seg
 
-        # environment
         escaped = active & ~si.valid
         env = emitter_mod.eval_env(scene, meta, jnp.broadcast_to(d, (N, 3)),
                                    escaped)
-        emitted = st.emitted + transmittance * env
+        emitted = emitted + transmittance * env
         env_pdf = emitter_mod.pdf_env_direction(scene, meta, escaped, d)
-        emitter_pdf = jnp.where(escaped, env_pdf, st.emitter_pdf)
+        emitter_pdf = jnp.where(escaped, env_pdf, emitter_pdf)
 
-        # emissive surface
         hit = active & si.valid
         hit_em = hit & (si.emitter_idx >= 0)
         le = emitter_mod.eval_hit(scene, meta, si, hit_em)
@@ -287,24 +206,19 @@ def trace_emission(scene, meta, sampler, ray_in: Ray, medium_idx, p_ref,
         em_pdf = emitter_mod.pdf_direction(scene, meta, p_ref, si, hit_em)
         emitter_pdf = jnp.where(hit_em, em_pdf, emitter_pdf)
 
-        # continue only through non-emissive null surfaces
         flags = bsdf_mod.flags_of(scene, si)
         cont = hit & ((flags & F_NULL) > 0) & ~hit_em
         null_tr = bsdf_mod.eval_null_transmission(scene, meta, si)
         transmittance = jnp.where(cont[:, None], transmittance * null_tr,
                                   transmittance)
         new_medium = jnp.where(cont & si.is_medium_transition(),
-                               si.target_medium(d), st.medium_idx)
+                               si.target_medium(d), med)
         alive = cont & jnp.any(transmittance > 0, axis=-1)
-
-        return WalkState(
-            sampler=smp, o=jnp.where(cont[:, None], si.p, st.o),
-            transmittance=transmittance, total_dist=st.total_dist,
-            medium_idx=new_medium, active=alive,
-            emitted=emitted, emitter_pdf=emitter_pdf, it=st.it + 1)
+        return (smp, jnp.where(cont[:, None], si.p, o), transmittance,
+                new_medium, alive, emitted, emitter_pdf, it + 1)
 
     st = _run_walk(cond, body, st, SURFACE_WALK_ITERS, diff)
-    return st.emitted, st.emitter_pdf, st.sampler
+    return st[5], st[6], st[0]
 
 
 class VolpathState(NamedTuple):
@@ -316,15 +230,35 @@ class VolpathState(NamedTuple):
     depth: jnp.ndarray
     active: jnp.ndarray
     medium_idx: jnp.ndarray
-    specular_chain: jnp.ndarray
     channel: jnp.ndarray
     si: object                  # cached SurfaceInteraction
     needs_isect: jnp.ndarray
+    # carried MIS state for emitter hits along the current ray:
+    # em_full: hits count with weight 1 (camera ray / specular chain)
+    # prev_pdf: solid-angle pdf of the strategy that sampled ray.d
+    #           (0 => NEE-only at the previous vertex: hits count 0)
+    # p_prev:  the previous scattering vertex (MIS emitter-pdf ref point)
+    em_full: jnp.ndarray
+    prev_pdf: jnp.ndarray
+    p_prev: jnp.ndarray
     it: jnp.ndarray
 
 
 def sample(scene, meta, sampler: Sampler, ray: Ray, active=None,
            diff: bool = False, aux=None):
+    """Volumetric path tracing bounce loop.
+
+    Restructured vs the reference (volpath.cpp:82-262) for TPU wall time:
+    the reference's evaluate_direct_light walk (:370-466, a dedicated
+    ratio-tracking transmittance walk per BSDF/phase sample) is replaced
+    by CARRIED MIS state — the sampled ray is followed by the next bounce
+    iteration anyway, whose delta-tracking throughput already estimates
+    the same transmittance, so emitter hits are accumulated there with
+    mis_weight(prev_pdf, em_pdf). Likewise the medium-vertex NEE and
+    surface-vertex NEE (mutually exclusive per lane) share ONE
+    transmittance walk. Estimator differences are variance-only; the
+    expectation matches the reference term by term.
+    """
     N = ray.o.shape[0]
     if active is None:
         active = jnp.ones((N,), bool)
@@ -337,7 +271,7 @@ def sample(scene, meta, sampler: Sampler, ray: Ray, active=None,
     wavefront_cap = MAX_WAVEFRONT_ITERS
     # volpathmis (reference volpathmis.cpp): full MIS between phase
     # sampling and NEE at medium vertices; plain volpath uses NEE only
-    # (specular_chain gating) there.
+    # at medium vertices (phase-sampled emitter hits count 0 there).
     phase_mis = meta.integrator == 'volpathmis'
 
     u_ch, sampler = sampler.next_1d()
@@ -349,10 +283,11 @@ def sample(scene, meta, sampler: Sampler, ray: Ray, active=None,
         sampler=sampler, ray=ray,
         throughput=jnp.ones((N, 3)), result=jnp.zeros((N, 3)),
         eta=jnp.ones((N,)), depth=jnp.zeros((N,), jnp.int32),
-        active=active, medium_idx=cam_med,
-        specular_chain=jnp.ones((N,), bool), channel=channel,
+        active=active, medium_idx=cam_med, channel=channel,
         si=SurfaceInteraction.invalid((N,)),
-        needs_isect=jnp.ones((N,), bool), it=jnp.int32(0))
+        needs_isect=jnp.ones((N,), bool),
+        em_full=jnp.ones((N,), bool), prev_pdf=jnp.zeros((N,)),
+        p_prev=ray.o, it=jnp.int32(0))
 
     def cond(st):
         return jnp.any(st.active) & (st.it < wavefront_cap)
@@ -410,74 +345,78 @@ def sample(scene, meta, sampler: Sampler, ray: Ray, active=None,
             / jnp.maximum(_index_spec(mi.sigma_t, st.channel), 1e-30)[:, None],
             throughput)
 
-        # --- NEE from medium vertex ----------------------------------------
-        u_sel, smp = smp.next_1d()
-        u2, smp = smp.next_2d()
-        ds, em_weight = emitter_mod.sample_direction(
-            scene, meta, mi.p, u_sel, u2, act_real)
-        tr_nee, smp = transmittance_to_point(
-            scene, meta, smp, mi.p, ds.d, ds.dist, st.medium_idx, st.channel,
-            act_real & (ds.pdf > 0), jnp.ones((N,), bool), diff=diff)
-        phase_val = phase_mod.eval(scene, meta, st.medium_idx, mi.wi, ds.d,
-                                   act_real)
-        w_med_nee = mis_weight(ds.pdf, jnp.where(ds.delta, 0.0, phase_val)) \
-            if phase_mis else jnp.ones((N,))
-        result = result + jnp.where(
-            (act_real & (ds.pdf > 0))[:, None],
-            throughput * (phase_val * w_med_nee)[:, None] * tr_nee
-            * em_weight, 0.0)
-
-        # --- phase sampling -------------------------------------------------
-        u2p, smp = smp.next_2d()
-        wo_med, phase_pdf = phase_mod.sample(scene, meta, st.medium_idx,
-                                             mi.wi, u2p, act_real)
-        if phase_mis:
-            # MIS phase arm: follow the phase-sampled ray to emission
-            ph_ray = Ray(mi.p, wo_med, jnp.zeros((N,)),
-                         jnp.full((N,), jnp.inf))
-            ph_emitted, ph_em_pdf, smp = trace_emission(
-                scene, meta, smp, ph_ray, st.medium_idx, mi.p, st.channel,
-                act_real & (phase_pdf > 0), diff=diff)
-            result = result + jnp.where(
-                act_real[:, None],
-                mis_weight(phase_pdf, ph_em_pdf)[:, None] * throughput
-                * ph_emitted, 0.0)
-
-        # --- surface interactions ------------------------------------------
+        # --- emitter hits along the current ray (carried-MIS arm) -----------
+        # the throughput at this point includes the delta-tracking weight of
+        # the segment(s) behind us = an unbiased Tr estimate — exactly what
+        # the reference's evaluate_direct_light walk estimated separately
         active_surface = active_surface | escaped_medium
-        hit_em = active_surface & st.specular_chain & (si.emitter_idx >= 0) \
-            & si.valid
+        hit_em = active_surface & (si.emitter_idx >= 0) & si.valid
         le = emitter_mod.eval_hit(scene, meta, si, hit_em)
-        result = result + jnp.where(hit_em[:, None], throughput * le, 0.0)
-        esc = active_surface & st.specular_chain & ~si.valid
+        em_pdf = emitter_mod.pdf_direction(scene, meta, st.p_prev, si,
+                                           hit_em & ~st.em_full)
+        w_hit = jnp.where(st.em_full, 1.0,
+                          mis_weight(st.prev_pdf, em_pdf))
+        esc = active_surface & ~si.valid
+        env = emitter_mod.eval_env(scene, meta, st.ray.d, esc)
+        env_pdf = emitter_mod.pdf_env_direction(scene, meta,
+                                                esc & ~st.em_full, st.ray.d)
+        w_env = jnp.where(st.em_full, 1.0,
+                          mis_weight(st.prev_pdf, env_pdf))
+        if diff:
+            # diff mode keeps the reference-style estimator (round-2 code):
+            # emitter hits count only on specular chains; the MIS bsdf/phase
+            # arm is an explicit trace_emission walk below whose
+            # transmittance is differentiable (closed form for homogeneous
+            # media). The primal carried-MIS arm has no usable pathwise
+            # derivative: its Tr lives in the detached delta-tracking
+            # escape EVENT (probability), not in any attached weight.
+            w_hit = jnp.where(st.em_full, 1.0, 0.0)
+            w_env = jnp.where(st.em_full, 1.0, 0.0)
         result = result + jnp.where(
-            esc[:, None],
-            throughput * emitter_mod.eval_env(scene, meta, st.ray.d, esc),
-            0.0)
+            hit_em[:, None], throughput * le * w_hit[:, None], 0.0)
+        result = result + jnp.where(
+            esc[:, None], throughput * env * w_env[:, None], 0.0)
         active_surface = active_surface & si.valid
 
         flags = bsdf_mod.flags_of(scene, si)
         is_smooth = (flags & F_SMOOTH) > 0
-        # --- surface NEE ----------------------------------------------------
-        active_e = active_surface & is_smooth & (depth + 1 < max_depth)
-        u_sel2, smp = smp.next_1d()
-        u22, smp = smp.next_2d()
-        ds_s, em_weight_s = emitter_mod.sample_direction(
-            scene, meta, si.p, u_sel2, u22, active_e)
-        tr_nee_s, smp = transmittance_to_point(
-            scene, meta, smp, si.p, ds_s.d, ds_s.dist, st.medium_idx,
-            st.channel, active_e & (ds_s.pdf > 0), jnp.zeros((N,), bool),
-            diff=diff)
-        wo_l = si.to_local(ds_s.d)
+
+        # --- NEE (fused): medium vertices + smooth-surface vertices ---------
+        # a lane is at EITHER a medium vertex (act_real) or a surface vertex
+        # this iteration, so one transmittance walk serves both
+        active_es = active_surface & is_smooth & (depth + 1 < max_depth)
+        nee_act = act_real | active_es
+        p_ref = jnp.where(act_real[:, None], mi.p, si.p)
+        u_sel, smp = smp.next_1d()
+        u2, smp = smp.next_2d()
+        ds, em_weight = emitter_mod.sample_direction(
+            scene, meta, p_ref, u_sel, u2, nee_act)
+        tr_nee, smp = transmittance_to_point(
+            scene, meta, smp, p_ref, ds.d, ds.dist, st.medium_idx,
+            st.channel, nee_act & (ds.pdf > 0), act_real, diff=diff)
+        # medium arm: phase eval (NEE-only -> weight 1 unless volpathmis)
+        phase_val = phase_mod.eval(scene, meta, st.medium_idx, mi.wi, ds.d,
+                                   act_real)
+        w_med_nee = mis_weight(ds.pdf, jnp.where(ds.delta, 0.0, phase_val)) \
+            if phase_mis else jnp.ones((N,))
+        # surface arm: bsdf eval/pdf MIS
+        wo_l = si.to_local(ds.d)
         f_val = bsdf_mod.eval(scene, meta, si, wo_l)
         b_pdf = bsdf_mod.pdf(scene, meta, si, wo_l)
-        w_nee = mis_weight(ds_s.pdf, jnp.where(ds_s.delta, 0.0, b_pdf))
+        w_surf_nee = mis_weight(ds.pdf, jnp.where(ds.delta, 0.0, b_pdf))
+        contrib = jnp.where(act_real[:, None],
+                            (phase_val * w_med_nee)[:, None],
+                            f_val * w_surf_nee[:, None])
         result = result + jnp.where(
-            (active_e & (ds_s.pdf > 0))[:, None],
-            throughput * f_val * w_nee[:, None] * tr_nee_s * em_weight_s,
-            0.0)
+            (nee_act & (ds.pdf > 0))[:, None],
+            throughput * contrib * tr_nee * em_weight, 0.0)
 
-        # --- BSDF sampling --------------------------------------------------
+        # --- phase sampling --------------------------------------------------
+        u2p, smp = smp.next_2d()
+        wo_med, phase_pdf = phase_mod.sample(scene, meta, st.medium_idx,
+                                             mi.wi, u2p, act_real)
+
+        # --- BSDF sampling ---------------------------------------------------
         u1b, smp = smp.next_1d()
         u2b, smp = smp.next_2d()
         bs, b_weight = bsdf_mod.sample(scene, meta, si, u1b, u2b)
@@ -488,32 +427,51 @@ def sample(scene, meta, sampler: Sampler, ray: Ray, active=None,
 
         non_null = active_surface & ~bs.null
         depth = jnp.where(non_null, depth + 1, depth)
-        specular_chain = st.specular_chain
-        specular_chain = specular_chain | (non_null & bs.delta)
-        specular_chain = specular_chain & ~(active_surface & ~bs.delta
-                                            & ~bs.null)
-        specular_chain = jnp.where(act_real, False, specular_chain)
 
         new_medium = jnp.where(
             active_surface & si.is_medium_transition(),
             si.target_medium(wo_world), st.medium_idx)
 
-        # --- MIS bsdf arm ---------------------------------------------------
-        add_emitter = active_surface & ~bs.delta & ~bs.null \
-            & (depth < max_depth) & jnp.any(throughput > 0, axis=-1)
-        bsdf_ray = spawn_ray(si.p, wo_world)
-        emitted, em_pdf2, smp = trace_emission(
-            scene, meta, smp, bsdf_ray, new_medium, si.p, st.channel,
-            add_emitter, diff=diff)
-        result = result + jnp.where(
-            add_emitter[:, None],
-            mis_weight(bs.pdf, em_pdf2)[:, None] * throughput * emitted,
-            0.0)
+        if diff:
+            # diff mode: explicit MIS arms (round-2 / reference estimator,
+            # volpath.cpp:245-249). The walks' transmittances carry the
+            # attached d/d(sigma) the carried-MIS primal arm cannot.
+            if phase_mis:
+                ph_ray = Ray(mi.p, wo_med, jnp.zeros((N,)),
+                             jnp.full((N,), jnp.inf))
+                ph_emitted, ph_em_pdf, smp = trace_emission(
+                    scene, meta, smp, ph_ray, st.medium_idx, mi.p,
+                    st.channel, act_real & (phase_pdf > 0), diff=True)
+                result = result + jnp.where(
+                    act_real[:, None],
+                    mis_weight(phase_pdf, ph_em_pdf)[:, None] * throughput
+                    * ph_emitted, 0.0)
+            add_emitter = active_surface & ~bs.delta & ~bs.null \
+                & (depth < max_depth) & jnp.any(throughput > 0, axis=-1)
+            bsdf_ray = spawn_ray(si.p, wo_world)
+            emitted_d, em_pdf2, smp = trace_emission(
+                scene, meta, smp, bsdf_ray, new_medium, si.p, st.channel,
+                add_emitter, diff=True)
+            result = result + jnp.where(
+                add_emitter[:, None],
+                mis_weight(bs.pdf, em_pdf2)[:, None] * throughput
+                * emitted_d, 0.0)
+
+        # --- carried MIS state for the sampled continuation -----------------
+        # medium scatter: NEE-only (prev_pdf 0) unless volpathmis MIS
+        # smooth surface bounce: MIS with bs.pdf; delta bounce: full;
+        # null bounce: pass-through unchanged
+        smooth_b = active_surface & ~bs.delta & ~bs.null
+        delta_b = active_surface & bs.delta & ~bs.null
+        em_full = jnp.where(act_real | smooth_b, False,
+                            jnp.where(delta_b, True, st.em_full))
+        prev_pdf = jnp.where(
+            act_real, (phase_pdf if phase_mis else jnp.zeros((N,))),
+            jnp.where(smooth_b, bs.pdf, st.prev_pdf))
+        p_prev = jnp.where(act_real[:, None], mi.p,
+                           jnp.where(non_null[:, None], si.p, st.p_prev))
 
         # --- next ray + si cache update ------------------------------------
-        # (null collisions never reach this point anymore — the medium
-        # sampler resolves them — so only real scatters / surface bounces
-        # redirect the ray, and both invalidate the cached si)
         o_next = jnp.where(act_real[:, None], mi.p,
                            jnp.where(active_surface[:, None], si.p,
                                      st.ray.o))
@@ -533,8 +491,9 @@ def sample(scene, meta, sampler: Sampler, ray: Ray, active=None,
         return VolpathState(
             sampler=smp, ray=new_ray, throughput=throughput, result=result,
             eta=eta, depth=depth, active=alive, medium_idx=new_medium,
-            specular_chain=specular_chain, channel=st.channel,
-            si=si_next, needs_isect=needs_next, it=st.it + 1)
+            channel=st.channel, si=si_next, needs_isect=needs_next,
+            em_full=em_full, prev_pdf=prev_pdf, p_prev=p_prev,
+            it=st.it + 1)
 
     if diff:
         ck_body = jax.checkpoint(lambda s, _: (body(s), None))

@@ -62,6 +62,60 @@ def _grid_lookup(grid, bbox_lo, bbox_hi, p):
     return jnp.where(inside, val, 0.0)
 
 
+def _grid_lookup_packed(packed, shape, bbox_lo, bbox_hi, p):
+    """Trilinear lookup via the corner-packed grid (scene.grid_sigma_p8):
+    ONE row-gather of the 8 corners + a weighted reduce. ~8x cheaper than
+    the 8-element-gather form on TPU (scripts/bench_gather.py). Identical
+    result to _grid_lookup (both edge-clamp)."""
+    Dz, Dy, Dx = shape
+    rel = (p - bbox_lo) / jnp.maximum(bbox_hi - bbox_lo, 1e-30)
+    inside = jnp.all((rel >= 0.0) & (rel <= 1.0), axis=-1)
+    fx = jnp.clip(rel[..., 0] * Dx - 0.5, 0.0, Dx - 1.0)
+    fy = jnp.clip(rel[..., 1] * Dy - 0.5, 0.0, Dy - 1.0)
+    fz = jnp.clip(rel[..., 2] * Dz - 0.5, 0.0, Dz - 1.0)
+    x0 = jnp.clip(fx.astype(jnp.int32), 0, Dx - 1)
+    y0 = jnp.clip(fy.astype(jnp.int32), 0, Dy - 1)
+    z0 = jnp.clip(fz.astype(jnp.int32), 0, Dz - 1)
+    tx = (fx - x0)[..., None]
+    ty = (fy - y0)[..., None]
+    tz = (fz - z0)[..., None]
+    rows = packed[(z0 * Dy + y0) * Dx + x0]          # (..., 9)
+    k = jnp.arange(8)
+    wz = jnp.where((k >> 2) & 1, tz, 1.0 - tz)
+    wy = jnp.where((k >> 1) & 1, ty, 1.0 - ty)
+    wx = jnp.where(k & 1, tx, 1.0 - tx)
+    val = jnp.sum(rows[..., :8] * (wz * wy * wx), axis=-1)
+    return jnp.where(inside, val, 0.0)
+
+
+def _sigma_grid_eval(scene, lo, hi, p, diff=False):
+    """Density-grid eval: packed fast path unless differentiating (the
+    packed copy is derived at build time, so gradients must flow through
+    grid_sigma_t itself)."""
+    if scene.media.grid_sigma_p8 is not None and not diff:
+        return _grid_lookup_packed(scene.media.grid_sigma_p8,
+                                   scene.media.grid_sigma_t.shape, lo, hi, p)
+    return _grid_lookup(scene.media.grid_sigma_t, lo, hi, p)
+
+
+def with_sigma_grid(media, grid):
+    """Return ``media`` with a new density grid AND its derived arrays
+    (supervoxel majorants, corner-packed copy) refreshed. Use this instead
+    of ``media._replace(grid_sigma_t=...)`` — the derived copies would go
+    stale and the delta trackers would sample against wrong majorants."""
+    import numpy as np
+    from ..scene.builder import _supervoxel_max, _corner_pack, \
+        _PACK_MAX_VOXELS
+    g = np.asarray(grid, np.float32)
+    sup = _supervoxel_max(g) if g.size > 1 else None
+    return media._replace(
+        grid_sigma_t=jnp.asarray(g),
+        grid_sup=(jnp.asarray(sup) if sup is not None
+                  else jnp.ones((1, 1, 1), jnp.float32)),
+        grid_sigma_p8=(jnp.asarray(_corner_pack(g, sup))
+                       if 1 < g.size <= _PACK_MAX_VOXELS else None))
+
+
 def medium_bbox(scene, medium_idx):
     from ..ops.gather import take_rows
     midx = jnp.maximum(medium_idx, 0)
@@ -197,7 +251,8 @@ def get_majorant(scene, medium_idx):
     return take_rows(scene.media.params, midx)[:, M_MAJORANT:M_MAJORANT + 3]
 
 
-def get_scattering_coefficients(scene, meta, medium_idx, p, active):
+def get_scattering_coefficients(scene, meta, medium_idx, p, active,
+                                diff: bool = False):
     """(sigma_s, sigma_n, sigma_t) at world point p, per lane.
 
     Mirrors get_scattering_coefficients of homogeneous.cpp:49 /
@@ -213,7 +268,7 @@ def get_scattering_coefficients(scene, meta, medium_idx, p, active):
     if MT_HETEROGENEOUS in meta.medium_types and \
             scene.media.grid_sigma_t.size > 1:
         lo, hi = medium_bbox(scene, medium_idx)
-        dens = _grid_lookup(scene.media.grid_sigma_t, lo, hi, p)
+        dens = _sigma_grid_eval(scene, lo, hi, p, diff)
         het_sigma_t = sigma_t * dens[:, None]
         is_het = (mtype == MT_HETEROGENEOUS)[:, None]
         sigma_t = jnp.where(is_het, het_sigma_t, sigma_t)
@@ -287,23 +342,248 @@ def is_homogeneous_like(scene, meta, medium_idx):
     return (mtype == MT_HOMOGENEOUS) | (mtype == MT_NONLINEAR)
 
 
+def _medium_facts(scene, medium_idx):
+    """Loop-invariant per-lane medium facts for the majorant walks:
+    (sigma_t_unit (N,3) = sigma_t*scale per unit density, albedo (N,3),
+    lo (N,3), hi (N,3), is_het (N,))."""
+    from ..ops.gather import take_many
+    midx = jnp.maximum(medium_idx, 0)
+    P, mtype = take_many([scene.media.params, scene.media.type], midx)
+    sigma_unit = P[:, M_SIGMA_T:M_SIGMA_T + 3] * P[:, M_SCALE:M_SCALE + 1]
+    albedo = P[:, M_ALBEDO:M_ALBEDO + 3]
+    lo = P[:, M_BBOX_MIN:M_BBOX_MIN + 3]
+    hi = P[:, M_BBOX_MAX:M_BBOX_MAX + 3]
+    return sigma_unit, albedo, lo, hi, mtype == MT_HETEROGENEOUS
+
+
+def _row_eval(scene, meta, medium_idx, lo, hi, p, diff=False):
+    """(density, block_majorant_raw) at world point p in ONE row-gather
+    (corner-packed grid, slot 8 = dilated supervoxel block max of the
+    point's block). Fallback (no packed copy / diff mode): trilinear
+    lookup + position-addressed supervoxel gather. Both are 0 outside the
+    grid bbox."""
+    packed = scene.media.grid_sigma_p8
+    if packed is not None and not diff:
+        Dz, Dy, Dx = scene.media.grid_sigma_t.shape
+        rel = (p - lo) / jnp.maximum(hi - lo, 1e-30)
+        inside = jnp.all((rel >= 0.0) & (rel <= 1.0), axis=-1)
+        fx = jnp.clip(rel[..., 0] * Dx - 0.5, 0.0, Dx - 1.0)
+        fy = jnp.clip(rel[..., 1] * Dy - 0.5, 0.0, Dy - 1.0)
+        fz = jnp.clip(rel[..., 2] * Dz - 0.5, 0.0, Dz - 1.0)
+        x0 = jnp.clip(fx.astype(jnp.int32), 0, Dx - 1)
+        y0 = jnp.clip(fy.astype(jnp.int32), 0, Dy - 1)
+        z0 = jnp.clip(fz.astype(jnp.int32), 0, Dz - 1)
+        tx = (fx - x0)[..., None]
+        ty = (fy - y0)[..., None]
+        tz = (fz - z0)[..., None]
+        rows = packed[(z0 * Dy + y0) * Dx + x0]          # (N, 9)
+        k = jnp.arange(8)
+        w = (jnp.where((k >> 2) & 1, tz, 1.0 - tz)
+             * jnp.where((k >> 1) & 1, ty, 1.0 - ty)
+             * jnp.where(k & 1, tx, 1.0 - tx))
+        dens = jnp.sum(rows[..., :8] * w, axis=-1)
+        bmaj = rows[..., 8]
+        return (jnp.where(inside, dens, 0.0),
+                jnp.where(inside, bmaj, 0.0), True)
+    dens = _sigma_grid_eval(scene, lo, hi, p, diff)
+    sup = scene.media.grid_sup
+    if sup is not None and (sup.size > 1 or
+                            scene.media.grid_sigma_t.size > 1):
+        rel = (p - lo) / jnp.maximum(hi - lo, 1e-30)
+        inside = jnp.all((rel >= 0.0) & (rel <= 1.0), axis=-1)
+        if sup.size > 1:
+            Sz, Sy, Sx = sup.shape
+            bidx = block_index_of(scene, meta, medium_idx, p)
+            bmaj = sup[jnp.clip(bidx[:, 2], 0, Sz - 1),
+                       jnp.clip(bidx[:, 1], 0, Sy - 1),
+                       jnp.clip(bidx[:, 0], 0, Sx - 1)]
+        else:
+            # degenerate 1-block supervoxel grid (tiny density grids)
+            bmaj = jnp.broadcast_to(sup.ravel()[0], p.shape[:-1])
+        return dens, jnp.where(inside, bmaj, 0.0), True
+    # no usable block bound: caller falls back to the global majorant
+    return dens, jnp.zeros(p.shape[:-1]), False
+
+
+def _majorant_walk(scene, meta, ray: Ray, key, channel, medium_idx,
+                   mint, maxt, walking, track: bool,
+                   max_steps: int, diff: bool):
+    """Shared null-collision walk over [mint, maxt] against supervoxel-
+    local majorants (empty-space skipping) with ONE row-gather per
+    iteration: the gather point is the collision point (collision
+    iterations) or the MIDPOINT of the next DDA interval (crossing
+    iterations) — the midpoint addresses the new block exactly, so the
+    local majorant needs no separate supervoxel gather and no carried
+    block-index/face-roundoff bookkeeping for addressing (the DDA still
+    supplies exact interval endpoints).
+
+    track=False (transmittance, volpath.cpp:275-368 ratio tracking):
+      every collision is null: w *= sigma_n_loc / mj_loc.
+    track=True (delta tracking to the next REAL collision):
+      real with prob sigma_t_ch/mj_loc; null: w *= sigma_n*mj_loc/sn_ch;
+      collision step also w *= exp(-dt*(maj_vec-mj))/mj_loc (hero-channel
+      telescoping; the caller applies the real-event sigma_s factor).
+
+    Returns (t, w, found, dens_col, maj_vec_col, still_walking).
+    """
+    N = ray.o.shape[0]
+    sigma_unit, albedo, lo, hi, is_het = _medium_facts(scene, medium_idx)
+    majorant = get_majorant(scene, medium_idx)              # (N,3) global
+    sgn_d = jnp.sign(ray.d).astype(jnp.int32)
+    bidx0, t_next0, t_delta = _dda_init(scene, meta, medium_idx, ray, mint)
+
+    def local_maj(dens_b, bmaj_ok):
+        """(maj_vec, mj_hero) from a raw block-max density; without a
+        usable block bound het lanes use the global majorant."""
+        if not bmaj_ok:
+            return majorant, _ch(majorant, channel)
+        mv = jnp.where(is_het[:, None], sigma_unit * dens_b[:, None],
+                       majorant)
+        return mv, _ch(mv, channel)
+
+    # initial interval [mint, min(exit, maxt)]: probe its midpoint
+    t_exit0 = jnp.min(t_next0, axis=-1)
+    mid0 = 0.5 * (mint + jnp.minimum(t_exit0, maxt))
+    _, bmaj0, bok0 = _row_eval(scene, meta, medium_idx, lo, hi,
+                               ray.at(mid0), diff)
+    maj_vec0, _ = local_maj(bmaj0, bok0)
+
+    def cond(carry):
+        return jnp.any(carry[2]) & (carry[7] < max_steps)
+
+    def body(carry):
+        t, w, walking, found, maj_vec, dens_col, t_next_ax, it, k = carry
+        k1 = jax.random.fold_in(k, it)
+        u = jax.random.uniform(k1, (N, 2))
+        mj_loc = _ch(maj_vec, channel)
+        mj_pos = mj_loc > 1e-20
+        # empty blocks (mj 0) step to the boundary in one free move; the
+        # constant (not 1/mj) form keeps reverse-mode NaN-free
+        dt = -jnp.log1p(-jnp.clip(u[:, 0], 0.0, m.OneMinusEpsilon)) \
+            / jnp.where(mj_pos, mj_loc, 1.0)
+        dt = jnp.where(mj_pos, dt, jnp.float32(3e38))
+        t_exit = jnp.min(t_next_ax, axis=-1)
+        t_stop = jnp.minimum(t_exit, maxt)
+        boundary = walking & (t + dt > t_stop)
+        col = walking & ~boundary
+        # hero-channel telescoped exponential ratio over the step
+        seg = jnp.maximum(jnp.where(col, dt, t_stop - t), 0.0)
+        ratio = jnp.exp(-seg[:, None] * (maj_vec - mj_loc[:, None]))
+        if track:
+            w = jnp.where(walking[:, None],
+                          w * ratio
+                          / jnp.where(col, jnp.maximum(mj_loc, 1e-30),
+                                      1.0)[:, None], w)
+        else:
+            w = jnp.where(walking[:, None], w * ratio, w)
+        t_new = jnp.where(col, t + dt, jnp.where(boundary, t_stop, t))
+        # DDA step for boundary crossings
+        escaped = boundary & (t_stop >= maxt)
+        crossed = boundary & ~escaped
+        step_ax = crossed[:, None] & (t_next_ax <= t_exit[:, None])
+        t_next_new = t_next_ax + jnp.where(step_ax, t_delta, 0.0)
+        # the ONE gather: collision point, or next-interval midpoint
+        t_exit_new = jnp.min(t_next_new, axis=-1)
+        probe_t = jnp.where(
+            col, t_new, 0.5 * (t_stop + jnp.minimum(t_exit_new, maxt)))
+        dens, bmaj, bok = _row_eval(scene, meta, medium_idx, lo, hi,
+                                    ray.at(jnp.where(walking, probe_t,
+                                                     0.0)),
+                                    diff)
+        # collision: classify against sigma at the collision point
+        sigma_t_v = jnp.where(is_het[:, None], sigma_unit * dens[:, None],
+                              sigma_unit)
+        sigma_n_loc = jnp.maximum(maj_vec - sigma_t_v, 0.0)
+        if track:
+            st_ch = _ch(sigma_t_v, channel)
+            sn_ch = _ch(sigma_n_loc, channel)
+            p_real = st_ch / jnp.maximum(mj_loc, 1e-30)
+            real = col & (u[:, 1] < p_real)
+            null = col & ~real
+            # safe_div: the VJP of x/max(y,eps) overflows f32 at y=1e-30
+            w = jnp.where(null[:, None],
+                          w * sigma_n_loc
+                          * m.safe_div(mj_loc, sn_ch)[:, None], w)
+            found = found | real
+            dens_col = jnp.where(real, dens, dens_col)
+            walking_next = null | crossed
+        else:
+            w = jnp.where(col[:, None],
+                          w * sigma_n_loc
+                          * m.safe_rcp(jnp.maximum(mj_loc, 1e-30))[:, None],
+                          w)
+            walking_next = col | crossed
+        # crossing lanes adopt the new block's majorant (midpoint probe);
+        # collision lanes keep theirs (same block)
+        maj_new, _ = local_maj(bmaj, bok)
+        maj_vec = jnp.where((crossed & is_het)[:, None], maj_new, maj_vec)
+        return (t_new, w, walking_next, found, maj_vec, dens_col,
+                t_next_new, it + 1, k)
+
+    t0 = jnp.where(walking, mint, 0.0)
+    carry = (t0, jnp.ones((N, 3)), walking, jnp.zeros((N,), bool),
+             maj_vec0, jnp.zeros((N,)), t_next0, jnp.int32(0), key)
+    if diff:
+        # reverse-mode cannot differentiate while_loop: bounded
+        # checkpointed scan (the body is fully masked, extra trips are
+        # identity)
+        ck = jax.checkpoint(lambda c, _: (body(c), None))
+        carry, _ = jax.lax.scan(ck, carry, None,
+                                length=min(max_steps, 192))
+    else:
+        carry = jax.lax.while_loop(cond, body, carry)
+    t, w, still, found, maj_vec_f, dens_col = carry[:6]
+    return t, w, found, dens_col, maj_vec_f, still
+
+
+def segment_tr(scene, meta, sampler, o, d, seg_len, medium_idx, channel,
+               active, diff: bool = False):
+    """Spectral transmittance over one medium segment [0, seg_len] along
+    (o, d): exact Beer-Lambert for optically homogeneous media, supervoxel
+    ratio tracking for heterogeneous (reference evalTransmittance loop,
+    medium.h:109-155). Returns (tr (N,3), sampler)."""
+    N = o.shape[0]
+    majorant = get_majorant(scene, medium_idx)
+    seg = jnp.maximum(jnp.where(jnp.isfinite(seg_len), seg_len, 0.0), 0.0)
+    tr_homo = jnp.exp(-majorant * seg[:, None])
+    if MEDIUM_TYPES['heterogeneous'] not in meta.medium_types:
+        return jnp.where(active[:, None], tr_homo, 1.0), sampler
+
+    midx = jnp.maximum(medium_idx, 0)
+    is_het = (scene.media.type[midx] == MT_HETEROGENEOUS) & active
+
+    key = jax.random.fold_in(sampler.key, sampler.dim)
+    sampler = sampler._replace(dim=sampler.dim + 1)
+    ray = Ray(o, d, jnp.zeros((N,)), jnp.full((N,), jnp.inf))
+    # clip to the grid bbox: density (hence extinction) is zero outside,
+    # and the in-walk midpoint probes must land INSIDE the bbox
+    hit_bb, near, far = intersect_aabb(scene, meta, medium_idx, ray)
+    mint = jnp.clip(near, 0.0, seg)
+    maxt = jnp.clip(far, 0.0, seg)
+    walking = is_het & hit_bb & (maxt > mint)
+    _, tr_het, _, _, _, still = _majorant_walk(
+        scene, meta, ray, key, channel, medium_idx,
+        mint, maxt, walking, track=False, max_steps=1024,
+        diff=diff)
+    tr_het = jnp.where(still[:, None], 0.0, tr_het)  # hit the cap
+    tr = jnp.where(is_het[:, None], tr_het, tr_homo)
+    return jnp.where(active[:, None], tr, 1.0), sampler
+
+
 def sample_real_interaction(scene, meta, ray: Ray, sampler, channel,
                             medium_idx, active, max_steps: int = 4096,
                             diff: bool = False
                             ) -> Tuple[MediumInteraction, jnp.ndarray, object]:
     """Delta tracking to the next REAL collision, null collisions resolved
-    in an internal loop.
+    in an internal loop (shared _majorant_walk).
 
     The reference samples ONE majorant event per Medium::sample_interaction
     call (librender/medium.cpp:39-74) and lets the integrator's bounce loop
     iterate the null collisions (volpath.cpp:123-133) — fine for scalar
     CPU, but on the TPU wavefront every outer iteration drags ALL lanes
     through the NEE / phase-sampling / emitter machinery while null lanes
-    only need a grid lookup. Here the null walk runs as a cheap inner
-    ``while_loop`` (exponential step + trilinear sigma_t lookup per step)
-    and the telescoped per-channel weight is returned. The factors are
-    IDENTICAL to the outer-loop formulation, so the estimator (and its
-    variance) is unchanged:
+    only need a grid lookup. The factors are IDENTICAL to the outer-loop
+    formulation, so the estimator (and its variance) is unchanged:
 
       collision step:  w *= exp(-dt*maj) / (exp(-dt*maj_ch) * maj_ch)
       null event:      w *= sigma_n * maj_ch / sigma_n_ch   (then continue)
@@ -326,90 +606,11 @@ def sample_real_interaction(scene, meta, ray: Ray, sampler, channel,
 
     key = jax.random.fold_in(sampler.key, sampler.dim)
     sampler = sampler._replace(dim=sampler.dim + 1)
-    sgn_d = jnp.sign(ray.d).astype(jnp.int32)
-    bidx0, t_next0, t_delta = _dda_init(scene, meta, medium_idx, ray, mint)
 
-    def cond(carry):
-        walking = carry[2]
-        it = carry[6]
-        return jnp.any(walking) & (it < max_steps)
+    t, w, found, dens_col, maj_col, still = _majorant_walk(
+        scene, meta, ray, key, channel, medium_idx, mint, maxt, walking,
+        track=True, max_steps=max_steps, diff=diff)
 
-    def body(carry):
-        t, w, walking, found, bidx, t_next_ax, it, k = carry
-        k1 = jax.random.fold_in(k, it)
-        u = jax.random.uniform(k1, (N, 2))
-        # supervoxel-local majorant (empty-space skipping): mj_loc == 0
-        # makes dt huge, so empty blocks fall into the boundary branch and
-        # are crossed in ONE free step
-        maj_loc, mj_loc = _block_majorant(scene, meta, medium_idx, bidx,
-                                          channel)
-        # empty blocks must step to the boundary: dt "infinite" via a
-        # CONSTANT (a 1/mj_loc form leaks NaN into reverse-mode as
-        # 0 * d(1/mj)/dp with mj -> 0)
-        mj_pos = mj_loc > 1e-20
-        dt = -jnp.log1p(-jnp.clip(u[:, 0], 0.0, m.OneMinusEpsilon)) \
-            / jnp.where(mj_pos, mj_loc, 1.0)
-        dt = jnp.where(mj_pos, dt, jnp.float32(3e38))
-        t_exit = jnp.min(t_next_ax, axis=-1)    # absolute block-exit t
-        t_stop = jnp.minimum(t_exit, maxt)
-        boundary = walking & (t + dt > t_stop)
-        col = walking & ~boundary
-        # telescoped segment factor to the event point (vector/scalar
-        # exponential ratio against the LOCAL majorant; the collision
-        # event additionally divides by its sampling density mj_loc)
-        seg = jnp.maximum(jnp.where(col, dt, t_stop - t), 0.0)
-        ratio = jnp.exp(-seg[:, None] * (maj_loc - mj_loc[:, None]))
-        w = jnp.where(walking[:, None],
-                      w * ratio / jnp.where(col, jnp.maximum(mj_loc, 1e-30),
-                                            1.0)[:, None], w)
-        # advance ONLY walking lanes (finished lanes must hold their
-        # collision t — it addresses the sigma lookups after the loop)
-        t_new = jnp.where(col, t + dt, jnp.where(boundary, t_stop, t))
-        p = ray.at(jnp.where(col, t_new, 0.0))
-        _, _, sigma_t = get_scattering_coefficients(
-            scene, meta, medium_idx, p, col)
-        sigma_n_loc = jnp.maximum(maj_loc - sigma_t, 0.0)
-        st_ch = _ch(sigma_t, channel)
-        sn_ch = _ch(sigma_n_loc, channel)
-        p_real = st_ch / jnp.maximum(mj_loc, 1e-30)
-        real = col & (u[:, 1] < p_real)
-        null = col & ~real
-        # safe_div, not maximum(sn_ch, eps): the division's VJP forms
-        # -x/y^2 BEFORE the clamp masks it, and y=1e-30 overflows f32 to
-        # inf -> masked inf*0 = NaN poisoning every medium-param gradient
-        w = jnp.where(null[:, None],
-                      w * sigma_n_loc
-                      * m.safe_div(mj_loc, sn_ch)[:, None], w)
-        found = found | real
-        escaped = boundary & (t_stop >= maxt)
-        # incremental 3D-DDA: block-face crossings step the carried index
-        # and push that axis' next-crossing t one cell ahead — geometry is
-        # never re-derived from p, so face roundoff cannot skip or repeat
-        # a block
-        crossed = (boundary & ~escaped)
-        step_ax = crossed[:, None] & (t_next_ax <= t_exit[:, None])
-        bidx = bidx + jnp.where(step_ax, sgn_d, 0)
-        t_next_ax = t_next_ax + jnp.where(step_ax, t_delta, 0.0)
-        walking_next = null | crossed
-        return (t_new, w, walking_next, found, bidx, t_next_ax, it + 1, k)
-
-    t0 = jnp.where(walking, mint, 0.0)
-    carry = (t0, jnp.ones((N, 3)), walking, jnp.zeros((N,), bool),
-             bidx0, t_next0, jnp.int32(0), key)
-    if diff:
-        # reverse-mode cannot differentiate while_loop: bounded
-        # checkpointed scan (the body is fully masked, extra trips are
-        # identity)
-        # reverse-mode cannot differentiate while_loop: bounded
-        # checkpointed scan (the body is fully masked, extra trips are
-        # identity)
-        ck = jax.checkpoint(lambda c, _: (body(c), None))
-        carry, _ = jax.lax.scan(ck, carry, None,
-                                length=min(max_steps, 192))
-        t, w, still, found, bidx_f = carry[:5]
-    else:
-        t, w, still, found, bidx_f, _, _, _ = jax.lax.while_loop(
-            cond, body, carry)
     # zero-hero-majorant lanes never walk: they escape the whole segment
     # with the exact Beer-Lambert ratio of the OTHER channels
     never = act & ~walking
@@ -421,17 +622,19 @@ def sample_real_interaction(scene, meta, ray: Ray, sampler, channel,
                   jnp.exp(-seg_n[:, None]
                           * (majorant - mj_glob[:, None])), w)
 
+    # sigma at the real-collision point: from the walk's carried density
+    # (one gather already paid inside the loop)
+    sigma_unit, albedo, _, _, is_het = _medium_facts(scene, medium_idx)
+    sigma_t = jnp.where(is_het[:, None], sigma_unit * dens_col[:, None],
+                        sigma_unit)
+    z = ~found[:, None]
+    sigma_t = jnp.where(z, 0.0, sigma_t)
     p = ray.at(jnp.where(found, t, 0.0))
-    sigma_s, sigma_n, sigma_t = get_scattering_coefficients(
-        scene, meta, medium_idx, p, found)
-    # the real-collision factor in the caller divides by the majorant the
-    # distance was actually sampled against — the LOCAL one, addressed by
-    # the carried block index (frozen when the lane stopped)
-    maj_col, _ = _block_majorant(scene, meta, medium_idx, bidx_f, channel)
     mi = MediumInteraction(
         valid=found, t=jnp.where(found, t, jnp.inf), p=p, wi=-ray.d,
-        medium_idx=medium_idx, sigma_s=sigma_s,
-        sigma_n=jnp.maximum(maj_col - sigma_t, 0.0), sigma_t=sigma_t,
+        medium_idx=medium_idx, sigma_s=jnp.where(z, 0.0, sigma_t * albedo),
+        sigma_n=jnp.where(z, 0.0, jnp.maximum(maj_col - sigma_t, 0.0)),
+        sigma_t=sigma_t,
         combined_extinction=jnp.where(found[:, None], maj_col, majorant))
     w = jnp.where(act[:, None], w, 1.0)
     return mi, w, sampler

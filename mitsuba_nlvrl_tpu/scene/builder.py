@@ -161,6 +161,41 @@ def _load_shape_mesh(sh: dict) -> Optional[MeshData]:
 _NULL_BSDF = {'type': 'null'}
 
 
+# duplicate the density grid 8x only up to this size (4M voxels -> 128MB)
+_PACK_MAX_VOXELS = 1 << 22
+
+
+def _corner_pack(grid: np.ndarray, sup: np.ndarray = None,
+                 sup_k: int = 8) -> np.ndarray:
+    """Corner-packed grid: row (z*Dy+y)*Dx+x holds the 8 trilinear corners
+    of voxel (z,y,x), order dz*4+dy*2+dx, edge-clamped, PLUS (slot 8) the
+    dilated supervoxel block-max of the voxel's block. One TPU row-gather
+    then fetches a full trilinear footprint AND the local majorant of the
+    block the point lies in (~8x cheaper than 8 element gathers + a sup
+    gather, scripts/bench_gather.py)."""
+    Dz, Dy, Dx = grid.shape
+    zi = np.minimum(np.arange(Dz) + 1, Dz - 1)
+    yi = np.minimum(np.arange(Dy) + 1, Dy - 1)
+    xi = np.minimum(np.arange(Dx) + 1, Dx - 1)
+    out = np.empty((Dz, Dy, Dx, 9), np.float32)
+    for k in range(8):
+        dz, dy, dx = (k >> 2) & 1, (k >> 1) & 1, k & 1
+        g = grid
+        if dz:
+            g = g[zi]
+        if dy:
+            g = g[:, yi]
+        if dx:
+            g = g[:, :, xi]
+        out[..., k] = g
+    if sup is None:
+        sup = _supervoxel_max(grid, sup_k)
+    # broadcast each block's majorant over its voxels
+    out[..., 8] = sup[np.arange(Dz) // sup_k][:, np.arange(Dy) // sup_k
+                                              ][:, :, np.arange(Dx) // sup_k]
+    return out.reshape(-1, 9)
+
+
 def _supervoxel_max(grid: np.ndarray, k: int = 8) -> np.ndarray:
     """Block-max density over k^3 supervoxels, DILATED by one voxel on
     every side so any trilinear tap whose footprint straddles a block
@@ -795,17 +830,20 @@ class SceneBuilder:
             spec_table=jnp.asarray(np.stack(spd_rows) if spd_rows
                                    else np.zeros((1, 95), np.float32)))
 
+        _sup = (_supervoxel_max(grid_sigma) if grid_sigma.size > 1
+                else np.ones((1, 1, 1), np.float32))
         media_t = MediumTable(
             type=jnp.asarray(med_type), phase_type=jnp.asarray(med_phase),
             params=jnp.asarray(med_params),
             grid_sigma_t=jnp.asarray(grid_sigma),
-            grid_sup=jnp.asarray(_supervoxel_max(grid_sigma)
-                                 if grid_sigma.size > 1
-                                 else np.ones((1, 1, 1), np.float32)),
+            grid_sup=jnp.asarray(_sup),
             grid_albedo=jnp.asarray(grid_albedo),
             grid_medium=jnp.asarray(grid_medium, jnp.int32),
             nl_ior=jnp.asarray(nl_ior),
-            nl_medium=jnp.asarray(nl_medium, jnp.int32))
+            nl_medium=jnp.asarray(nl_medium, jnp.int32),
+            grid_sigma_p8=(jnp.asarray(_corner_pack(grid_sigma, _sup))
+                           if 1 < grid_sigma.size <= _PACK_MAX_VOXELS
+                           else None))
 
         # --- textures --------------------------------------------------------
         from .types import TextureTable, TEX_NPARAM

@@ -104,10 +104,8 @@ def test_grad_medium_sigma_t_volpath():
     scene, meta = build_scene(cornell_box(
         spp=1, res=10, integrator={'type': 'volpath', 'max_depth': 5},
         medium=med))
-    key = jax.random.PRNGKey(7)
-    pos, _ = film_sample_positions(meta, key)
-
-    def loss_of(s):
+    def loss_of(s, key):
+        pos, _ = film_sample_positions(meta, key)
         P = scene.media.params
         P = P.at[0, M_SIGMA_T:M_SIGMA_T + 3].set(s)
         P = P.at[0, M_MAJORANT:M_MAJORANT + 3].set(s)
@@ -116,14 +114,23 @@ def test_grad_medium_sigma_t_volpath():
         return jnp.mean(L)
 
     s0 = 0.4
-    g = float(jax.grad(loss_of)(jnp.float32(s0)))
-    assert np.isfinite(g)
     eps = 2e-2
-    fd = (float(loss_of(jnp.float32(s0 + eps)))
-          - float(loss_of(jnp.float32(s0 - eps)))) / (2 * eps)
-    # stochastic-gradient tolerance: same RNG stream on both sides, the
-    # derivative flows through weights AND sampled distances
-    assert abs(fd - g) < 0.2 * max(abs(fd), abs(g), 1e-3), (fd, g)
+    gf = jax.jit(jax.grad(loss_of))
+    lf = jax.jit(loss_of)
+    # both AD and FD are STOCHASTIC estimates (spp=1): compare their means
+    # over paired seeds and gate on the paired-difference standard error
+    # (a single seed can disagree by several sigma legitimately)
+    diffs, ads = [], []
+    for k in range(6):
+        kk = jax.random.PRNGKey(100 + k)
+        g = float(gf(jnp.float32(s0), kk))
+        fd = (float(lf(jnp.float32(s0 + eps), kk))
+              - float(lf(jnp.float32(s0 - eps), kk))) / (2 * eps)
+        assert np.isfinite(g) and np.isfinite(fd)
+        ads.append(g)
+        diffs.append(g - fd)
+    sem = np.std(diffs) / np.sqrt(len(diffs))
+    assert abs(np.mean(diffs)) < 3.0 * sem + 0.01, (np.mean(diffs), sem, ads)
 
 
 def test_grad_heterogeneous_grid_density():
@@ -146,6 +153,9 @@ def test_grad_heterogeneous_grid_density():
     pos, _ = film_sample_positions(meta, key)
 
     def loss_of(grid):
+        # NOTE: _replace keeps grid_sup (fixed majorant bound) AND the
+        # stale packed copy — fine here because diff=True routes every
+        # density eval through grid_sigma_t itself (medium._sigma_grid_eval)
         sc = scene._replace(media=scene.media._replace(grid_sigma_t=grid))
         return jnp.mean(render_wavefront(sc, meta, pos, key, diff=True))
 

@@ -33,8 +33,8 @@ def test_constant_field_collision_rate_exact():
     scene, meta = _hetvol()
     g = jnp.full(scene.media.grid_sigma_t.shape, 0.002, jnp.float32)
     sup = jnp.full(scene.media.grid_sup.shape, 0.002, jnp.float32)
-    scene = scene._replace(media=scene.media._replace(
-        grid_sigma_t=g, grid_sup=sup))
+    from mitsuba_nlvrl_tpu.medium import with_sigma_grid
+    scene = scene._replace(media=with_sigma_grid(scene.media, g))
     N = 400_000
     ray = _rays(N)
     smp = Sampler.make(jr.PRNGKey(1), N)
