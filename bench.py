@@ -73,7 +73,19 @@ def _run_config(key):
     rays = float(np.asarray(sum(stats)))
     im = np.asarray(img)
     assert np.isfinite(im).all() and im.mean() > 0, "render invalid"
-    print(json.dumps({"mrays": rays / dt / 1e6, "mean": float(im.mean())}))
+    out = {"mrays": rays / dt / 1e6, "mean": float(im.mean())}
+    if key == 'cbox_path':
+        # hardware-grounded weak-scaling proxy (single real chip): rays/s
+        # across growing wavefronts — flat == per-chip DP load saturates
+        # the chip (MULTICHIP cpu-mesh numbers are validation-only)
+        from mitsuba_nlvrl_tpu.parallel.scaling import weak_scaling_proxy
+        ws = weak_scaling_proxy(scene, meta, base=32768,
+                                factors=(1, 2, 4, 8), passes=2)
+        out['weak_scaling'] = {
+            'backend': ws['backend'], 'sizes': ws['sizes'],
+            'mrays_per_s': [round(r / 1e6, 2) for r in ws['rays_per_s']],
+            'per_ray_flat': round(ws['per_ray_flat'], 3)}
+    print(json.dumps(out))
 
 
 def _spawn(key, timeout_s):
@@ -87,11 +99,12 @@ def _spawn(key, timeout_s):
         return None, 'timeout'
     for line in reversed(out.stdout.strip().splitlines()):
         try:
-            return json.loads(line)['mrays'], None
-        except (json.JSONDecodeError, KeyError):
+            rec = json.loads(line)
+            return rec['mrays'], rec, None
+        except (json.JSONDecodeError, KeyError, TypeError):
             continue
     err = (out.stderr or out.stdout or 'no output').strip()
-    return None, err[-200:]
+    return None, None, err[-200:]
 
 
 def _device_alive(timeout_s=300):
@@ -122,14 +135,16 @@ def main():
     # with retries — the remote worker may still be recovering from a
     # previous crash when the driver starts the bench
     for attempt in range(n_head):
-        headline, err = _spawn('cbox_path', int(1200 * t_scale))
+        headline, rec, err = _spawn('cbox_path', int(1200 * t_scale))
         if headline is not None:
+            if rec and 'weak_scaling' in rec:
+                extra['weak_scaling'] = rec['weak_scaling']
             break
         extra['cbox_path_error'] = err
         time.sleep(180)
     for key, timeout_s in (('hetvol_volpath', 1500), ('cbox_nlvrl', 1500)):
         for attempt in range(n_vol):
-            mrays, err = _spawn(key, int(timeout_s * t_scale))
+            mrays, rec, err = _spawn(key, int(timeout_s * t_scale))
             if mrays is not None:
                 extra[key + '_mrays'] = round(mrays, 3)
                 extra.pop(key + '_error', None)

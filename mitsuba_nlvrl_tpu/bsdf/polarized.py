@@ -252,31 +252,32 @@ def _polarize_weight(scene, meta, si, wo_loc, w_unpol, mode,
     return _to_world_mueller(si, weight, -wo_hat, wi_hat)
 
 
-def spectral_conductor_structure(scene, meta, si, wo_loc, lam, mode=RADIANCE,
-                                 null_lane=None):
-    """Per-hero-wavelength conductor Mueller structure for the
-    spectral_polarized variant.
-
-    The reference's spectral_polarized build evaluates
-    ``mueller::specular_reflection(cos, Complex(eta(lam), k(lam)))`` with
-    the tabulated complex IOR at the ray's wavelengths
-    (conductor.cpp:242-264 under is_spectral_v) — so both the Fresnel
-    MAGNITUDE and the polarization STRUCTURE (phase retardation entries
-    m22/m23/m32/m33) are per-wavelength. ``mueller_to_spectral`` only
-    corrects the magnitude; this returns the true normalized per-lambda
-    structure, in the same implicit world Stokes bases as ``eval_pol``.
-
-    Returns ``(use (N,), Mw (N, H, 4, 4))`` — Mw has m00 == 1 on `use`
-    lanes (rotator conjugation preserves m00) — or ``None`` when the scene
-    carries no tabulated conductor curves."""
+def spectral_conductor_terms(scene, meta, si, wo_loc, lam, mode=RADIANCE,
+                             null_lane=None):
+    """Fused per-hero-wavelength conductor terms for the
+    spectral_polarized integrator: ONE complex-IOR curve gather +
+    interpolation yields both
+      * ``ratio (N, L)`` — F(lam)/upsample(F_rgb) magnitude correction
+        (== bsdf.spectral_fresnel_ratio), and
+      * ``(use (N,), Mw (N, H, 4, 4))`` — the normalized per-lambda
+        Mueller structure (== spectral_conductor_structure).
+    Resolves normalmap/bumpmap wrapper rows (like spectral_fresnel_ratio
+    does via _perturb_si) so wrapped conductors get per-lambda structure
+    too. Returns None when the scene carries no tabulated curves."""
     if not getattr(meta, 'has_conductor_spd', False):
         return None
     types = meta.bsdf_types
     if (BSDF_TYPES['conductor'] not in types
             and BSDF_TYPES['roughconductor'] not in types):
         return None
+    from . import _has_perturb, _perturb_si
+    from ..core.fresnel import fresnel_conductor
     from ..core import spectral as sp
     from ..ops.gather import take_many, take_rows
+    if _has_perturb(meta):
+        f0 = si.sh_frame
+        si = _perturb_si(scene, meta, si)
+        wo_loc = si.sh_frame.to_local(f0.to_world(wo_loc))
     btype, flags, P = take_many(
         [scene.bsdfs.type, scene.bsdfs.flags, scene.bsdfs.params],
         si.bsdf_idx)
@@ -289,24 +290,53 @@ def spectral_conductor_structure(scene, meta, si, wo_loc, lam, mode=RADIANCE,
     is_cond = (btype == BSDF_TYPES['conductor']) | is_rough
     sid = P[:, 13].astype(jnp.int32) - 1
     use = is_cond & (sid >= 0)
-    if null_lane is not None:
-        # masked-conductor pass-through lanes keep the identity Mueller
-        use = use & ~null_lane
+    use_struct = use if null_lane is None else use & ~null_lane
 
     H = _safe_dir(wi_loc + wo_l, n_loc)
     axis = jnp.where(is_rough[:, None], H, n_loc)
+    # NOTE: for smooth (delta) conductors this cosine is only meaningful
+    # when wo is the mirror direction; on NEE lanes it is not, but those
+    # lanes are neutralized by the eval m00 == 0 of the delta lobe — do
+    # not treat the structure as valid there in a future refactor.
     cosm = jnp.where(is_rough, m.dot(wo_hat, H), fr.cos_theta(wo_hat))
 
+    # ONE curve gather + CIE interpolation feeds both terms
     C = scene.conductor_spd.shape[0]
     K = scene.conductor_spd.shape[-1]
     curves = take_rows(scene.conductor_spd.reshape(C, 2 * K),
                        jnp.maximum(sid, 0)).reshape(-1, 2, K)
     eta_l = sp.cie_table_eval(curves[:, 0, :], lam)   # (N, Hλ)
     k_l = sp.cie_table_eval(curves[:, 1, :], lam)
+
+    # magnitude ratio (spectral_fresnel_ratio semantics: half-vector
+    # cosine, abs)
+    h_r = m.normalize(wi_loc + wo_l)
+    cos_h = jnp.abs(m.dot(wi_loc, h_r))
+    F_l = fresnel_conductor(cos_h, eta_l, k_l)                  # (N, L)
+    F_rgb = fresnel_conductor(cos_h, P[:, 0:3], P[:, 3:6])      # (N, 3)
+    F_up = sp.upsample_weight(F_rgb, lam)                       # (N, L)
+    ratio = jnp.where(use[:, None] & (F_up > 1e-6),
+                      F_l / jnp.maximum(F_up, 1e-6), 1.0)
+
+    # normalized per-lambda Mueller structure
     Mc = _norm00(mu.specular_reflection_conductor(cosm, eta_l, k_l))
     Mc = _rot_to_implicit(Mc, axis[:, None], wo_hat[:, None],
                           wi_hat[:, None])
     Mw = _to_world_mueller(si, Mc, -wo_hat, wi_hat)
+    return ratio, use_struct, Mw
+
+
+def spectral_conductor_structure(scene, meta, si, wo_loc, lam, mode=RADIANCE,
+                                 null_lane=None):
+    """Per-hero-wavelength conductor Mueller structure (normalized,
+    m00 == 1) in world Stokes bases — see spectral_conductor_terms, which
+    this delegates to (kept for callers that don't need the magnitude
+    ratio). Returns (use, Mw) or None."""
+    out = spectral_conductor_terms(scene, meta, si, wo_loc, lam, mode,
+                                   null_lane)
+    if out is None:
+        return None
+    _, use, Mw = out
     return use, Mw
 
 

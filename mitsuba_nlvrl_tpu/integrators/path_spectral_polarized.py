@@ -153,16 +153,14 @@ def sample_stokes_vec(scene, meta, sampler: Sampler, ray: Ray, active=None,
         wo_local = si.to_local(ds.d)
         M_nee = mueller_to_spectral(
             bpol.eval_pol(scene, meta, si, wo_local), st.lam)
-        fr_nee = bsdf_mod.spectral_fresnel_ratio(scene, meta, si, wo_local,
-                                                 st.lam)
-        if fr_nee is not None:
-            M_nee = M_nee * fr_nee[..., None, None]
-        ov = bpol.spectral_conductor_structure(scene, meta, si, wo_local,
-                                               st.lam)
+        ov = bpol.spectral_conductor_terms(scene, meta, si, wo_local,
+                                           st.lam)
         if ov is not None:
-            # true per-lambda conductor structure (phase retardation);
-            # keeps the magnitude m00 already corrected above
-            use, Mw = ov
+            # fused per-lambda conductor terms (one complex-IOR curve
+            # gather): Fresnel magnitude ratio + true per-lambda Mueller
+            # structure (phase retardation)
+            fr_nee, use, Mw = ov
+            M_nee = M_nee * fr_nee[..., None, None]
             M_nee = jnp.where(use[:, None, None, None],
                               M_nee[..., 0:1, 0:1] * Mw, M_nee)
         b_pdf = bsdf_mod.pdf(scene, meta, si, wo_local)
@@ -179,14 +177,11 @@ def sample_stokes_vec(scene, meta, sampler: Sampler, ray: Ray, active=None,
         u2b, smp = smp.next_2d()
         bs, M_w = bpol.sample_pol(scene, meta, si, u1b, u2b)
         M_ws = mueller_to_spectral(M_w, st.lam)
-        fr_b = bsdf_mod.spectral_fresnel_ratio(scene, meta, si, bs.wo,
-                                               st.lam)
-        if fr_b is not None:
-            M_ws = M_ws * fr_b[..., None, None]
-        ov_b = bpol.spectral_conductor_structure(scene, meta, si, bs.wo,
-                                                 st.lam, null_lane=bs.null)
+        ov_b = bpol.spectral_conductor_terms(scene, meta, si, bs.wo,
+                                             st.lam, null_lane=bs.null)
         if ov_b is not None:
-            use_b, Mw_b = ov_b
+            fr_b, use_b, Mw_b = ov_b
+            M_ws = M_ws * fr_b[..., None, None]
             M_ws = jnp.where(use_b[:, None, None, None],
                              M_ws[..., 0:1, 0:1] * Mw_b, M_ws)
         throughput = st.throughput @ M_ws

@@ -37,15 +37,16 @@ def init_distributed(coordinator_address: Optional[str] = None,
 
 
 def _render_rays_per_s(scene, meta, mesh: Mesh, passes: int = 4,
-                       seed: int = 7):
-    """Measured rays/s of the DP-sharded path wavefront on ``mesh``."""
+                       seed: int = 7, integrator: Optional[str] = None,
+                       aux=None):
+    """Measured rays/s of the DP-sharded wavefront on ``mesh``."""
     from functools import partial
     from ..core.rng import Sampler
     from ..integrators import get_integrator
     from ..integrators.common import film_sample_positions
     from .. import sensor as sensor_mod
 
-    integ = get_integrator(meta.integrator)
+    integ = get_integrator(integrator or meta.integrator)
     shard = NamedSharding(mesh, P('dp', None))
     rep = NamedSharding(mesh, P())
     scene_r = jax.device_put(scene, rep)
@@ -57,7 +58,7 @@ def _render_rays_per_s(scene, meta, mesh: Mesh, passes: int = 4,
             scene, meta, pos01,
             jax.random.uniform(jax.random.fold_in(key, 1), (N, 2)))
         sampler = Sampler.make(jax.random.fold_in(key, 2), N)
-        L, _, sampler = integ(scene, meta, sampler, ray)
+        L, _, sampler = integ(scene, meta, sampler, ray, aux=aux)
         return jnp.sum(jnp.where(jnp.isfinite(L), L, 0.0)), sampler.rays
 
     key = jax.random.PRNGKey(seed)
@@ -81,20 +82,92 @@ def _render_rays_per_s(scene, meta, mesh: Mesh, passes: int = 4,
 
 
 def measure_scaling(scene, meta, n_devices: Optional[int] = None,
-                    passes: int = 4) -> dict:
+                    passes: int = 4, integrator: Optional[str] = None,
+                    aux=None) -> dict:
     """Render on 1-device vs n-device 'dp' meshes; returns
-    {rays_per_s_1, rays_per_s_n, n, efficiency, checksum_rel_diff}."""
+    {rays_per_s_1, rays_per_s_n, n, efficiency, checksum_rel_diff,
+    backend, hardware_valid, note}.
+
+    ``hardware_valid`` is False on CPU meshes (forced-host device "chips"
+    contend for the same cores — the efficiency number is NOT a scaling
+    statement there, only the program/collective validation and checksum
+    parity are meaningful). ``integrator``/``aux`` let the harness run the
+    two-pass integrators (vrl/photonmapper) with prebuilt maps."""
     devs = jax.devices()
     n = n_devices or len(devs)
     mesh1 = Mesh(np.asarray(devs[:1]), ('dp',))
     meshn = Mesh(np.asarray(devs[:n]), ('dp',))
-    r1, c1 = _render_rays_per_s(scene, meta, mesh1, passes)
-    rn, cn = _render_rays_per_s(scene, meta, meshn, passes)
+    r1, c1 = _render_rays_per_s(scene, meta, mesh1, passes,
+                                integrator=integrator, aux=aux)
+    rn, cn = _render_rays_per_s(scene, meta, meshn, passes,
+                                integrator=integrator, aux=aux)
+    backend = jax.default_backend()
+    hw = backend not in ('cpu',)
     return {
         'n': n,
+        'integrator': integrator or meta.integrator,
         'rays_per_s_1': r1,
         'rays_per_s_n': rn,
         'efficiency': rn / (n * r1) if r1 > 0 else 0.0,
         # same program, same RNG: the estimates must agree exactly
         'checksum_rel_diff': abs(cn - c1) / max(abs(c1), 1e-9),
+        'backend': backend,
+        'hardware_valid': hw,
+        'note': ('' if hw else
+                 'cpu-mesh: program validation only; efficiency is '
+                 'core-contention, not a scaling statement'),
+    }
+
+
+def weak_scaling_proxy(scene, meta, base: int = 32768,
+                       factors=(1, 2, 4, 8), passes: int = 3,
+                       seed: int = 11) -> dict:
+    """Single-REAL-chip weak-scaling proxy: DP scaling runs a FIXED
+    per-chip wavefront on every chip, so the hardware-grounded question a
+    single chip can answer is whether throughput is flat (saturated) from
+    the per-chip wavefront size upward — if rays/s at k*base matches
+    rays/s at base within ~1, the per-chip kernel is compute-bound and DP
+    efficiency is limited by collectives only (which this proxy cannot
+    measure). Returns {sizes, rays_per_s, saturation}."""
+    import time as _t
+    from functools import partial
+    from ..core.rng import Sampler
+    from ..integrators import get_integrator
+    from .. import sensor as sensor_mod
+
+    integ = get_integrator(meta.integrator)
+
+    @partial(jax.jit, static_argnames=('n',))
+    def one(scene, key, n):
+        u = jax.random.uniform(key, (n, 2))
+        ray, w = sensor_mod.sample_ray(scene, meta, u,
+                                       jax.random.uniform(
+                                           jax.random.fold_in(key, 1),
+                                           (n, 2)))
+        sampler = Sampler.make(jax.random.fold_in(key, 2), n)
+        L, _, sampler = integ(scene, meta, sampler, ray)
+        return jnp.sum(jnp.where(jnp.isfinite(L), L, 0.0)), sampler.rays
+
+    key = jax.random.PRNGKey(seed)
+    out = {}
+    for f in factors:
+        n = base * f
+        s, r = one(scene, key, n)           # compile
+        s.block_until_ready()
+        t0 = _t.time()
+        tot = 0.0
+        for p_i in range(passes):
+            s, r = one(scene, jax.random.fold_in(key, p_i), n)
+            tot += float(r)
+        dt = _t.time() - t0
+        out[n] = tot / max(dt, 1e-9)
+    sizes = sorted(out)
+    return {
+        'backend': jax.default_backend(),
+        'sizes': sizes,
+        'rays_per_s': [out[s_] for s_ in sizes],
+        # rays/s flat (ratio ~>= 1) from base to max => the per-chip
+        # wavefront saturates the chip at `base`: DP replicas at that
+        # per-chip load are compute-bound, not dispatch/latency-bound
+        'per_ray_flat': out[sizes[-1]] / max(out[sizes[0]], 1e-9),
     }
