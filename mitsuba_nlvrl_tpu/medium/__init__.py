@@ -104,15 +104,18 @@ def with_sigma_grid(media, grid):
     of ``media._replace(grid_sigma_t=...)`` — the derived copies would go
     stale and the delta trackers would sample against wrong majorants."""
     import numpy as np
-    from ..scene.builder import _supervoxel_max, _corner_pack, \
-        _PACK_MAX_VOXELS
+    from ..scene.builder import _supervoxel_max, _supervoxel_min, \
+        _corner_pack, _PACK_MAX_VOXELS
     g = np.asarray(grid, np.float32)
     sup = _supervoxel_max(g) if g.size > 1 else None
+    sup_min = _supervoxel_min(g) if g.size > 1 else None
     return media._replace(
         grid_sigma_t=jnp.asarray(g),
         grid_sup=(jnp.asarray(sup) if sup is not None
                   else jnp.ones((1, 1, 1), jnp.float32)),
-        grid_sigma_p8=(jnp.asarray(_corner_pack(g, sup))
+        grid_sup_min=(jnp.asarray(sup_min) if sup_min is not None
+                      else jnp.zeros((1, 1, 1), jnp.float32)),
+        grid_sigma_p8=(jnp.asarray(_corner_pack(g, sup, sup_min))
                        if 1 < g.size <= _PACK_MAX_VOXELS else None))
 
 
@@ -376,17 +379,20 @@ def _row_eval(scene, meta, medium_idx, lo, hi, p, diff=False):
         tx = (fx - x0)[..., None]
         ty = (fy - y0)[..., None]
         tz = (fz - z0)[..., None]
-        rows = packed[(z0 * Dy + y0) * Dx + x0]          # (N, 9)
+        rows = packed[(z0 * Dy + y0) * Dx + x0]          # (N, 10)
         k = jnp.arange(8)
         w = (jnp.where((k >> 2) & 1, tz, 1.0 - tz)
              * jnp.where((k >> 1) & 1, ty, 1.0 - ty)
              * jnp.where(k & 1, tx, 1.0 - tx))
         dens = jnp.sum(rows[..., :8] * w, axis=-1)
         bmaj = rows[..., 8]
+        bmin = rows[..., 9]
         return (jnp.where(inside, dens, 0.0),
-                jnp.where(inside, bmaj, 0.0), True)
+                jnp.where(inside, bmaj, 0.0),
+                jnp.where(inside, bmin, 0.0), True)
     dens = _sigma_grid_eval(scene, lo, hi, p, diff)
     sup = scene.media.grid_sup
+    smin = scene.media.grid_sup_min
     if sup is not None and (sup.size > 1 or
                             scene.media.grid_sigma_t.size > 1):
         rel = (p - lo) / jnp.maximum(hi - lo, 1e-30)
@@ -394,15 +400,24 @@ def _row_eval(scene, meta, medium_idx, lo, hi, p, diff=False):
         if sup.size > 1:
             Sz, Sy, Sx = sup.shape
             bidx = block_index_of(scene, meta, medium_idx, p)
-            bmaj = sup[jnp.clip(bidx[:, 2], 0, Sz - 1),
-                       jnp.clip(bidx[:, 1], 0, Sy - 1),
-                       jnp.clip(bidx[:, 0], 0, Sx - 1)]
+            bz = jnp.clip(bidx[:, 2], 0, Sz - 1)
+            by = jnp.clip(bidx[:, 1], 0, Sy - 1)
+            bx = jnp.clip(bidx[:, 0], 0, Sx - 1)
+            bmaj = sup[bz, by, bx]
+            bmin = (smin[bz, by, bx]
+                    if smin is not None and smin.shape == sup.shape
+                    else jnp.zeros(p.shape[:-1]))
         else:
             # degenerate 1-block supervoxel grid (tiny density grids)
             bmaj = jnp.broadcast_to(sup.ravel()[0], p.shape[:-1])
-        return dens, jnp.where(inside, bmaj, 0.0), True
+            bmin = (jnp.broadcast_to(smin.ravel()[0], p.shape[:-1])
+                    if smin is not None and smin.size == 1
+                    else jnp.zeros(p.shape[:-1]))
+        return (dens, jnp.where(inside, bmaj, 0.0),
+                jnp.where(inside, bmin, 0.0), True)
     # no usable block bound: caller falls back to the global majorant
-    return dens, jnp.zeros(p.shape[:-1]), False
+    z = jnp.zeros(p.shape[:-1])
+    return dens, z, z, False
 
 
 def _majorant_walk(scene, meta, ray: Ray, key, channel, medium_idx,
@@ -432,47 +447,66 @@ def _majorant_walk(scene, meta, ray: Ray, key, channel, medium_idx,
     sgn_d = jnp.sign(ray.d).astype(jnp.int32)
     bidx0, t_next0, t_delta = _dda_init(scene, meta, medium_idx, ray, mint)
 
-    def local_maj(dens_b, bmaj_ok):
-        """(maj_vec, mj_hero) from a raw block-max density; without a
-        usable block bound het lanes use the global majorant."""
-        if not bmaj_ok:
-            return majorant, _ch(majorant, channel)
-        mv = jnp.where(is_het[:, None], sigma_unit * dens_b[:, None],
+    def local_bounds(bmaj_b, bmin_b, bok):
+        """(maj_vec, c_vec) extinction bounds of the current block.
+        c_vec is the residual-ratio-tracking control (Novak et al. 2014,
+        eq. 29): transmittance walks sample collisions at the residual
+        rate maj-c only and multiply the control's exact exponential via
+        the telescoped step factor. Delta tracking (track=True) cannot
+        use a control (real collisions classify against sigma_t/maj), so
+        c = 0 there; non-het lanes and scenes without block bounds fall
+        back to the global majorant with c = 0.."""
+        if not bok:
+            return majorant, jnp.zeros_like(majorant)
+        mv = jnp.where(is_het[:, None], sigma_unit * bmaj_b[:, None],
                        majorant)
-        return mv, _ch(mv, channel)
+        if track:
+            return mv, jnp.zeros_like(mv)
+        cv = jnp.where(is_het[:, None],
+                       sigma_unit * jnp.minimum(bmin_b, bmaj_b)[:, None],
+                       0.0)
+        return mv, cv
 
     # initial interval [mint, min(exit, maxt)]: probe its midpoint
     t_exit0 = jnp.min(t_next0, axis=-1)
     mid0 = 0.5 * (mint + jnp.minimum(t_exit0, maxt))
-    _, bmaj0, bok0 = _row_eval(scene, meta, medium_idx, lo, hi,
-                               ray.at(mid0), diff)
-    maj_vec0, _ = local_maj(bmaj0, bok0)
+    _, bmaj0, bmin0, bok0 = _row_eval(scene, meta, medium_idx, lo, hi,
+                                      ray.at(mid0), diff)
+    maj_vec0, c_vec0 = local_bounds(bmaj0, bmin0, bok0)
 
     def cond(carry):
-        return jnp.any(carry[2]) & (carry[7] < max_steps)
+        return jnp.any(carry[2]) & (carry[8] < max_steps)
 
     def body(carry):
-        t, w, walking, found, maj_vec, dens_col, t_next_ax, it, k = carry
+        (t, w, walking, found, maj_vec, c_vec, dens_col, t_next_ax, it,
+         k) = carry
         k1 = jax.random.fold_in(k, it)
         u = jax.random.uniform(k1, (N, 2))
         mj_loc = _ch(maj_vec, channel)
-        mj_pos = mj_loc > 1e-20
-        # empty blocks (mj 0) step to the boundary in one free move; the
-        # constant (not 1/mj) form keeps reverse-mode NaN-free
+        # collision rate: the residual maj - c (== maj when track=True)
+        rate = jnp.maximum(mj_loc - _ch(c_vec, channel), 0.0)
+        r_pos = rate > 1e-20
+        # empty/constant blocks (rate 0) step to the boundary in one free
+        # move; the constant (not 1/rate) form keeps reverse-mode NaN-free
         dt = -jnp.log1p(-jnp.clip(u[:, 0], 0.0, m.OneMinusEpsilon)) \
-            / jnp.where(mj_pos, mj_loc, 1.0)
-        dt = jnp.where(mj_pos, dt, jnp.float32(3e38))
+            / jnp.where(r_pos, rate, 1.0)
+        dt = jnp.where(r_pos, dt, jnp.float32(3e38))
+        rate = jnp.where(r_pos, rate, 0.0)
         t_exit = jnp.min(t_next_ax, axis=-1)
         t_stop = jnp.minimum(t_exit, maxt)
         boundary = walking & (t + dt > t_stop)
         col = walking & ~boundary
-        # hero-channel telescoped exponential ratio over the step
+        # hero-channel telescoped exponential ratio over the step: the
+        # pdf contributes exp(-rate*dt) while the integrand carries
+        # exp(-maj_vec*dt) -> factor exp(-dt*(maj_vec - rate)); for the
+        # residual control this IS exp(-c*dt) * exp(-dt*(residual_vec -
+        # residual_hero)) fused into one exponential
         seg = jnp.maximum(jnp.where(col, dt, t_stop - t), 0.0)
-        ratio = jnp.exp(-seg[:, None] * (maj_vec - mj_loc[:, None]))
+        ratio = jnp.exp(-seg[:, None] * (maj_vec - rate[:, None]))
         if track:
             w = jnp.where(walking[:, None],
                           w * ratio
-                          / jnp.where(col, jnp.maximum(mj_loc, 1e-30),
+                          / jnp.where(col, jnp.maximum(rate, 1e-30),
                                       1.0)[:, None], w)
         else:
             w = jnp.where(walking[:, None], w * ratio, w)
@@ -486,10 +520,10 @@ def _majorant_walk(scene, meta, ray: Ray, key, channel, medium_idx,
         t_exit_new = jnp.min(t_next_new, axis=-1)
         probe_t = jnp.where(
             col, t_new, 0.5 * (t_stop + jnp.minimum(t_exit_new, maxt)))
-        dens, bmaj, bok = _row_eval(scene, meta, medium_idx, lo, hi,
-                                    ray.at(jnp.where(walking, probe_t,
-                                                     0.0)),
-                                    diff)
+        dens, bmaj, bmin, bok = _row_eval(scene, meta, medium_idx, lo, hi,
+                                          ray.at(jnp.where(walking, probe_t,
+                                                           0.0)),
+                                          diff)
         # collision: classify against sigma at the collision point
         sigma_t_v = jnp.where(is_het[:, None], sigma_unit * dens[:, None],
                               sigma_unit)
@@ -497,32 +531,35 @@ def _majorant_walk(scene, meta, ray: Ray, key, channel, medium_idx,
         if track:
             st_ch = _ch(sigma_t_v, channel)
             sn_ch = _ch(sigma_n_loc, channel)
-            p_real = st_ch / jnp.maximum(mj_loc, 1e-30)
+            p_real = st_ch / jnp.maximum(rate, 1e-30)
             real = col & (u[:, 1] < p_real)
             null = col & ~real
             # safe_div: the VJP of x/max(y,eps) overflows f32 at y=1e-30
             w = jnp.where(null[:, None],
                           w * sigma_n_loc
-                          * m.safe_div(mj_loc, sn_ch)[:, None], w)
+                          * m.safe_div(rate, sn_ch)[:, None], w)
             found = found | real
             dens_col = jnp.where(real, dens, dens_col)
             walking_next = null | crossed
         else:
+            # residual collision factor sigma_n / rate (Novak eq. 29)
             w = jnp.where(col[:, None],
                           w * sigma_n_loc
-                          * m.safe_rcp(jnp.maximum(mj_loc, 1e-30))[:, None],
+                          * m.safe_rcp(jnp.maximum(rate, 1e-30))[:, None],
                           w)
             walking_next = col | crossed
-        # crossing lanes adopt the new block's majorant (midpoint probe);
+        # crossing lanes adopt the new block's bounds (midpoint probe);
         # collision lanes keep theirs (same block)
-        maj_new, _ = local_maj(bmaj, bok)
-        maj_vec = jnp.where((crossed & is_het)[:, None], maj_new, maj_vec)
-        return (t_new, w, walking_next, found, maj_vec, dens_col,
+        maj_new, c_new = local_bounds(bmaj, bmin, bok)
+        hetc = (crossed & is_het)[:, None]
+        maj_vec = jnp.where(hetc, maj_new, maj_vec)
+        c_vec = jnp.where(hetc, c_new, c_vec)
+        return (t_new, w, walking_next, found, maj_vec, c_vec, dens_col,
                 t_next_new, it + 1, k)
 
     t0 = jnp.where(walking, mint, 0.0)
     carry = (t0, jnp.ones((N, 3)), walking, jnp.zeros((N,), bool),
-             maj_vec0, jnp.zeros((N,)), t_next0, jnp.int32(0), key)
+             maj_vec0, c_vec0, jnp.zeros((N,)), t_next0, jnp.int32(0), key)
     if diff:
         # reverse-mode cannot differentiate while_loop: bounded
         # checkpointed scan (the body is fully masked, extra trips are
@@ -532,7 +569,7 @@ def _majorant_walk(scene, meta, ray: Ray, key, channel, medium_idx,
                                 length=min(max_steps, 192))
     else:
         carry = jax.lax.while_loop(cond, body, carry)
-    t, w, still, found, maj_vec_f, dens_col = carry[:6]
+    t, w, still, found, maj_vec_f, _, dens_col = carry[:7]
     return t, w, found, dens_col, maj_vec_f, still
 
 

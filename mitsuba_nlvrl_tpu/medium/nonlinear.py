@@ -188,34 +188,45 @@ def bend_ray(scene, meta, ray: Ray, medium_idx, active, max_segments: int,
     seg_len = jnp.zeros((N, S))
     count = jnp.zeros((N,), jnp.int32)
     total = jnp.zeros((N,))
-    si0 = SurfaceInteraction.invalid((N,))
+    # the loop keeps only the PRELIMINARY hit (t/prim/uv) — the full
+    # SurfaceInteraction (gather-heavy compute_si: normals/uvs/medium
+    # slots) is resolved ONCE after the loop for the terminating hit
+    # instead of on every bend iteration (VERDICT r2: mirror the light
+    # pass' early-out economy in the camera pass)
+    pi0 = isect.PreliminaryHit(
+        valid=jnp.zeros((N,), bool), t=jnp.full((N,), jnp.inf),
+        prim_idx=jnp.full((N,), -1, jnp.int32),
+        kind=jnp.zeros((N,), jnp.int32),
+        u=jnp.zeros((N,)), v=jnp.zeros((N,)))
+    hit_ray0 = (jnp.zeros((N, 3)), jnp.zeros((N, 3)))
 
     def cond(carry):
         act = carry[6]
-        i = carry[8]
+        i = carry[9]
         return jnp.any(act) & (i < S)
 
     def body(carry):
-        seg_o, seg_d, seg_len, count, total, cur_ray, act, si_acc, i = carry
+        (seg_o, seg_d, seg_len, count, total, cur_ray, act, pi_acc,
+         hit_ray, i) = carry
         remaining = max_dist - total
         nli = sample_nonlinear_interaction(
             scene, meta, Ray(cur_ray.o, cur_ray.d, cur_ray.mint, remaining),
             medium_idx, act)
         if stop_at_scene:
-            si = isect.ray_intersect(
+            pi = isect.intersect_preliminary(
                 scene, Ray(cur_ray.o, cur_ray.d, cur_ray.mint, remaining))
-            hit_first = act & si.valid & (si.t < nli.t)
-            si_acc = jax.tree_util.tree_map(
-                lambda new, old: jnp.where(
-                    hit_first.reshape(hit_first.shape + (1,) * (new.ndim - 1)),
-                    new, old), si, si_acc)
+            hit_first = act & pi.valid & (pi.t < nli.t)
+            pi_acc = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(hit_first, new, old), pi, pi_acc)
+            hit_ray = (jnp.where(hit_first[:, None], cur_ray.o, hit_ray[0]),
+                       jnp.where(hit_first[:, None], cur_ray.d, hit_ray[1]))
+            hit_t = pi.t
         else:
             hit_first = jnp.zeros((N,), bool)
-            si = None
+            hit_t = jnp.zeros((N,))
         bend = act & nli.valid & ~hit_first
         seg_end_t = jnp.where(bend, nli.t,
-                              jnp.where(hit_first & stop_at_scene,
-                                        si.t if si is not None else 0.0,
+                              jnp.where(hit_first, hit_t,
                                         jnp.minimum(remaining, 1e8)))
         seg_o = seg_o.at[:, i].set(jnp.where(act[:, None], cur_ray.o,
                                              seg_o[:, i]))
@@ -229,12 +240,19 @@ def bend_ray(scene, meta, ray: Ray, medium_idx, active, max_segments: int,
                       d=jnp.where(bend[:, None], nli.wo, cur_ray.d),
                       mint=jnp.zeros((N,)),
                       maxt=cur_ray.maxt)
-        return (seg_o, seg_d, seg_len, count, total, new_ray, bend, si_acc,
-                i + 1)
+        return (seg_o, seg_d, seg_len, count, total, new_ray, bend, pi_acc,
+                hit_ray, i + 1)
 
     init = (seg_o, seg_d, seg_len, count, total,
-            Ray(ray.o, ray.d, ray.mint, ray.maxt), active, si0, jnp.int32(0))
-    seg_o, seg_d, seg_len, count, total, _, _, si_out, _ = \
+            Ray(ray.o, ray.d, ray.mint, ray.maxt), active, pi0, hit_ray0,
+            jnp.int32(0))
+    (seg_o, seg_d, seg_len, count, total, _, _, pi_out, hit_ray_out, _) = \
         jax.lax.while_loop(cond, body, init)
+    if stop_at_scene:
+        si_out = isect.compute_si(
+            scene, Ray(hit_ray_out[0], hit_ray_out[1], jnp.zeros((N,)),
+                       jnp.full((N,), jnp.inf)), pi_out)
+    else:
+        si_out = SurfaceInteraction.invalid((N,))
     return BentRay(seg_o=seg_o, seg_d=seg_d, seg_len=seg_len, count=count,
                    total=total), si_out

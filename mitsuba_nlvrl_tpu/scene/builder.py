@@ -166,18 +166,21 @@ _PACK_MAX_VOXELS = 1 << 22
 
 
 def _corner_pack(grid: np.ndarray, sup: np.ndarray = None,
-                 sup_k: int = 8) -> np.ndarray:
+                 sup_min: np.ndarray = None, sup_k: int = 8) -> np.ndarray:
     """Corner-packed grid: row (z*Dy+y)*Dx+x holds the 8 trilinear corners
     of voxel (z,y,x), order dz*4+dy*2+dx, edge-clamped, PLUS (slot 8) the
-    dilated supervoxel block-max of the voxel's block. One TPU row-gather
-    then fetches a full trilinear footprint AND the local majorant of the
-    block the point lies in (~8x cheaper than 8 element gathers + a sup
-    gather, scripts/bench_gather.py)."""
+    dilated supervoxel block-max and (slot 9) the eroded block-min of the
+    voxel's block. One TPU row-gather then fetches a full trilinear
+    footprint AND the local majorant/control of the block the point lies
+    in (~8x cheaper than 8 element gathers + sup gathers,
+    scripts/bench_gather.py). The block-min is the residual-ratio-tracking
+    control (Novak et al. 2014): transmittance walks sample collisions at
+    the RESIDUAL rate max-min only."""
     Dz, Dy, Dx = grid.shape
     zi = np.minimum(np.arange(Dz) + 1, Dz - 1)
     yi = np.minimum(np.arange(Dy) + 1, Dy - 1)
     xi = np.minimum(np.arange(Dx) + 1, Dx - 1)
-    out = np.empty((Dz, Dy, Dx, 9), np.float32)
+    out = np.empty((Dz, Dy, Dx, 10), np.float32)
     for k in range(8):
         dz, dy, dx = (k >> 2) & 1, (k >> 1) & 1, k & 1
         g = grid
@@ -190,10 +193,34 @@ def _corner_pack(grid: np.ndarray, sup: np.ndarray = None,
         out[..., k] = g
     if sup is None:
         sup = _supervoxel_max(grid, sup_k)
-    # broadcast each block's majorant over its voxels
-    out[..., 8] = sup[np.arange(Dz) // sup_k][:, np.arange(Dy) // sup_k
-                                              ][:, :, np.arange(Dx) // sup_k]
-    return out.reshape(-1, 9)
+    if sup_min is None:
+        sup_min = _supervoxel_min(grid, sup_k)
+    # broadcast each block's bounds over its voxels
+    bz = np.arange(Dz) // sup_k
+    by = np.arange(Dy) // sup_k
+    bx = np.arange(Dx) // sup_k
+    out[..., 8] = sup[bz][:, by][:, :, bx]
+    out[..., 9] = sup_min[bz][:, by][:, :, bx]
+    return out.reshape(-1, 10)
+
+
+def _supervoxel_min(grid: np.ndarray, k: int = 8) -> np.ndarray:
+    """Block-min density over k^3 supervoxels, ERODED by one voxel on
+    every side (any trilinear value inside a block is >= the min over the
+    1-voxel-dilated corner set) — the residual-ratio-tracking control."""
+    Dz, Dy, Dx = grid.shape
+    Sz, Sy, Sx = (max(1, -(-Dz // k)), max(1, -(-Dy // k)),
+                  max(1, -(-Dx // k)))
+    gp = np.pad(grid, 1, mode='edge')
+    sup = np.zeros((Sz, Sy, Sx), np.float32)
+    for bz in range(Sz):
+        for by in range(Sy):
+            for bx in range(Sx):
+                blk = gp[bz * k:bz * k + k + 2,
+                         by * k:by * k + k + 2,
+                         bx * k:bx * k + k + 2]
+                sup[bz, by, bx] = blk.min()
+    return sup
 
 
 def _supervoxel_max(grid: np.ndarray, k: int = 8) -> np.ndarray:
@@ -832,6 +859,8 @@ class SceneBuilder:
 
         _sup = (_supervoxel_max(grid_sigma) if grid_sigma.size > 1
                 else np.ones((1, 1, 1), np.float32))
+        _sup_min = (_supervoxel_min(grid_sigma) if grid_sigma.size > 1
+                    else np.zeros((1, 1, 1), np.float32))
         media_t = MediumTable(
             type=jnp.asarray(med_type), phase_type=jnp.asarray(med_phase),
             params=jnp.asarray(med_params),
@@ -841,7 +870,9 @@ class SceneBuilder:
             grid_medium=jnp.asarray(grid_medium, jnp.int32),
             nl_ior=jnp.asarray(nl_ior),
             nl_medium=jnp.asarray(nl_medium, jnp.int32),
-            grid_sigma_p8=(jnp.asarray(_corner_pack(grid_sigma, _sup))
+            grid_sup_min=jnp.asarray(_sup_min),
+            grid_sigma_p8=(jnp.asarray(_corner_pack(grid_sigma, _sup,
+                                                    _sup_min))
                            if 1 < grid_sigma.size <= _PACK_MAX_VOXELS
                            else None))
 

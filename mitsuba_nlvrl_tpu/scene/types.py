@@ -160,12 +160,16 @@ class MediumTable(NamedTuple):
     # empty-space-skipping delta tracking ((1,1,1) ones when unused).
     # Defaults to None for hand-built tables (treated as absent).
     grid_sup: Optional[jnp.ndarray] = None
+    # eroded supervoxel block-min of grid_sigma_t: the residual-ratio-
+    # tracking control (None / (1,1,1) zeros when unused)
+    grid_sup_min: Optional[jnp.ndarray] = None
     # corner-packed copy of grid_sigma_t: row i = the 8 cell corners
     # [dz*4+dy*2+dx] of voxel i (edge-clamped). ONE row-gather fetches a
     # whole trilinear footprint — 8 separate dynamic gathers cost ~8x more
-    # on TPU (measured ~10ns/element, scripts/bench_gather.py). None when
-    # the grid is absent or too large to duplicate 8x.
-    grid_sigma_p8: Optional[jnp.ndarray] = None  # (Dz*Dy*Dx, 8) float32
+    # on TPU (measured ~10ns/element, scripts/bench_gather.py). Slots
+    # 8/9 carry the block max/min. None when the grid is absent or too
+    # large to duplicate.
+    grid_sigma_p8: Optional[jnp.ndarray] = None  # (Dz*Dy*Dx, 10) float32
 
 
 TEXTURE_TYPES = {'bitmap': 0, 'checkerboard': 1, 'constant': 2,
