@@ -95,29 +95,61 @@ def traverse(scene: SceneData) -> ParameterMap:
     return ParameterMap(scene)
 
 
-def render(scene, meta, params: Optional[Dict] = None, pmap: Optional[ParameterMap] = None,
-           spp: int = 1, seed: int = 0, integrator: Optional[str] = None):
-    """Differentiable render: jax.grad flows to ``params`` (a dict from a
-    ParameterMap). Uses the scan+remat integrator path."""
+def _render_helper(scene, meta, spp, seed, integrator, diff=True):
     from . import film as film_mod
     from .integrators.common import film_sample_positions
     from .parallel.render_dist import render_wavefront
 
-    if params is not None:
-        pm = pmap or ParameterMap(scene)
-        scene = pm.updated_scene(params)
-    key = jax.random.PRNGKey(seed)
+    key = jax.random.PRNGKey(seed) if isinstance(seed, int) else seed
     acc = None
     for p in range(spp):
         kp = jax.random.fold_in(key, p)
         pos, _ = film_sample_positions(meta, jax.random.fold_in(kp, 0),
                                        jnp.uint32(p))
-        L = render_wavefront(scene, meta, pos, kp, integrator, diff=True)
+        L = render_wavefront(scene, meta, pos, kp, integrator, diff=diff)
         img = film_mod.new_image(meta.film)
         img = film_mod.splat(meta.film, pos, L, jnp.ones((pos.shape[0],)),
                              img)
         acc = img if acc is None else acc + img
-    return film_mod.develop(acc)
+    from . import film as film_mod2
+    return film_mod2.develop(acc)
+
+
+def render(scene, meta, params: Optional[Dict] = None,
+           pmap: Optional[ParameterMap] = None,
+           spp=1, seed: int = 0, integrator: Optional[str] = None,
+           unbiased: bool = False):
+    """Differentiable render: jax.grad flows to ``params`` (a dict from a
+    ParameterMap). Uses the scan+remat integrator path.
+
+    ``unbiased=True`` (reference autodiff.py:177-190): the naive estimator
+    reuses one set of Monte Carlo samples for both the image VALUE and its
+    DERIVATIVE, so a jointly differentiated objective sees E[X dX] with
+    sample correlation (e.g. d mean(I^2) picks up the per-sample variance).
+    Unbiased mode renders twice with independent RNG streams — the primal
+    value detached, the derivative pass reattached (the jax analog of
+    ek.reattach: value from pass 1, cotangents through pass 2):
+
+        out = stop_grad(primal) + deriv - stop_grad(deriv)
+
+    ``spp`` may be a ``(spp_primal, spp_deriv)`` tuple in unbiased mode.
+    """
+    if params is not None:
+        pm = pmap or ParameterMap(scene)
+        scene = pm.updated_scene(params)
+    if not unbiased:
+        if isinstance(spp, tuple):
+            raise ValueError("tuple spp requires unbiased=True")
+        return _render_helper(scene, meta, spp, seed, integrator)
+    spp_p, spp_d = spp if isinstance(spp, tuple) else (spp, spp)
+    # primal pass: gradients disabled (optimizer.disable_gradients analog)
+    scene_det = jax.tree_util.tree_map(jax.lax.stop_gradient, scene)
+    primal = _render_helper(scene_det, meta, spp_p, seed, integrator)
+    # derivative pass: INDEPENDENT rng stream
+    dseed = jax.random.fold_in(jax.random.PRNGKey(seed), 0xDE21)
+    deriv = _render_helper(scene, meta, spp_d, dseed, integrator)
+    return jax.lax.stop_gradient(primal) + deriv \
+        - jax.lax.stop_gradient(deriv)
 
 
 class _OptaxOptimizer:

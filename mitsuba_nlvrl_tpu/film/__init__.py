@@ -138,7 +138,9 @@ def splat_pixel_ordered(film: FilmMeta, jitter: jnp.ndarray,
 
 
 def new_image(film: FilmMeta, channels: int = 3) -> jnp.ndarray:
-    return jnp.zeros((film.height, film.width, channels + 1), jnp.float32)
+    # default float dtype: float64 under the double variant (jax x64)
+    dt = jnp.zeros(()).dtype
+    return jnp.zeros((film.height, film.width, channels + 1), dt)
 
 
 def develop(image: jnp.ndarray) -> jnp.ndarray:

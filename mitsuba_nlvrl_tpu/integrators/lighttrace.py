@@ -124,6 +124,10 @@ class PhotonMaps(NamedTuple):
     vp_lost: jnp.ndarray = ()
     vrl_lost: jnp.ndarray = ()
     trunc_paths: jnp.ndarray = ()
+    # packed VRL attribute rows [o(3) d(3) len flux(3) medium valid]:
+    # vrl_contrib fetches a whole VRL in ONE row gather instead of 7
+    # separate dynamic gathers (TPU gathers cost per ROW; see ops/gather)
+    vrl_packed: jnp.ndarray = ()
     # per-photon BRE radius from local density (the kNN-radius analog of
     # bre.h:39-73): shrinks in dense regions (no leaks), grows in sparse
     # ones (no gaps); () until build_maps fills it
@@ -667,6 +671,10 @@ def build_maps(scene, meta, raw: RawDeposits, r_global, r_caustic,
         vrl_direct=raw.vrl_direct, vrl_valid=vrl_vmask,
         vrl_scale=1.0 / vrl_paths.astype(jnp.float32),
         vrl_count=raw.vrl_count,
+        vrl_packed=jnp.concatenate(
+            [raw.vrl_o, vrl_d, vrl_len[:, None], raw.vrl_flux,
+             raw.vrl_medium.astype(jnp.float32)[:, None],
+             vrl_vmask.astype(jnp.float32)[:, None]], axis=1),
         sp_lost=raw.sp_lost, vp_lost=raw.vp_lost, vrl_lost=raw.vrl_lost,
         trunc_paths=raw.trunc_paths)
 

@@ -168,12 +168,23 @@ def vrl_contrib(scene, meta, maps, seg_o, seg_d, seg_len, cam_medium,
     """Single-VRL contribution to a camera segment (getContrib,
     vrl_struct.h:584-662). Returns (spectrum, sampler)."""
     N = seg_o.shape[0]
-    o_v = maps.vrl_o[vi]
-    d_v = maps.vrl_d[vi]
-    len_v = maps.vrl_len[vi]
-    flux = maps.vrl_flux[vi]
-    med_v = maps.vrl_medium[vi]
-    act = active & maps.vrl_valid[vi] & (len_v > 0) & (seg_len > 0)
+    packed = getattr(maps, 'vrl_packed', None)
+    if isinstance(packed, jnp.ndarray) and packed.ndim == 2:
+        # one 12-wide row gather for the whole VRL record (7 separate
+        # dynamic gathers cost ~7x on TPU; ops/gather.py)
+        row = packed[vi]
+        o_v, d_v = row[:, 0:3], row[:, 3:6]
+        len_v, flux = row[:, 6], row[:, 7:10]
+        med_v = row[:, 10].astype(jnp.int32)
+        valid_v = row[:, 11] > 0.5
+    else:
+        o_v = maps.vrl_o[vi]
+        d_v = maps.vrl_d[vi]
+        len_v = maps.vrl_len[vi]
+        flux = maps.vrl_flux[vi]
+        med_v = maps.vrl_medium[vi]
+        valid_v = maps.vrl_valid[vi]
+    act = active & valid_v & (len_v > 0) & (seg_len > 0)
 
     # --- closest points between the two segments (findClosetPoint) --------
     w0 = seg_o - o_v
@@ -348,19 +359,45 @@ def _seg_point_dist2(seg_o, seg_d, seg_len, p):
     return m.squared_norm(rel - t[..., None] * seg_d[:, None, :])
 
 
-def _cluster_weights(clusters: VRLClusters, seg_o, seg_d, seg_len):
-    """(N, K) cluster selection weights: flux luminance over squared
-    segment-to-centroid distance, softened by the cluster radius (the
-    importance role of getClusterUpperBound, vrl_lightcut.h:441-456; the
-    Tr and phase bounds are constants for homogeneous/iso media and
-    cancel in the normalized pdf)."""
+def _sigma_min_bound(scene, meta, medium_idx):
+    """Per-lane lower bound on extinction along links into the camera
+    medium — the Tr term of the reference cluster upper bound
+    (getClusterUpperBound, vrl_lightcut.h:457-476: Tr <= exp(-sig_min*d)).
+    Min across channels; heterogeneous media use the global grid minimum
+    (grid_sup_min), homogeneous-like the constant sigma_t."""
+    from .. import medium as medium_mod
+    sigma_unit, _, _, _, is_het = medium_mod._medium_facts(scene,
+                                                           medium_idx)
+    sig = jnp.min(sigma_unit, axis=-1)
+    if medium_mod._has_supervoxels(scene, meta) \
+            and scene.media.grid_sup_min is not None:
+        gmin = jnp.min(scene.media.grid_sup_min)
+        sig = jnp.where(is_het, sig * gmin, sig)
+    return jnp.where(medium_idx >= 0, sig, 0.0)
+
+
+def _cluster_weights(clusters: VRLClusters, seg_o, seg_d, seg_len,
+                     sig_min=None):
+    """(N, K) cluster selection weights: flux luminance x a transmittance
+    upper bound exp(-sig_min*d) over squared segment-to-centroid distance,
+    softened by the cluster radius (the importance roles of
+    getClusterUpperBound, vrl_lightcut.h:441-476: flux, 1/d^2, Tr bound;
+    the phase bound is a constant across clusters of one medium and
+    cancels in the normalized pdf)."""
     d2 = _seg_point_dist2(seg_o, seg_d, seg_len,
                           clusters.centroid[None, :, :])
-    return clusters.lum[None, :] / (d2 + clusters.radius2[None, :] + 1e-4)
+    w = clusters.lum[None, :] / (d2 + clusters.radius2[None, :] + 1e-4)
+    if sig_min is not None:
+        # conservative: distance to the cluster FACE (centroid minus
+        # radius), keeping the factor an upper bound on any member's Tr
+        d_near = jnp.maximum(
+            m.safe_sqrt(d2) - m.safe_sqrt(clusters.radius2)[None, :], 0.0)
+        w = w * jnp.exp(-sig_min[:, None] * d_near)
+    return w
 
 
 def sample_cluster_vrl(clusters: VRLClusters, w, w_cdf, seg_o, seg_d,
-                       seg_len, u_c, u_m, V: int):
+                       seg_len, u_c, u_m, V: int, sig_min=None):
     """Draw (cluster, member) per lane: cluster from the precomputed
     (N, K) weights, member with exact per-member flux/dist^2 weights over
     the chosen cluster's M members. Returns (vrl_index, inv_pdf, ok)."""
@@ -374,11 +411,25 @@ def sample_cluster_vrl(clusters: VRLClusters, w, w_cdf, seg_o, seg_d,
     w_tot = w_cdf[:, -1]
     p_c = w_c * m.safe_rcp(w_tot)
     # exact member weights within the chosen cluster (same softened 1/d^2
-    # as the dense-RIS metric, _vrl_ris_weights)
-    mid = clusters.mid[c]                                   # (N, M, 3)
-    mlum = clusters.mlum[c]                                 # (N, M)
+    # as the dense-RIS metric, _vrl_ris_weights). K is small, so the
+    # (N, M)/(N, M, 3) member tables come from ONE one-hot matmul instead
+    # of per-lane row gathers (~the whole VRL-query cost on TPU otherwise)
+    from ..ops.gather import take_many as _take_many
+    M_ = clusters.mid.shape[1]
+    mid_f, mlum = _take_many(
+        [clusters.mid.reshape(clusters.mid.shape[0], M_ * 3),
+         clusters.mlum], c)
+    mid = mid_f.reshape(-1, M_, 3)                          # (N, M, 3)
     d2 = _seg_point_dist2(seg_o, seg_d, seg_len, mid)
-    wm = mlum / (d2 + 1e-3 * (1.0 + d2))
+    # same importance terms as the cluster stage (flux x Tr-bound / d^2);
+    # softening uses the (gathered) cluster radius so both stages share
+    # one constant instead of unrelated magic numbers
+    r2_c = _selch(jnp.broadcast_to(clusters.radius2[None, :],
+                                   (d2.shape[0], clusters.radius2.shape[0])),
+                  c)
+    wm = mlum / (d2 + 1e-2 * r2_c[:, None] + 1e-6)
+    if sig_min is not None:
+        wm = wm * jnp.exp(-sig_min[:, None] * m.safe_sqrt(d2))
     wm_cdf = jnp.cumsum(wm, axis=1)
     wm_tot = wm_cdf[:, -1]
     um = u_m[:, None] * wm_tot[:, None]
@@ -439,7 +490,8 @@ def query_vrls(scene, meta, maps, seg_o, seg_d, seg_len, cam_medium, channel,
 
     if strategy == 'cluster' and maps.clusters is not None and V >= 64:
         clusters: VRLClusters = maps.clusters
-        w = _cluster_weights(clusters, seg_o, seg_d, seg_len)
+        sig_min = _sigma_min_bound(scene, meta, cam_medium)
+        w = _cluster_weights(clusters, seg_o, seg_d, seg_len, sig_min)
         w_cdf = jnp.cumsum(w, axis=1)
         for _ in range(samples_per_query):
             u_c, sampler = sampler.next_1d()
@@ -448,7 +500,7 @@ def query_vrls(scene, meta, maps, seg_o, seg_d, seg_len, cam_medium, channel,
             u2, sampler = sampler.next_1d()
             vi, inv_pdf, ok = sample_cluster_vrl(clusters, w, w_cdf,
                                                  seg_o, seg_d, seg_len,
-                                                 u_c, u_m, V)
+                                                 u_c, u_m, V, sig_min)
             c, sampler = vrl_contrib(scene, meta, maps, seg_o, seg_d,
                                      seg_len, cam_medium, vi, u1, u2,
                                      channel, sampler, active & ok)
@@ -691,27 +743,43 @@ def make_sample(use_vrls: bool):
                                                         gather_body, acc0)
                 result = result + throughput * direct_v * maps.vp_scale
 
-            # indirect: VRL query per bent segment
+            # indirect: VRL query per bent segment. A while_loop over the
+            # LIVE max segment count (not a Python-unrolled range(S)): the
+            # unrolled form compiled 32 copies of the whole query (~170s
+            # compile) and paid every masked segment at full price. The
+            # trip count is identical within each map-parallel psum group
+            # (rays are dp-sharded, mp-replicated), so the in-loop psum is
+            # safe.
             if use_vrls:
-                S = bent.seg_len.shape[1]
-                vrl_acc = jnp.zeros((N, 3))
-                seg_tr = jnp.ones((N, 3))
-                for s_i in range(S):
-                    seg_ok = in_medium & (s_i < bent.count) \
-                        & (bent.seg_len[:, s_i] > 0)
-                    q, smp = query_vrls(
-                        scene, meta, maps, bent.seg_o[:, s_i],
-                        bent.seg_d[:, s_i], bent.seg_len[:, s_i],
-                        st.medium_idx, st.channel, smp, seg_ok, spq,
-                        strategy=strategy)
+                max_cnt = jnp.max(jnp.where(in_medium, bent.count, 0))
+
+                def vq_cond(c):
+                    return c[0] < max_cnt
+
+                def vq_body(c):
+                    s_i, vrl_acc, seg_tr, ismp = c
+                    so = jax.lax.dynamic_index_in_dim(bent.seg_o, s_i, 1,
+                                                      False)
+                    sd = jax.lax.dynamic_index_in_dim(bent.seg_d, s_i, 1,
+                                                      False)
+                    sl = jax.lax.dynamic_index_in_dim(bent.seg_len, s_i, 1,
+                                                      False)
+                    seg_ok = in_medium & (s_i < bent.count) & (sl > 0)
+                    q, ismp = query_vrls(
+                        scene, meta, maps, so, sd, sl, st.medium_idx,
+                        st.channel, ismp, seg_ok, spq, strategy=strategy)
                     q = _map_psum(q, meta)
                     vrl_acc = vrl_acc + jnp.where(seg_ok[:, None],
                                                   seg_tr * q, 0.0)
-                    tr_s, smp = _medium_segment_tr(
-                        scene, meta, smp, bent.seg_o[:, s_i],
-                        bent.seg_d[:, s_i], bent.seg_len[:, s_i],
-                        st.medium_idx, st.channel, seg_ok)
-                    seg_tr = seg_tr * tr_s
+                    tr_s, ismp = _medium_segment_tr(
+                        scene, meta, ismp, so, sd, sl, st.medium_idx,
+                        st.channel, seg_ok)
+                    return (s_i + 1, vrl_acc, seg_tr * tr_s, ismp)
+
+                _, vrl_acc, _, smp = jax.lax.while_loop(
+                    vq_cond, vq_body,
+                    (jnp.int32(0), jnp.zeros((N, 3)), jnp.ones((N, 3)),
+                     smp))
                 result = result + throughput * vrl_acc
 
             # camera attenuation through the medium (het lanes are never

@@ -77,7 +77,8 @@ def _maps_spec(axis: str) -> PhotonMaps:
         vrl_o=P(axis, None), vrl_d=P(axis, None), vrl_len=P(axis),
         vrl_flux=P(axis, None), vrl_medium=P(axis), vrl_depth=P(axis),
         vrl_direct=P(axis), vrl_valid=P(axis), vrl_scale=P(),
-        vrl_count=P(), sp_lost=P(), vp_lost=P(), vrl_lost=P(),
+        vrl_count=P(), vrl_packed=P(axis, None),
+        sp_lost=P(), vp_lost=P(), vrl_lost=P(),
         trunc_paths=P())
 
 

@@ -58,45 +58,51 @@ def _sobol2_u32(i):
 
 
 def _cmj_permute(i, l, p):
-    """Kensler's in-place hash permutation over [0, l) (l power of two
-    mask assumed handled by caller via cycle-walking)."""
+    """Kensler's in-place hash permutation over [0, l) (reference
+    permute_kensler, include/mitsuba/core/random.h:229-270): a bijective
+    masked-xorshift/odd-multiply mix on the power-of-two superset domain,
+    cycle-walked until the value lands in range. ``l`` must be a python
+    int (the walk bound is static: worst case pow2(l) - l + 1 rounds,
+    random.h:241-245)."""
+    l = int(l)
+    if l <= 1:
+        return jnp.zeros_like(jnp.asarray(i, jnp.uint32))
     w = l - 1
     w |= w >> 1
     w |= w >> 2
     w |= w >> 4
     w |= w >> 8
     w |= w >> 16
+    wj = jnp.uint32(w)
+    lj = jnp.uint32(l)
 
-    def body(carry):
-        i, _ = carry
-        x = i
+    def mix(x):
         x ^= p
         x = (x * jnp.uint32(0xe170893d)) & jnp.uint32(0xFFFFFFFF)
         x ^= p >> 16
-        x ^= (x & w) >> 4
+        x ^= (x & wj) >> 4
         x ^= p >> 8
         x = (x * jnp.uint32(0x0929eb3f)) & jnp.uint32(0xFFFFFFFF)
         x ^= p >> 23
-        x ^= (x & w) >> 1
+        x ^= (x & wj) >> 1
         x = (x * (jnp.uint32(1) | (p >> 27))) & jnp.uint32(0xFFFFFFFF)
         x = (x * jnp.uint32(0x6935fa69)) & jnp.uint32(0xFFFFFFFF)
-        x ^= (x & w) >> 11
-        x = (x * jnp.uint32(0x74dcca9a)) & jnp.uint32(0xFFFFFFFF)
-        x ^= (x & w) >> 2
+        x ^= (x & wj) >> 11
+        x = (x * jnp.uint32(0x74dcb303)) & jnp.uint32(0xFFFFFFFF)
+        x ^= (x & wj) >> 2
         x = (x * jnp.uint32(0x9e501cc3)) & jnp.uint32(0xFFFFFFFF)
-        x ^= (x & w) >> 2
+        x ^= (x & wj) >> 2
         x = (x * jnp.uint32(0xc860a3df)) & jnp.uint32(0xFFFFFFFF)
-        x &= w
+        x &= wj
         x ^= x >> 5
-        return x, x >= l
+        return x
 
-    # single application (cycle-walk unrolled a few times)
-    x, over = body((i.astype(jnp.uint32), None))
-    for _ in range(3):
-        x2, over2 = body((x, None))
-        x = jnp.where(over, x2, x)
-        over = over & over2
-    return ((x + p) % l).astype(jnp.uint32)
+    x = jnp.asarray(i, jnp.uint32)
+    # static walk bound: the mix is a bijection on [0, w+1), so at most
+    # (w+1) - l re-applications can stay out of range
+    for _ in range((w + 1) - l + 1):
+        x = jnp.where(x >= lj, mix(x), x) if _ else mix(x)
+    return ((x + p) % lj).astype(jnp.uint32)
 
 
 def _cmj_randfloat(i, p):
@@ -141,6 +147,37 @@ def film_jitter(sampler_type: str, key, pass_idx: int, spp: int, N: int):
         sy = (s // a).astype(jnp.float32)
         u = jax.random.uniform(key, (N, 2), jnp.float32)
         return jnp.stack([(sx + u[:, 0]) / a, (sy + u[:, 1]) / b], axis=-1)
+
+    if sampler_type == 'orthogonal':
+        # Bose orthogonal-array construction (Jarosz et al. 2019;
+        # reference src/samplers/orthogonal.cpp:186-219): r = smallest
+        # prime with r^2 >= spp, sample index permuted over r^2, mapped to
+        # the (a_i0, a_i1) grid; dim 0 strata from a_i0 (sub from a_i1),
+        # dim 1 swapped — every 2D projection is CMJ-stratified and both
+        # 1D projections hit all r^2 strata.
+        def _is_prime(x):
+            return x >= 2 and all(x % k for k in range(2, int(x**0.5) + 1))
+        r = 2
+        while r * r < spp or not _is_prime(r):
+            r += 1
+        r_u = jnp.uint32(r)
+        n2 = jnp.uint32(r * r)
+        p = _hash_u32(lanes, 0x51633e2d)
+        i = _cmj_permute(jnp.broadcast_to(jnp.uint32(pass_idx), (N,)) % n2,
+                         n2, p)
+        a0 = i // r_u
+        a1 = i % r_u
+        u = jax.random.uniform(key, (N, 2), jnp.float32)
+
+        def bose(a_ij, a_ik, j, jit):
+            st = _cmj_permute(a_ij, r_u,
+                              p * jnp.uint32((j + 1) * 0x51633e2d))
+            sub = _cmj_permute(a_ik, r_u,
+                               p * jnp.uint32((j + 1) * 0x68bc21eb))
+            return (st.astype(jnp.float32)
+                    + (sub.astype(jnp.float32) + jit) / r) / r
+        return jnp.stack([bose(a0, a1, 0, u[:, 0]),
+                          bose(a1, a0, 1, u[:, 1])], axis=-1)
 
     if sampler_type in ('multijitter', 'orthogonal'):
         import math

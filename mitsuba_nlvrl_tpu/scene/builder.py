@@ -988,5 +988,30 @@ class SceneBuilder:
         return scene, meta
 
 
+def enable_double():
+    """Switch the process to the double-precision variant (the reference's
+    ``*_double`` build configs, resources/mitsuba.conf.template:100-110):
+    enables jax x64 so every ``jnp.zeros``/literal in the wavefront code
+    defaults to float64. Must run before any array is traced; scenes built
+    afterwards (or with ``desc['double']=True``) carry float64 tables."""
+    import jax
+    jax.config.update('jax_enable_x64', True)
+
+
+def _cast_scene_double(scene: SceneData) -> SceneData:
+    import jax
+    return jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.float64)
+        if hasattr(x, 'dtype') and x.dtype == jnp.float32 else x, scene)
+
+
 def build_scene(desc: dict) -> Tuple[SceneData, SceneMeta]:
-    return SceneBuilder(desc).build()
+    import os
+    double = bool(desc.get('double', False)) \
+        or os.environ.get('MNT_DOUBLE', '') == '1'
+    if double:
+        enable_double()
+    scene, meta = SceneBuilder(desc).build()
+    if double:
+        scene = _cast_scene_double(scene)
+    return scene, meta
