@@ -152,7 +152,17 @@ def intersect_preliminary(scene, ray: Ray, maxt=None) -> PreliminaryHit:
     kind = jnp.zeros((N,), jnp.int32)
 
     if geo.v0.shape[0] > 0:
-        if _USE_PALLAS and jax.default_backend() == 'tpu':
+        if getattr(scene, 'bvh4', None) is not None \
+                and jax.default_backend() == 'tpu':
+            # packed-row BVH4 (ops/bvh4.py): one 32-float row gather per
+            # traversal iteration — beats the dense sweep once the scene
+            # outgrows a few thousand triangles (scripts/bench_isect.py)
+            from . import bvh4 as bvh4_mod
+            t, i, u, v = bvh4_mod.traverse(scene.bvh4, ray.o, ray.d,
+                                           ray.mint, maxt, any_hit=False)
+            best_t = jnp.where(jnp.isfinite(t), t, jnp.inf)
+            best_i, best_u, best_v = i, u, v
+        elif _USE_PALLAS and jax.default_backend() == 'tpu':
             from .pallas.intersect_tpu import intersect_tris
             cols = [geo.v0[:, 0], geo.v0[:, 1], geo.v0[:, 2],
                     geo.e1[:, 0], geo.e1[:, 1], geo.e1[:, 2],
@@ -196,7 +206,13 @@ def ray_test(scene, ray: Ray, maxt=None) -> jnp.ndarray:
     maxt = ray.maxt if maxt is None else maxt
     occluded = jnp.zeros((ray.o.shape[0],), bool)
     if geo.v0.shape[0] > 0:
-        if _USE_PALLAS and jax.default_backend() == 'tpu':
+        if getattr(scene, 'bvh4', None) is not None \
+                and jax.default_backend() == 'tpu':
+            from . import bvh4 as bvh4_mod
+            t, _, _, _ = bvh4_mod.traverse(scene.bvh4, ray.o, ray.d,
+                                           ray.mint, maxt, any_hit=True)
+            occluded = occluded | jnp.isfinite(t)
+        elif _USE_PALLAS and jax.default_backend() == 'tpu':
             from .pallas.intersect_tpu import intersect_tris
             cols = [geo.v0[:, 0], geo.v0[:, 1], geo.v0[:, 2],
                     geo.e1[:, 0], geo.e1[:, 1], geo.e1[:, 2],

@@ -161,18 +161,18 @@ def film_jitter(sampler_type: str, key, pass_idx: int, spp: int, N: int):
         while r * r < spp or not _is_prime(r):
             r += 1
         r_u = jnp.uint32(r)
-        n2 = jnp.uint32(r * r)
+        n2 = r * r
         p = _hash_u32(lanes, 0x51633e2d)
-        i = _cmj_permute(jnp.broadcast_to(jnp.uint32(pass_idx), (N,)) % n2,
-                         n2, p)
+        i = _cmj_permute(jnp.broadcast_to(jnp.uint32(pass_idx), (N,))
+                         % jnp.uint32(n2), n2, p)
         a0 = i // r_u
         a1 = i % r_u
         u = jax.random.uniform(key, (N, 2), jnp.float32)
 
         def bose(a_ij, a_ik, j, jit):
-            st = _cmj_permute(a_ij, r_u,
+            st = _cmj_permute(a_ij, r,
                               p * jnp.uint32((j + 1) * 0x51633e2d))
-            sub = _cmj_permute(a_ik, r_u,
+            sub = _cmj_permute(a_ik, r,
                                p * jnp.uint32((j + 1) * 0x68bc21eb))
             return (st.astype(jnp.float32)
                     + (sub.astype(jnp.float32) + jit) / r) / r
@@ -186,10 +186,10 @@ def film_jitter(sampler_type: str, key, pass_idx: int, spp: int, N: int):
             mm -= 1
         nn = spp // mm
         p = _hash_u32(lanes, 0x51633e2d)
-        s = _cmj_permute(jnp.broadcast_to(jnp.uint32(pass_idx), (N,)),
-                         jnp.uint32(spp), p * jnp.uint32(0x51633e2d))
-        sx = _cmj_permute(s % mm, jnp.uint32(mm), p * jnp.uint32(0x68bc21eb))
-        sy = _cmj_permute(s // mm, jnp.uint32(nn), p * jnp.uint32(0x02e5be93))
+        s = _cmj_permute(jnp.broadcast_to(jnp.uint32(pass_idx), (N,))
+                         % jnp.uint32(spp), spp, p * jnp.uint32(0x51633e2d))
+        sx = _cmj_permute(s % mm, mm, p * jnp.uint32(0x68bc21eb))
+        sy = _cmj_permute(s // mm, nn, p * jnp.uint32(0x02e5be93))
         jx = _cmj_randfloat(s, p * jnp.uint32(0x967a889b))
         jy = _cmj_randfloat(s, p * jnp.uint32(0x368cc8b7))
         x = ((s % mm).astype(jnp.float32) + (sy.astype(jnp.float32) + jx)

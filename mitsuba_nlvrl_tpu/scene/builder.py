@@ -538,6 +538,7 @@ class SceneBuilder:
         # --- BVH for larger scenes: Morton-reorder triangles and build the
         # node arrays (ops/bvh.py); emitter tri indices are remapped below.
         bvh_arrays = None
+        bvh4_arrays = None
         tri_perm_inv = None
         if T >= 1024:
             from ..ops import bvh as bvh_mod
@@ -552,6 +553,13 @@ class SceneBuilder:
                 C = C[perm]
             bvh_arrays = bvh_mod.BVHArrays(
                 *[jnp.asarray(x) for x in bvh_np])
+            # 4-wide packed-row BVH for the TPU traversal over the SAME
+            # (already applied) Morton order
+            from ..ops import bvh4 as bvh4_mod
+            e1o = V[:, 1] - V[:, 0]
+            e2o = V[:, 2] - V[:, 0]
+            bvh4_arrays = bvh4_mod.build(V[:, 0], e1o, e2o,
+                                         pre_ordered=True)
 
         # --- emitters --------------------------------------------------------
         emitter_rows = []       # (type, params, shape_idx)
@@ -620,10 +628,20 @@ class SceneBuilder:
         if env_descs:
             eprops = env_descs[0]
             from ..utils.io import read_exr
-            img, names = read_exr(eprops['filename'])
-            if set('RGB') <= set(names):
-                img = img[:, :, [names.index(c) for c in 'RGB']]
-            env_map = np.ascontiguousarray(img[:, :, :3], np.float32)
+            try:
+                img, names = read_exr(eprops['filename'])
+                if set('RGB') <= set(names):
+                    img = img[:, :, [names.index(c) for c in 'RGB']]
+                img = img[:, :, :3]
+            except FileNotFoundError:
+                # reference checkouts ship scenes whose envmap EXRs are
+                # absent (mirage.xml -> venice_sunset_4k.exr); degrade to
+                # a uniform sky instead of failing the whole scene
+                from ..utils.logger import Log, Warn
+                Log(Warn, f"envmap '{eprops.get('filename')}' not found; "
+                          f"substituting a uniform white environment")
+                img = np.ones((2, 4, 3), np.float32)
+            env_map = np.ascontiguousarray(img, np.float32)
             env_scale = float(eprops.get('scale', 1.0))
             env_to_world = eprops.get('to_world', tr.Transform.identity())
             He, We = env_map.shape[:2]
@@ -943,7 +961,8 @@ class SceneBuilder:
                               if k != 'type'))
 
         scene = SceneData(
-            geo=geo, bvh=bvh_arrays, shapes=shapes_t, bsdfs=bsdfs_t,
+            geo=geo, bvh=bvh_arrays, bvh4=bvh4_arrays,
+            shapes=shapes_t, bsdfs=bsdfs_t,
             emitters=emitters_t, media=media_t, textures=textures_t,
             sensor=sensor_data,
             bbox_lo=jnp.asarray(lo, jnp.float32),

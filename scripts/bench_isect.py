@@ -28,18 +28,35 @@ def timeit(fn, *args, n=10):
     return (time.time() - t0) / n
 
 
+def _mesh_tris(subdiv):
+    """A real SURFACE (icosphere) — BVHs are built for geometric locality;
+    random triangle soup is their pathological worst case."""
+    from mitsuba_nlvrl_tpu.scene.builder import _icosphere_mesh
+    m_ = _icosphere_mesh(subdiv)
+    v = m_.vertices[m_.faces]               # (T, 3, 3)
+    return (v[:, 0], v[:, 1] - v[:, 0], v[:, 2] - v[:, 0])
+
+
 def main():
     rng = np.random.default_rng(0)
     for N in (32768, 131072):
-        o = jnp.asarray(rng.uniform(-1, 1, (N, 3)).astype(np.float32))
-        d = jnp.asarray(rng.normal(size=(N, 3)).astype(np.float32))
-        d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+        # camera-like rays: origins on a sphere of radius 3, pointed at
+        # jittered targets near the origin
+        o_np = rng.normal(size=(N, 3)).astype(np.float32)
+        o_np = 3.0 * o_np / np.linalg.norm(o_np, axis=-1, keepdims=True)
+        tgt = rng.uniform(-0.7, 0.7, (N, 3)).astype(np.float32)
+        d_np = tgt - o_np
+        d_np /= np.linalg.norm(d_np, axis=-1, keepdims=True)
+        o = jnp.asarray(o_np)
+        d = jnp.asarray(d_np)
         ray = Ray(o, d, jnp.zeros((N,)), jnp.full((N,), np.inf))
         print(f"N={N}")
-        for T in (1024, 16384, 131072, 524288):
-            v0 = jnp.asarray(rng.uniform(-1, 1, (T, 3)).astype(np.float32))
-            e1 = jnp.asarray(rng.normal(size=(T, 3)).astype(np.float32) * .01)
-            e2 = jnp.asarray(rng.normal(size=(T, 3)).astype(np.float32) * .01)
+        for subdiv in (4, 5, 6, 7):
+            v0n, e1n, e2n = _mesh_tris(subdiv)
+            T = len(v0n)
+            v0 = jnp.asarray(v0n)
+            e1 = jnp.asarray(e1n)
+            e2 = jnp.asarray(e2n)
 
             @jax.jit
             def dense(o_, d_):
@@ -50,6 +67,20 @@ def main():
             dt = timeit(dense, o, d)
             print(f"  dense T={T:7d}: {dt*1e3:8.2f} ms "
                   f"({N/dt/1e6:7.2f} Mrays/s)", flush=True)
+            from mitsuba_nlvrl_tpu.ops import bvh4 as bvh4_mod
+            import numpy as _np
+            b4 = bvh4_mod.build(_np.asarray(v0), _np.asarray(e1),
+                                _np.asarray(e2))
+
+            @jax.jit
+            def trav(o_, d_):
+                t, i, u, v = bvh4_mod.traverse(
+                    b4, o_, d_, jnp.zeros((N,)), jnp.full((N,), np.inf))
+                return t
+            dt4 = timeit(trav, o, d)
+            print(f"  bvh4  T={T:7d}: {dt4*1e3:8.2f} ms "
+                  f"({N/dt4/1e6:7.2f} Mrays/s)  "
+                  f"[{dt/dt4:5.2f}x vs dense]", flush=True)
 
         # one BVH4-style iteration: packed row gather + AABB tests + stack ops
         M = 65536

@@ -24,8 +24,8 @@ import numpy as np
 
 from golden_scenes import ANCHORS, GOLDEN_DIR, render_anchor
 
-K_SEEDS = 8
-SPP_SEED = 4
+K_SEEDS = int(os.environ.get('MNT_GOLDEN_SEEDS', 8))
+SPP_SEED = int(os.environ.get('MNT_GOLDEN_SPP', 4))
 
 
 def main(names):
