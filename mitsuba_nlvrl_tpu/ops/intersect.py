@@ -34,6 +34,8 @@ TRI_CHUNK = 1024
 # dense brute force on TPU at reference-scene sizes.
 import os
 _USE_PALLAS = os.environ.get('MNT_INTERSECT', '') == 'pallas'
+# measured dense-vs-cluster crossover on TPU v5e (scripts/bench_isect.py)
+_CLUSTER_MIN_TRIS = int(os.environ.get('MNT_CLUSTER_MIN', 262144))
 
 KIND_TRI = 0
 KIND_SPHERE = 1
@@ -152,14 +154,17 @@ def intersect_preliminary(scene, ray: Ray, maxt=None) -> PreliminaryHit:
     kind = jnp.zeros((N,), jnp.int32)
 
     if geo.v0.shape[0] > 0:
-        if getattr(scene, 'bvh4', None) is not None \
+        if getattr(scene, 'clusters', None) is not None \
+                and geo.v0.shape[0] >= _CLUSTER_MIN_TRIS \
                 and jax.default_backend() == 'tpu':
-            # packed-row BVH4 (ops/bvh4.py): one 32-float row gather per
-            # traversal iteration — beats the dense sweep once the scene
-            # outgrows a few thousand triangles (scripts/bench_isect.py)
-            from . import bvh4 as bvh4_mod
-            t, i, u, v = bvh4_mod.traverse(scene.bvh4, ray.o, ray.d,
-                                           ray.mint, maxt, any_hit=False)
+            # cluster sweep (ops/isect_clusters.py): dense (N, C) AABB
+            # plane + one fat-row gather per visited cluster — beats the
+            # dense triangle sweep above ~300k tris on TPU (measured
+            # crossover, docs/PERF.md; per-lane BVH stack walks lose at
+            # every size — scripts/bench_isect.py)
+            from . import isect_clusters as ic_mod
+            t, i, u, v = ic_mod.traverse(scene.clusters, ray.o, ray.d,
+                                         ray.mint, maxt, any_hit=False)
             best_t = jnp.where(jnp.isfinite(t), t, jnp.inf)
             best_i, best_u, best_v = i, u, v
         elif _USE_PALLAS and jax.default_backend() == 'tpu':
@@ -206,11 +211,12 @@ def ray_test(scene, ray: Ray, maxt=None) -> jnp.ndarray:
     maxt = ray.maxt if maxt is None else maxt
     occluded = jnp.zeros((ray.o.shape[0],), bool)
     if geo.v0.shape[0] > 0:
-        if getattr(scene, 'bvh4', None) is not None \
+        if getattr(scene, 'clusters', None) is not None \
+                and geo.v0.shape[0] >= _CLUSTER_MIN_TRIS \
                 and jax.default_backend() == 'tpu':
-            from . import bvh4 as bvh4_mod
-            t, _, _, _ = bvh4_mod.traverse(scene.bvh4, ray.o, ray.d,
-                                           ray.mint, maxt, any_hit=True)
+            from . import isect_clusters as ic_mod
+            t, _, _, _ = ic_mod.traverse(scene.clusters, ray.o, ray.d,
+                                         ray.mint, maxt, any_hit=True)
             occluded = occluded | jnp.isfinite(t)
         elif _USE_PALLAS and jax.default_backend() == 'tpu':
             from .pallas.intersect_tpu import intersect_tris

@@ -538,7 +538,7 @@ class SceneBuilder:
         # --- BVH for larger scenes: Morton-reorder triangles and build the
         # node arrays (ops/bvh.py); emitter tri indices are remapped below.
         bvh_arrays = None
-        bvh4_arrays = None
+        cluster_arrays = None
         tri_perm_inv = None
         if T >= 1024:
             from ..ops import bvh as bvh_mod
@@ -553,13 +553,15 @@ class SceneBuilder:
                 C = C[perm]
             bvh_arrays = bvh_mod.BVHArrays(
                 *[jnp.asarray(x) for x in bvh_np])
-            # 4-wide packed-row BVH for the TPU traversal over the SAME
-            # (already applied) Morton order
-            from ..ops import bvh4 as bvh4_mod
+            # TPU traversal structure over the SAME (already applied)
+            # Morton order: the cluster sweep (ops/isect_clusters.py) is
+            # the one that actually beats the dense sweep on TPU
+            # (crossover ~300k tris, docs/PERF.md); the packed BVH4
+            # (ops/bvh4.py) is kept as the measured negative result.
+            from ..ops import isect_clusters as ic_mod
             e1o = V[:, 1] - V[:, 0]
             e2o = V[:, 2] - V[:, 0]
-            bvh4_arrays = bvh4_mod.build(V[:, 0], e1o, e2o,
-                                         pre_ordered=True)
+            cluster_arrays = ic_mod.build(V[:, 0], e1o, e2o)
 
         # --- emitters --------------------------------------------------------
         emitter_rows = []       # (type, params, shape_idx)
@@ -961,7 +963,7 @@ class SceneBuilder:
                               if k != 'type'))
 
         scene = SceneData(
-            geo=geo, bvh=bvh_arrays, bvh4=bvh4_arrays,
+            geo=geo, bvh=bvh_arrays, clusters=cluster_arrays,
             shapes=shapes_t, bsdfs=bsdfs_t,
             emitters=emitters_t, media=media_t, textures=textures_t,
             sensor=sensor_data,

@@ -225,9 +225,9 @@ class SceneData(NamedTuple):
     # for per-wavelength Fresnel in spectral variants; bsdf param slot 13
     # holds the row id + 1. (1, 2, K) zeros dummy when unused.
     conductor_spd: jnp.ndarray = ()
-    # 4-wide packed-row BVH for TPU traversal (ops/bvh4.py); None for
-    # small scenes where the dense sweep wins
-    bvh4: Optional[object] = None
+    # cluster-sweep traversal arrays for TPU (ops/isect_clusters.py);
+    # None for small scenes where the dense sweep wins
+    clusters: Optional[object] = None
 
 
 @dataclass(frozen=True)

@@ -81,6 +81,23 @@ def main():
             print(f"  bvh4  T={T:7d}: {dt4*1e3:8.2f} ms "
                   f"({N/dt4/1e6:7.2f} Mrays/s)  "
                   f"[{dt/dt4:5.2f}x vs dense]", flush=True)
+            from mitsuba_nlvrl_tpu.ops import isect_clusters as ic
+            from mitsuba_nlvrl_tpu.ops import bvh as bvh_mod
+            b_bin = bvh_mod._build_numpy(_np.asarray(v0), _np.asarray(e1),
+                                         _np.asarray(e2))
+            ordn = b_bin.order
+            cl = ic.build(_np.asarray(v0)[ordn], _np.asarray(e1)[ordn],
+                          _np.asarray(e2)[ordn])
+
+            @jax.jit
+            def sweep(o_, d_):
+                t, i, u, v = ic.traverse(
+                    cl, o_, d_, jnp.zeros((N,)), jnp.full((N,), np.inf))
+                return t
+            dtc = timeit(sweep, o, d)
+            print(f"  clust T={T:7d}: {dtc*1e3:8.2f} ms "
+                  f"({N/dtc/1e6:7.2f} Mrays/s)  "
+                  f"[{dt/dtc:5.2f}x vs dense]", flush=True)
 
         # one BVH4-style iteration: packed row gather + AABB tests + stack ops
         M = 65536

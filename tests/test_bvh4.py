@@ -1,6 +1,8 @@
-"""BVH4 packed-row traversal (ops/bvh4.py): bit-parity with the dense
-brute-force sweep (the naive-vs-accelerated scheme of the reference
-test_kdtrees.py:26-101)."""
+"""TPU traversal structures: bit-parity with the dense brute-force sweep
+(the naive-vs-accelerated scheme of the reference test_kdtrees.py:26-101)
+for BOTH the packed-row BVH4 (ops/bvh4.py — kept as the measured negative
+result on TPU) and the cluster sweep (ops/isect_clusters.py — the TPU
+default above the measured ~300k-tri crossover, docs/PERF.md)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -69,9 +71,37 @@ def test_bvh4_bounded_maxt():
     assert np.allclose(t[hit], tb[hit], rtol=1e-4, atol=1e-6)
 
 
-def test_scene_builder_attaches_bvh4():
-    """Scenes over the tri threshold carry the packed table and the TPU
-    dispatch sites see it (on CPU the dense/binary paths still run)."""
+def test_cluster_sweep_matches_brute_force():
+    T, N = 4096, 2048
+    from mitsuba_nlvrl_tpu.ops import isect_clusters as ic
+    v0, e1, e2 = _soup(T)
+    from mitsuba_nlvrl_tpu.ops import bvh as bvh_mod
+    b = bvh_mod._build_numpy(v0, e1, e2)
+    ordn = np.asarray(b.order)
+    v0, e1, e2 = v0[ordn], e1[ordn], e2[ordn]
+    cl = ic.build(v0, e1, e2)
+    rng = np.random.default_rng(9)
+    o = jnp.asarray(rng.uniform(-2, 2, (N, 3)).astype(np.float32))
+    d = rng.normal(size=(N, 3)).astype(np.float32)
+    d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True))
+    mint = jnp.zeros((N,))
+    for maxt in (jnp.full((N,), np.inf), jnp.full((N,), 1.8)):
+        t, i, u, v = ic.traverse(cl, o, d, mint, maxt)
+        ray = Ray(o, d, mint, maxt)
+        tb, ib, _, _, _ = _scan_tris(ray, jnp.asarray(v0), jnp.asarray(e1),
+                                     jnp.asarray(e2), False, maxt)
+        t, i, tb, ib = map(np.asarray, (t, i, tb, ib))
+        hit = np.isfinite(tb)
+        assert (np.isfinite(t) == hit).all()
+        assert np.allclose(t[hit], tb[hit], rtol=1e-4, atol=1e-6)
+        assert (i[hit] == ib[hit]).mean() > 0.995
+        t2, _, _, _ = ic.traverse(cl, o, d, mint, maxt, any_hit=True)
+        assert (np.isfinite(np.asarray(t2)) == hit).all()
+
+
+def test_scene_builder_attaches_clusters():
+    """Scenes over the tri threshold carry the cluster arrays and the TPU
+    dispatch sites see them (on CPU the dense/binary paths still run)."""
     from mitsuba_nlvrl_tpu import build_scene
     from mitsuba_nlvrl_tpu.core import transform as tr
     v0, e1, e2 = _soup(2000, seed=5)
@@ -93,5 +123,6 @@ def test_scene_builder_attaches_bvh4():
         'emitters': [{'type': 'constant', 'radiance': (1.0, 1.0, 1.0)}],
     }
     scene, meta = build_scene(desc)
-    assert scene.bvh4 is not None
-    assert scene.bvh4.rows.shape[1] == 32
+    assert scene.clusters is not None
+    from mitsuba_nlvrl_tpu.ops.isect_clusters import K_TRIS
+    assert scene.clusters.rows.shape[1] == K_TRIS * 9
