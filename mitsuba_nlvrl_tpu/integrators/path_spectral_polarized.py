@@ -15,12 +15,13 @@ wavelength (B < 490nm <= G < 580nm <= R). For achromatic Mueller
 structures — ideal polarizer/retarder/circular, dielectrics with scalar
 IOR, diffuse — the structure is channel-independent and the factorization
 is EXACT. For named conductor materials with tabulated .spd IOR curves
-both the Mueller MAGNITUDE (bsdf.spectral_fresnel_ratio) and the
-normalized polarization STRUCTURE (phase retardation;
-bsdf.polarized.spectral_conductor_structure) are evaluated per hero
-wavelength from the complex IOR eta(lambda) + i*k(lambda) — matching the
-reference's is_spectral_v conductor arm exactly. Only RGB-literal
-conductors (no tabulated curve) keep the band-quantized structure.
+both the Mueller MAGNITUDE and the normalized polarization STRUCTURE
+(phase retardation) come per hero wavelength from ONE fused complex-IOR
+curve gather (bsdf.polarized.spectral_conductor_terms, which also
+resolves normalmap/bumpmap wrapper rows) — matching the reference's
+is_spectral_v conductor arm exactly. Only RGB-literal conductors (no
+tabulated curve) and blendbsdf-wrapped ones keep the band-quantized
+structure.
 """
 from __future__ import annotations
 
