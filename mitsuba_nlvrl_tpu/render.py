@@ -91,32 +91,47 @@ def preprocess(scene, meta, seed: int = 0, integrator: Optional[str] = None):
     return pre(scene, meta_p, key)
 
 
-@partial(jax.jit, static_argnames=('meta', 'integrator', 'band_h'))
+@partial(jax.jit, static_argnames=('meta', 'integrator', 'band_h',
+                                   'n_passes'))
 def _render_band(scene, meta, key, y0, band_h: int,
-                 integrator: Optional[str] = None, aux=None, pass_idx=0):
-    """Render one horizontal film band (rows y0..y0+band_h) at 1 spp.
-    Bounded-size dispatches keep per-kernel runtime short — the remote TPU
-    worker kills very long single kernels (heavy VRL passes)."""
+                 integrator: Optional[str] = None, aux=None, pass_idx=0,
+                 n_passes: int = 1):
+    """Render one horizontal film band (rows y0..y0+band_h) for
+    ``n_passes`` spp in ONE dispatch (fori over passes — per-dispatch
+    latency on the remote link is ~100ms). Bounded band sizes keep
+    per-kernel runtime short — the remote TPU worker kills very long
+    single kernels (heavy VRL passes)."""
     from .sampler import film_jitter
     integ = get_integrator(integrator or meta.integrator)
     W = meta.film.width
     N = W * band_h
-    pos_key, samp_key = jax.random.split(key)
     xs = jnp.arange(W, dtype=jnp.float32)
     ys = y0.astype(jnp.float32) + jnp.arange(band_h, dtype=jnp.float32)
     gx, gy = jnp.meshgrid(xs, ys)
     base = jnp.stack([gx.ravel(), gy.ravel()], axis=-1)
-    jitter = film_jitter(meta.sampler, pos_key, pass_idx, meta.spp, N)
-    pos = base + jitter
     scale = jnp.asarray([1.0 / W, 1.0 / meta.film.height], jnp.float32)
-    ray, sensor_weight = sensor_mod.sample_ray(
-        scene, meta, pos * scale,
-        jax.random.uniform(jax.random.fold_in(pos_key, 1), (N, 2)))
-    sampler = Sampler.make(jax.random.fold_in(samp_key, y0), N)
-    L, valid, sampler = integ(scene, meta, sampler, ray, aux=aux)
-    L = jnp.where(jnp.isfinite(L), L, 0.0) * sensor_weight
-    return (L * 1.0).reshape(band_h, W, 3), jitter.reshape(band_h, W, 2), \
-        sampler.rays
+
+    def one_pass(rays, i):
+        kp = jax.random.fold_in(key, i)
+        pos_key, samp_key = jax.random.split(kp)
+        jitter = film_jitter(meta.sampler, pos_key, pass_idx + i, meta.spp,
+                             N)
+        pos = base + jitter
+        ray, sensor_weight = sensor_mod.sample_ray(
+            scene, meta, pos * scale,
+            jax.random.uniform(jax.random.fold_in(pos_key, 1), (N, 2)))
+        sampler = Sampler.make(jax.random.fold_in(samp_key, y0), N)
+        L, valid, sampler = integ(scene, meta, sampler, ray, aux=aux)
+        L = jnp.where(jnp.isfinite(L), L, 0.0) * sensor_weight
+        return rays + sampler.rays, (L.reshape(band_h, W, 3),
+                                     jitter.reshape(band_h, W, 2))
+
+    rays, (Ls, jits) = jax.lax.scan(one_pass, jnp.zeros((), jnp.float32),
+                                    jnp.arange(n_passes))
+    # (n_passes, band_h, W, 3/2): the caller splats each pass on the FULL
+    # film so the reconstruction filter is identical to the non-banded
+    # path (no band-seam truncation)
+    return Ls, jits, rays
 
 
 def render(scene, meta, seed: int = 0, spp: Optional[int] = None,
@@ -180,21 +195,34 @@ def render(scene, meta, seed: int = 0, spp: Optional[int] = None,
         if banded:
             kp = jax.random.fold_in(key, p)
             band_h = max(1, max_band_rays // W)
+            # fold this chunk's passes into each band dispatch (the
+            # banded integrators are the slowest per pass; per-dispatch
+            # latency would otherwise multiply by spp)
+            n_band_passes = 1 if (should_stop is not None
+                                  or on_pass is not None
+                                  or timeout is not None
+                                  or spp_per_dispatch == 1) \
+                else min(4, spp - p)
+            n_now = n_band_passes
             rows = []
             for y0 in range(0, H, band_h):
                 bh = min(band_h, H - y0)
-                L, jit2, nrays = _render_band(scene, meta,
-                                              jax.random.fold_in(kp, y0),
-                                              jnp.uint32(y0), bh, name, aux,
-                                              jnp.uint32(p))
-                rows.append((L, jit2))
+                Ls, jits, nrays = _render_band(scene, meta,
+                                               jax.random.fold_in(kp, y0),
+                                               jnp.uint32(y0), bh, name,
+                                               aux, jnp.uint32(p),
+                                               n_passes=n_band_passes)
+                rows.append((Ls, jits))
                 if ray_stats is not None:
                     ray_stats.append(nrays)
-            Lfull = jnp.concatenate([r[0] for r in rows], axis=0)
-            jfull = jnp.concatenate([r[1] for r in rows], axis=0)
+            # per pass: concat bands -> full-film filtered splat
             img = film_mod.new_image(meta.film)
-            img = film_mod.splat_pixel_ordered(
-                meta.film, jfull.reshape(-1, 2), Lfull.reshape(-1, 3), img)
+            for p_i in range(n_band_passes):
+                Lfull = jnp.concatenate([r[0][p_i] for r in rows], axis=0)
+                jfull = jnp.concatenate([r[1][p_i] for r in rows], axis=0)
+                img = film_mod.splat_pixel_ordered(
+                    meta.film, jfull.reshape(-1, 2), Lfull.reshape(-1, 3),
+                    img)
         elif n_now == 1:
             img, nrays = render_pass(scene, meta,
                                      jax.random.fold_in(key, p),
