@@ -14,6 +14,15 @@ Robustness: the remote TPU worker can crash (long volumetric kernels) or
 hang (recovering). Each config therefore runs in its OWN SUBPROCESS under
 a hard timeout, with one retry after a recovery wait — the parent process
 never imports JAX and always prints the JSON line.
+
+Wall-time contract: the WHOLE bench fits a hard budget (default 18 min,
+MNT_BENCH_BUDGET seconds to override) regardless of how many children
+hang — every per-config timeout, retry, and recovery sleep is sized
+against the remaining budget, and the final JSON line is printed from a
+finally block. The measured happy path is ~9 min (cbox 2m40 incl. the
+weak-scaling sweep, hetvol <4m, nlvrl ~2m); the budget leaves one retry
+of headroom. Round-3 failure mode this fixes: unbounded retry ladders
+(~3h worst case) blew the driver budget -> rc 124, no artifact.
 """
 import json
 import os
@@ -41,6 +50,8 @@ CONFIGS = {
 
 def _run_config(key):
     """Child mode: render one config, print one JSON line."""
+    if os.environ.get('MNT_BENCH_FAKE_HANG') == key:
+        time.sleep(86400)   # simulated worker hang (used by test_bench)
     import numpy as np
     from mitsuba_nlvrl_tpu.scene.xml import load_file
     from mitsuba_nlvrl_tpu import build_scene
@@ -89,14 +100,19 @@ def _run_config(key):
 
 
 def _spawn(key, timeout_s):
-    """Run one config in a subprocess; (mrays, err)."""
+    """Run one config in a subprocess; (mrays, record, err) — always a
+    3-tuple (round-3 bug: the timeout arm returned 2 and crashed main)."""
+    if timeout_s <= 0:
+        return None, None, 'budget exhausted'
+    env = dict(os.environ)
     try:
         out = subprocess.run(
             [sys.executable, '-u', os.path.abspath(__file__),
              '--config', key],
-            capture_output=True, text=True, timeout=timeout_s, cwd=REPO)
+            capture_output=True, text=True, timeout=timeout_s, cwd=REPO,
+            env=env)
     except subprocess.TimeoutExpired:
-        return None, 'timeout'
+        return None, None, 'timeout'
     for line in reversed(out.stdout.strip().splitlines()):
         try:
             rec = json.loads(line)
@@ -107,10 +123,12 @@ def _spawn(key, timeout_s):
     return None, None, err[-200:]
 
 
-def _device_alive(timeout_s=300):
+def _device_alive(timeout_s):
     """Fast liveness probe: the remote TPU worker can be down for hours
     (observed 8h+ outages); a tiny matmul either completes in seconds or
     hangs on the tunnel handshake."""
+    if timeout_s <= 0:
+        return False
     try:
         r = subprocess.run(
             [sys.executable, '-c',
@@ -124,43 +142,68 @@ def _device_alive(timeout_s=300):
 
 
 def main():
+    # hard wall budget for the WHOLE bench — every timeout below is
+    # clipped to what remains of it, so worst case (all children hang)
+    # still prints the JSON line inside the budget
+    budget = float(os.environ.get('MNT_BENCH_BUDGET', 18 * 60))
+    deadline = time.time() + budget
+    remaining = lambda: deadline - time.time()
+    # per-stage caps scale with the budget so a shrunk test budget still
+    # exercises every stage (incl. the child-timeout kill path)
+    head_cap = min(600, budget * 0.5)     # measured happy path ~160s
+    head_reserve = min(300, budget * 0.3)  # keep volumetrics reachable
+    vol_cap = min(420, budget * 0.4)      # hetvol ~230s, nlvrl ~140s
+    probe_cap = min(120, budget * 0.1)
+    sleep_s = min(60, budget * 0.05)      # brief worker recovery window
+
     extra = {}
     headline = None
-    alive = _device_alive()
-    extra['device_alive'] = alive
-    # when the worker is down, one short attempt per config (it may have
-    # recovered since the probe) instead of hour-long retry ladders
-    n_head, n_vol, t_scale = (3, 2, 1.0) if alive else (1, 1, 0.5)
-    # headline first (so a volumetric worker crash can't take it down),
-    # with retries — the remote worker may still be recovering from a
-    # previous crash when the driver starts the bench
-    for attempt in range(n_head):
-        headline, rec, err = _spawn('cbox_path', int(1200 * t_scale))
-        if headline is not None:
-            if rec and 'weak_scaling' in rec:
-                extra['weak_scaling'] = rec['weak_scaling']
-            break
-        extra['cbox_path_error'] = err
-        time.sleep(180)
-    for key, timeout_s in (('hetvol_volpath', 1500), ('cbox_nlvrl', 1500)):
-        for attempt in range(n_vol):
-            mrays, rec, err = _spawn(key, int(timeout_s * t_scale))
-            if mrays is not None:
-                extra[key + '_mrays'] = round(mrays, 3)
-                extra.pop(key + '_error', None)
+    try:
+        alive = _device_alive(probe_cap)
+        extra['device_alive'] = alive
+        # when the worker is down, one short attempt per config (it may
+        # have recovered since the probe) instead of retry ladders
+        n_head, n_vol = (2, 2) if alive else (1, 1)
+        # headline first (so a volumetric worker crash can't take it
+        # down); each attempt only gets what the budget still allows
+        for attempt in range(n_head):
+            headline, rec, err = _spawn(
+                'cbox_path', min(head_cap, remaining() - head_reserve))
+            if headline is not None:
+                if rec and 'weak_scaling' in rec:
+                    extra['weak_scaling'] = rec['weak_scaling']
+                if rec and 'dp_fold' in rec:
+                    extra['dp_fold'] = rec['dp_fold']
                 break
-            extra[key + '_error'] = err
-            if attempt + 1 < n_vol:
-                time.sleep(180)   # typical worker recovery time
-
-    baseline = 10.0  # internal target Mrays/s/chip (no published reference)
-    print(json.dumps({
-        "metric": "cbox_path_throughput_measured",
-        "value": round(headline or 0.0, 3),
-        "unit": "Mrays/s/chip",
-        "vs_baseline": round((headline or 0.0) / baseline, 3),
-        "extra": extra,
-    }))
+            extra['cbox_path_error'] = err
+            if attempt + 1 < n_head and \
+                    remaining() > head_reserve + sleep_s + 60:
+                time.sleep(sleep_s)
+        for key in ('hetvol_volpath', 'cbox_nlvrl'):
+            # keep headroom for the configs still queued behind this one
+            reserve = vol_cap if key == 'hetvol_volpath' else 0
+            for attempt in range(n_vol):
+                mrays, rec, err = _spawn(
+                    key, min(vol_cap, remaining() - reserve * 0.5 - 10))
+                if mrays is not None:
+                    extra[key + '_mrays'] = round(mrays, 3)
+                    extra.pop(key + '_error', None)
+                    break
+                extra[key + '_error'] = err
+                if attempt + 1 < n_vol and \
+                        remaining() > reserve + sleep_s + 120:
+                    time.sleep(sleep_s)
+    except Exception as e:   # never lose the artifact to a parent bug
+        extra['bench_error'] = repr(e)[:200]
+    finally:
+        baseline = 10.0  # internal target Mrays/s/chip (none published)
+        print(json.dumps({
+            "metric": "cbox_path_throughput_measured",
+            "value": round(headline or 0.0, 3),
+            "unit": "Mrays/s/chip",
+            "vs_baseline": round((headline or 0.0) / baseline, 3),
+            "extra": extra,
+        }))
 
 
 if __name__ == '__main__':
