@@ -115,7 +115,7 @@ def with_sigma_grid(media, grid):
                   else jnp.ones((1, 1, 1), jnp.float32)),
         grid_sup_min=(jnp.asarray(sup_min) if sup_min is not None
                       else jnp.zeros((1, 1, 1), jnp.float32)),
-        grid_sigma_p8=(jnp.asarray(_corner_pack(g, sup, sup_min))
+        grid_sigma_p8=(jnp.asarray(_corner_pack(g))
                        if 1 < g.size <= _PACK_MAX_VOXELS else None))
 
 

@@ -165,8 +165,8 @@ _NULL_BSDF = {'type': 'null'}
 _PACK_MAX_VOXELS = 1 << 22
 
 
-def _corner_pack(grid: np.ndarray, sup: np.ndarray = None,
-                 sup_min: np.ndarray = None, sup_k: int = 8) -> np.ndarray:
+def _corner_pack(grid: np.ndarray, sup2: np.ndarray = None,
+                 sup2_min: np.ndarray = None, sup_k: int = 8) -> np.ndarray:
     """Corner-packed grid: row (z*Dy+y)*Dx+x holds the 8 trilinear corners
     of voxel (z,y,x), order dz*4+dy*2+dx, edge-clamped, PLUS (slot 8) the
     dilated supervoxel block-max and (slot 9) the eroded block-min of the
@@ -175,7 +175,18 @@ def _corner_pack(grid: np.ndarray, sup: np.ndarray = None,
     in (~8x cheaper than 8 element gathers + sup gathers,
     scripts/bench_gather.py). The block-min is the residual-ratio-tracking
     control (Novak et al. 2014): transmittance walks sample collisions at
-    the RESIDUAL rate max-min only."""
+    the RESIDUAL rate max-min only.
+
+    Slots 8/9 use TWO-voxel dilation/erosion (vs the one-voxel bounds in
+    grid_sup used by the exact-block fallback). The walk addresses this
+    row by the probe's trilinear BASE voxel floor(rel*D-0.5), which for
+    a probe near a block's low face lies in the PREVIOUS block; the DDA
+    interval the probe represents (a midpoint, so the interval extends
+    at most one voxel past the base voxel's block on each axis) and its
+    trilinear footprints then reach <=2 voxels beyond that block, which
+    the 2-voxel window covers exactly. A 1-voxel window under-bounds
+    sharp densities just inside the face (bmaj=0 vs true density > 0),
+    biasing delta tracking and the ratio-tracking control."""
     Dz, Dy, Dx = grid.shape
     zi = np.minimum(np.arange(Dz) + 1, Dz - 1)
     yi = np.minimum(np.arange(Dy) + 1, Dy - 1)
@@ -191,55 +202,60 @@ def _corner_pack(grid: np.ndarray, sup: np.ndarray = None,
         if dx:
             g = g[:, :, xi]
         out[..., k] = g
-    if sup is None:
-        sup = _supervoxel_max(grid, sup_k)
-    if sup_min is None:
-        sup_min = _supervoxel_min(grid, sup_k)
+    if sup2 is None:
+        sup2 = _supervoxel_max(grid, sup_k, dilate=2)
+    if sup2_min is None:
+        sup2_min = _supervoxel_min(grid, sup_k, dilate=2)
     # broadcast each block's bounds over its voxels
     bz = np.arange(Dz) // sup_k
     by = np.arange(Dy) // sup_k
     bx = np.arange(Dx) // sup_k
-    out[..., 8] = sup[bz][:, by][:, :, bx]
-    out[..., 9] = sup_min[bz][:, by][:, :, bx]
+    out[..., 8] = sup2[bz][:, by][:, :, bx]
+    out[..., 9] = sup2_min[bz][:, by][:, :, bx]
     return out.reshape(-1, 10)
 
 
-def _supervoxel_min(grid: np.ndarray, k: int = 8) -> np.ndarray:
-    """Block-min density over k^3 supervoxels, ERODED by one voxel on
-    every side (any trilinear value inside a block is >= the min over the
-    1-voxel-dilated corner set) — the residual-ratio-tracking control."""
+def _supervoxel_min(grid: np.ndarray, k: int = 8,
+                    dilate: int = 1) -> np.ndarray:
+    """Block-min density over k^3 supervoxels, ERODED by ``dilate`` voxels
+    on every side (any trilinear value inside a block is >= the min over
+    the 1-voxel-dilated corner set; the packed copy uses 2, see
+    _corner_pack) — the residual-ratio-tracking control."""
     Dz, Dy, Dx = grid.shape
     Sz, Sy, Sx = (max(1, -(-Dz // k)), max(1, -(-Dy // k)),
                   max(1, -(-Dx // k)))
-    gp = np.pad(grid, 1, mode='edge')
+    gp = np.pad(grid, dilate, mode='edge')
     sup = np.zeros((Sz, Sy, Sx), np.float32)
+    w = k + 2 * dilate
     for bz in range(Sz):
         for by in range(Sy):
             for bx in range(Sx):
-                blk = gp[bz * k:bz * k + k + 2,
-                         by * k:by * k + k + 2,
-                         bx * k:bx * k + k + 2]
+                blk = gp[bz * k:bz * k + w,
+                         by * k:by * k + w,
+                         bx * k:bx * k + w]
                 sup[bz, by, bx] = blk.min()
     return sup
 
 
-def _supervoxel_max(grid: np.ndarray, k: int = 8) -> np.ndarray:
-    """Block-max density over k^3 supervoxels, DILATED by one voxel on
-    every side so any trilinear tap whose footprint straddles a block
-    border is still bounded by its block's majorant. Feeds the
+def _supervoxel_max(grid: np.ndarray, k: int = 8,
+                    dilate: int = 1) -> np.ndarray:
+    """Block-max density over k^3 supervoxels, DILATED by ``dilate``
+    voxels on every side so any trilinear tap whose footprint straddles a
+    block border is still bounded by its block's majorant (the packed
+    copy's base-voxel addressing needs 2, see _corner_pack). Feeds the
     empty-space-skipping delta tracker (medium.sample_real_interaction)."""
     Dz, Dy, Dx = grid.shape
     Sz, Sy, Sx = (max(1, -(-Dz // k)), max(1, -(-Dy // k)),
                   max(1, -(-Dx // k)))
-    gp = np.pad(grid, 1, mode='edge')
+    gp = np.pad(grid, dilate, mode='edge')
     sup = np.zeros((Sz, Sy, Sx), np.float32)
+    w = k + 2 * dilate   # window covers the dilation (gp is shifted)
     for bz in range(Sz):
         for by in range(Sy):
             for bx in range(Sx):
-                # +2 window covers the 1-voxel dilation (gp is shifted +1)
-                blk = gp[bz * k:bz * k + k + 2,
-                         by * k:by * k + k + 2,
-                         bx * k:bx * k + k + 2]
+                blk = gp[bz * k:bz * k + w,
+                         by * k:by * k + w,
+                         bx * k:bx * k + w]
                 sup[bz, by, bx] = blk.max()
     return sup
 
@@ -891,8 +907,7 @@ class SceneBuilder:
             nl_ior=jnp.asarray(nl_ior),
             nl_medium=jnp.asarray(nl_medium, jnp.int32),
             grid_sup_min=jnp.asarray(_sup_min),
-            grid_sigma_p8=(jnp.asarray(_corner_pack(grid_sigma, _sup,
-                                                    _sup_min))
+            grid_sigma_p8=(jnp.asarray(_corner_pack(grid_sigma))
                            if 1 < grid_sigma.size <= _PACK_MAX_VOXELS
                            else None))
 

@@ -128,3 +128,58 @@ def test_fused_matches_outer_loop_estimator():
     sigma = np.sqrt(outer_rate * (1 - outer_rate) / N)
     assert abs(fused_rate - outer_rate) < 5 * sigma * np.sqrt(2), \
         (fused_rate, outer_rate)
+
+
+def test_packed_row_bounds_cover_face_confined_intervals():
+    """Regression (round-4 advisor finding): the packed rows (slots 8/9)
+    are addressed by the trilinear BASE voxel floor(rel*D-0.5), which for
+    a probe just inside a supervoxel's low face lies in the PREVIOUS
+    block. The packed bounds must therefore be 2-voxel dilated/eroded —
+    a 1-voxel window reports bmaj=0 over intervals containing sharp
+    density just inside the face, biasing delta tracking and making the
+    ratio-tracking control exceed the true density."""
+    scene, meta = _hetvol()
+    Dz, Dy, Dx = scene.media.grid_sigma_t.shape      # (50, 128, 128)
+    g = np.zeros((Dz, Dy, Dx), np.float32)
+    g[:, :, 9:] = 1.0          # sharp step ONE voxel inside block 1 (k=8)
+    from mitsuba_nlvrl_tpu.medium import with_sigma_grid
+    scene = scene._replace(media=with_sigma_grid(scene.media, jnp.asarray(g)))
+
+    from mitsuba_nlvrl_tpu.scene.types import M_BBOX_MIN, M_BBOX_MAX
+    P = np.asarray(scene.media.params)[0]
+    lo = jnp.asarray(P[M_BBOX_MIN:M_BBOX_MIN + 3])[None]
+    hi = jnp.asarray(P[M_BBOX_MAX:M_BBOX_MAX + 3])[None]
+    ext = np.asarray(hi - lo)[0]
+
+    def world(fx, fy, fz):
+        # world point whose voxel coordinate rel*D - 0.5 equals (fx,fy,fz)
+        rel = (np.array([fx, fy, fz]) + 0.5) / np.array([Dx, Dy, Dz])
+        return jnp.asarray((np.asarray(lo)[0] + rel * ext)[None],
+                           np.float32)
+
+    midx = jnp.zeros(1, jnp.int32)
+    # probe = a DDA-interval midpoint at voxel coord x=8.3: base voxel 7,
+    # block 0. The interval it represents can reach x<=8.6 (see
+    # _corner_pack docstring), where the trilinear density is 0.6.
+    _, bmaj, bmin, ok = med._row_eval(scene, meta, midx, lo, hi,
+                                      world(8.3, 20.0, 20.0))
+    assert ok
+    dens_in_interval, _, _, _ = med._row_eval(scene, meta, midx, lo, hi,
+                                              world(8.6, 20.0, 20.0))
+    d = float(np.asarray(dens_in_interval)[0])
+    assert d > 0.5, d                     # the sharp feature is there
+    assert float(np.asarray(bmaj)[0]) >= d, (float(np.asarray(bmaj)[0]), d)
+
+    # mirrored case for the control: density 1 everywhere EXCEPT a dip
+    # one voxel inside the face — the eroded min addressed from block 0
+    # must not exceed the true density inside the interval
+    g2 = np.ones((Dz, Dy, Dx), np.float32)
+    g2[:, :, 9:] = 0.0
+    scene2 = scene._replace(media=with_sigma_grid(scene.media,
+                                                  jnp.asarray(g2)))
+    _, _, bmin2, ok2 = med._row_eval(scene2, meta, midx, lo, hi,
+                                     world(8.3, 20.0, 20.0))
+    dens2, _, _, _ = med._row_eval(scene2, meta, midx, lo, hi,
+                                   world(8.6, 20.0, 20.0))
+    assert ok2
+    assert float(np.asarray(bmin2)[0]) <= float(np.asarray(dens2)[0]) + 1e-6
