@@ -102,13 +102,16 @@ def build(v0: np.ndarray, e1: np.ndarray, e2: np.ndarray,
     old = sys.getrecursionlimit()
     sys.setrecursionlimit(max(old, 100000))
 
-    def rec(start, end):
+    max_depth = [0]
+
+    def rec(start, end, depth=0):
         """Returns (code, lo3, hi3) — code >= 0 inner row, < 0 leaf (~)."""
         n = end - start
         blo = tlo[start:end].min(0).astype(np.float32)
         bhi = thi[start:end].max(0).astype(np.float32)
         if n <= LEAF_TRIS:
             return ~leaf_row(start, n), blo, bhi
+        max_depth[0] = max(max_depth[0], depth + 1)
         # 4-way equal-count split on the Morton order
         q = max(1, n // 4)
         cuts = [start, start + q, start + 2 * q, start + 3 * q, end]
@@ -119,7 +122,7 @@ def build(v0: np.ndarray, e1: np.ndarray, e2: np.ndarray,
         codes = np.full(4, EMPTY, np.int32)
         r = rows[idx]
         for k in range(len(cuts) - 1):
-            c, clo, chi = rec(cuts[k], cuts[k + 1])
+            c, clo, chi = rec(cuts[k], cuts[k + 1], depth + 1)
             codes[k] = c
             r[6 * k:6 * k + 3] = clo
             r[6 * k + 3:6 * k + 6] = chi
@@ -134,6 +137,15 @@ def build(v0: np.ndarray, e1: np.ndarray, e2: np.ndarray,
     finally:
         sys.setrecursionlimit(old)
     assert root >= 0
+    # traverse() pushes at most 3 deferred subtrees per tree level, so a
+    # root-to-leaf walk needs <= 3*depth stack slots; the traversal clamps
+    # sp at STACK_DEPTH-1 and would silently DROP pending subtrees beyond
+    # it (missed intersections). Equal-count 4-way splits give depth
+    # ~log4(T/3), so 48 slots cover ~10^10 triangles — assert rather than
+    # guard the hot loop.
+    assert 3 * max_depth[0] < STACK_DEPTH, (
+        f"BVH4 depth {max_depth[0]} needs {3 * max_depth[0]} stack slots "
+        f"> STACK_DEPTH-1={STACK_DEPTH - 1}; raise STACK_DEPTH")
     return BVH4Arrays(rows=jnp.asarray(np.stack(rows)),
                       order=jnp.asarray(order.astype(np.int32)),
                       root=int(root))

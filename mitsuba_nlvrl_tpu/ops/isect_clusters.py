@@ -7,20 +7,22 @@ wavefront pays max-lane iterations x ~1 ms/iteration; ops/bvh4.py
 measures 5-30x SLOWER than the dense sweep, scripts/bench_isect.py).
 
 This module instead exploits what the TPU is good at:
-  * Morton-order triangles are chunked into clusters of K=64 with AABBs.
+  * Morton-order triangles are chunked into clusters of K=K_TRIS (256;
+    64 and 512 both measured worse, docs/PERF.md) with AABBs.
   * Each traversal iteration slab-tests ALL cluster AABBs densely —
-    an (N, C) regular VPU sweep with NO gathers (C = T/64, so the slope
-    is 1/64th of the dense triangle sweep).
+    an (N, C) regular VPU sweep with NO gathers (C = T/K, so the slope
+    is 1/K-th of the dense triangle sweep).
   * Each lane then visits its next unvisited cluster in entry-t order
     (argmin over the masked (N, C) entry distances — deterministic
     lexicographic (t, index) order, no stack, no visited bitmask) and
-    Moller-Trumbore's the cluster's 64 triangles from ONE fat-row gather
+    Moller-Trumbore's the cluster's K triangles from ONE fat-row gather
     (rows are priced per row on TPU, ops/gather.py).
   * A lane stops as soon as the nearest remaining cluster entry lies
     beyond its current best hit.
 
 Iterations ~ max clusters VISITED per lane (≈5-25 for surface meshes),
-independent of total triangle count.
+independent of total triangle count. Measured crossover vs the dense
+sweep: 1.07x @ 327k tris, 1.86x @ 1.31M (docs/PERF.md).
 """
 from __future__ import annotations
 

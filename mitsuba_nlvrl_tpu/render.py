@@ -200,9 +200,8 @@ def render(scene, meta, seed: int = 0, spp: Optional[int] = None,
             # latency would otherwise multiply by spp)
             n_band_passes = 1 if (should_stop is not None
                                   or on_pass is not None
-                                  or timeout is not None
-                                  or spp_per_dispatch == 1) \
-                else min(4, spp - p)
+                                  or timeout is not None) \
+                else min(4, spp - p, spp_per_dispatch or 4)
             n_now = n_band_passes
             rows = []
             for y0 in range(0, H, band_h):

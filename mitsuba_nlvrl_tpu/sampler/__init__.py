@@ -97,11 +97,22 @@ def _cmj_permute(i, l, p):
         x ^= x >> 5
         return x
 
-    x = jnp.asarray(i, jnp.uint32)
-    # static walk bound: the mix is a bijection on [0, w+1), so at most
-    # (w+1) - l re-applications can stay out of range
-    for _ in range((w + 1) - l + 1):
-        x = jnp.where(x >= lj, mix(x), x) if _ else mix(x)
+    x = mix(jnp.asarray(i, jnp.uint32))
+    # cycle-walk out-of-range values back into [0, l). The mix is a
+    # bijection on [0, w+1) so the walk terminates in at most (w+1)-l
+    # re-applications — but unrolling that bound blows up the graph for
+    # spp just above a power of two (513 -> 512 rounds). A masked
+    # while_loop keeps the graph one round deep; the carry is integer-
+    # only so the loop is transparent to autodiff.
+    def _cond(c):
+        x, it = c
+        return jnp.any(x >= lj) & (it < jnp.uint32((w + 1) - l + 1))
+
+    def _body(c):
+        x, it = c
+        return jnp.where(x >= lj, mix(x), x), it + jnp.uint32(1)
+
+    x, _ = jax.lax.while_loop(_cond, _body, (x, jnp.uint32(0)))
     return ((x + p) % lj).astype(jnp.uint32)
 
 

@@ -169,3 +169,15 @@ def test_irregular_continuous_distribution():
     assert np.allclose(at_nodes, pdf, atol=1e-6)
     assert float(d.eval_pdf(jnp.asarray([-0.1]))[0]) == 0.0
     assert float(d.eval_pdf(jnp.asarray([4.1]))[0]) == 0.0
+
+
+def test_cmj_permute_bijective_awkward_spp():
+    """Kensler cycle-walk permutation stays bijective at spp just above a
+    power of two — previously a 512-deep Python unroll at spp=513 (graph
+    blowup); now a masked while_loop (round-4 advisor finding)."""
+    import jax.numpy as jnp
+    from mitsuba_nlvrl_tpu.sampler import _cmj_permute
+    for spp in (4, 513, 100):
+        xs = np.asarray(_cmj_permute(jnp.arange(spp, dtype=jnp.uint32),
+                                     spp, jnp.uint32(0xabc123)))
+        assert sorted(xs.tolist()) == list(range(spp)), spp
