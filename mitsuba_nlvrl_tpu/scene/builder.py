@@ -177,16 +177,23 @@ def _corner_pack(grid: np.ndarray, sup2: np.ndarray = None,
     control (Novak et al. 2014): transmittance walks sample collisions at
     the RESIDUAL rate max-min only.
 
-    Slots 8/9 use TWO-voxel dilation/erosion (vs the one-voxel bounds in
-    grid_sup used by the exact-block fallback). The walk addresses this
-    row by the probe's trilinear BASE voxel floor(rel*D-0.5), which for
-    a probe near a block's low face lies in the PREVIOUS block; the DDA
-    interval the probe represents (a midpoint, so the interval extends
-    at most one voxel past the base voxel's block on each axis) and its
-    trilinear footprints then reach <=2 voxels beyond that block, which
-    the 2-voxel window covers exactly. A 1-voxel window under-bounds
-    sharp densities just inside the face (bmaj=0 vs true density > 0),
-    biasing delta tracking and the ratio-tracking control."""
+    Slot-8/9 soundness (vs the one-voxel bounds in grid_sup used by the
+    exact-block fallback): the walk addresses this row by the probe's
+    trilinear BASE voxel v = floor(rel*D-0.5). The probe is the MIDPOINT
+    of a DDA interval confined to one supervoxel block, so per axis the
+    probe lies in [v+0.5, v+1.5) and the interval's trilinear footprints
+    reach at most voxel index max(blockhi(v)+1, v+2) on the high side
+    and blocklo(v)-1 on the low side. For v INTERIOR to its block
+    (v < blockhi) that is exactly the 1-voxel-dilated block window; only
+    when v is the LAST voxel of its block on some axis (the probe's true
+    containing voxel v+1 then lies in the NEXT block) does the window
+    extend to blockhi+2. Rows therefore store the tight 1-dilated block
+    bound for all-interior voxels and a [lo-1, hi+2] asymmetric window
+    for block-boundary voxels — a 1-voxel window for boundary voxels
+    under-bounds sharp densities just inside the face (bmaj=0 vs true
+    density > 0), biasing delta tracking and the ratio-tracking
+    control, while a uniform 2-voxel window would loosen the majorant
+    (hence slow the walks) everywhere."""
     Dz, Dy, Dx = grid.shape
     zi = np.minimum(np.arange(Dz) + 1, Dz - 1)
     yi = np.minimum(np.arange(Dy) + 1, Dy - 1)
@@ -202,61 +209,72 @@ def _corner_pack(grid: np.ndarray, sup2: np.ndarray = None,
         if dx:
             g = g[:, :, xi]
         out[..., k] = g
-    if sup2 is None:
-        sup2 = _supervoxel_max(grid, sup_k, dilate=2)
-    if sup2_min is None:
-        sup2_min = _supervoxel_min(grid, sup_k, dilate=2)
-    # broadcast each block's bounds over its voxels
+    del sup2, sup2_min   # bounds are derived here (two windows, below)
+    supA = _supervoxel_max(grid, sup_k, dilate=1)
+    supA_min = _supervoxel_min(grid, sup_k, dilate=1)
+    supB = _supervoxel_max(grid, sup_k, dilate=1, dilate_hi=2)
+    supB_min = _supervoxel_min(grid, sup_k, dilate=1, dilate_hi=2)
+    # broadcast each block's bounds over its voxels; block-boundary
+    # voxels (last of their block on any axis) take the extended window
     bz = np.arange(Dz) // sup_k
     by = np.arange(Dy) // sup_k
     bx = np.arange(Dx) // sup_k
-    out[..., 8] = sup2[bz][:, by][:, :, bx]
-    out[..., 9] = sup2_min[bz][:, by][:, :, bx]
+
+    def last_of_block(D):
+        v = np.arange(D)
+        return ((v % sup_k) == sup_k - 1) | (v == D - 1)
+
+    bnd = (last_of_block(Dz)[:, None, None]
+           | last_of_block(Dy)[None, :, None]
+           | last_of_block(Dx)[None, None, :])
+    out[..., 8] = np.where(bnd, supB[bz][:, by][:, :, bx],
+                           supA[bz][:, by][:, :, bx])
+    out[..., 9] = np.where(bnd, supB_min[bz][:, by][:, :, bx],
+                           supA_min[bz][:, by][:, :, bx])
     return out.reshape(-1, 10)
 
 
-def _supervoxel_min(grid: np.ndarray, k: int = 8,
-                    dilate: int = 1) -> np.ndarray:
-    """Block-min density over k^3 supervoxels, ERODED by ``dilate`` voxels
-    on every side (any trilinear value inside a block is >= the min over
-    the 1-voxel-dilated corner set; the packed copy uses 2, see
-    _corner_pack) — the residual-ratio-tracking control."""
-    Dz, Dy, Dx = grid.shape
-    Sz, Sy, Sx = (max(1, -(-Dz // k)), max(1, -(-Dy // k)),
-                  max(1, -(-Dx // k)))
-    gp = np.pad(grid, dilate, mode='edge')
-    sup = np.zeros((Sz, Sy, Sx), np.float32)
-    w = k + 2 * dilate
-    for bz in range(Sz):
-        for by in range(Sy):
-            for bx in range(Sx):
-                blk = gp[bz * k:bz * k + w,
-                         by * k:by * k + w,
-                         bx * k:bx * k + w]
-                sup[bz, by, bx] = blk.min()
-    return sup
+def _supervoxel_min(grid: np.ndarray, k: int = 8, dilate: int = 1,
+                    dilate_hi: int = None) -> np.ndarray:
+    """Block-min density over k^3 supervoxels, ERODED by ``dilate``
+    voxels on the low side and ``dilate_hi`` (default: same) on the high
+    side of every axis (any trilinear value inside a block is >= the min
+    over the 1-voxel-dilated corner set; the packed copy's boundary rows
+    use an asymmetric 1/2 window, see _corner_pack) — the
+    residual-ratio-tracking control."""
+    return _supervoxel_reduce(grid, k, dilate, dilate_hi, np.min)
 
 
-def _supervoxel_max(grid: np.ndarray, k: int = 8,
-                    dilate: int = 1) -> np.ndarray:
+def _supervoxel_max(grid: np.ndarray, k: int = 8, dilate: int = 1,
+                    dilate_hi: int = None) -> np.ndarray:
     """Block-max density over k^3 supervoxels, DILATED by ``dilate``
-    voxels on every side so any trilinear tap whose footprint straddles a
+    voxels on the low side and ``dilate_hi`` (default: same) on the high
+    side of every axis so any trilinear tap whose footprint straddles a
     block border is still bounded by its block's majorant (the packed
-    copy's base-voxel addressing needs 2, see _corner_pack). Feeds the
-    empty-space-skipping delta tracker (medium.sample_real_interaction)."""
+    copy's boundary rows need the 1/2 asymmetric window, see
+    _corner_pack). Feeds the empty-space-skipping delta tracker
+    (medium.sample_real_interaction)."""
+    return _supervoxel_reduce(grid, k, dilate, dilate_hi, np.max)
+
+
+def _supervoxel_reduce(grid, k, dilate, dilate_hi, op):
+    if dilate_hi is None:
+        dilate_hi = dilate
     Dz, Dy, Dx = grid.shape
     Sz, Sy, Sx = (max(1, -(-Dz // k)), max(1, -(-Dy // k)),
                   max(1, -(-Dx // k)))
-    gp = np.pad(grid, dilate, mode='edge')
+    pad = max(dilate, dilate_hi)
+    gp = np.pad(grid, pad, mode='edge')
     sup = np.zeros((Sz, Sy, Sx), np.float32)
-    w = k + 2 * dilate   # window covers the dilation (gp is shifted)
+    a0 = pad - dilate                   # window start offset into gp
+    w = dilate + k + dilate_hi          # window width per axis
     for bz in range(Sz):
         for by in range(Sy):
             for bx in range(Sx):
-                blk = gp[bz * k:bz * k + w,
-                         by * k:by * k + w,
-                         bx * k:bx * k + w]
-                sup[bz, by, bx] = blk.max()
+                blk = gp[bz * k + a0:bz * k + a0 + w,
+                         by * k + a0:by * k + a0 + w,
+                         bx * k + a0:bx * k + a0 + w]
+                sup[bz, by, bx] = op(blk)
     return sup
 
 
