@@ -128,6 +128,12 @@ class PhotonMaps(NamedTuple):
     # vrl_contrib fetches a whole VRL in ONE row gather instead of 7
     # separate dynamic gathers (TPU gathers cost per ROW; see ops/gather)
     vrl_packed: jnp.ndarray = ()
+    # packed photon rows (round 4, the same recipe for the photon maps):
+    # sp_packed [pos(3) dir(3) power(3) caustic valid pad] and
+    # vp_packed [pos(3) dir(3) power(3) radius valid pad] — the photon
+    # estimators fetch a whole photon in ONE row gather instead of 4-5
+    sp_packed: jnp.ndarray = ()
+    vp_packed: jnp.ndarray = ()
     # per-photon BRE radius from local density (the kNN-radius analog of
     # bre.h:39-73): shrinks in dense regions (no leaks), grows in sparse
     # ones (no gaps); () until build_maps fills it
@@ -664,8 +670,17 @@ def build_maps(scene, meta, raw: RawDeposits, r_global, r_caustic,
         vp_depth=raw.vp_depth, vp_valid=vp_vmask,
         vp_grid=(vp_grid := hashgrid.build(raw.vp_pos, vp_vmask, lo,
                                            r_volume)),
-        vp_radius=photon_radii(vp_grid, raw.vp_pos, vp_vmask),
+        vp_radius=(vp_rad := photon_radii(vp_grid, raw.vp_pos, vp_vmask)),
         vp_scale=1.0 / vp_paths.astype(jnp.float32),
+        sp_packed=jnp.concatenate(
+            [raw.sp_pos, raw.sp_dir, raw.sp_power,
+             sp_caustic_b.astype(jnp.float32)[:, None],
+             sp_vmask.astype(jnp.float32)[:, None],
+             jnp.zeros((raw.sp_pos.shape[0], 1), jnp.float32)], axis=1),
+        vp_packed=jnp.concatenate(
+            [raw.vp_pos, raw.vp_dir, raw.vp_power, vp_rad[:, None],
+             vp_vmask.astype(jnp.float32)[:, None],
+             jnp.zeros((raw.vp_pos.shape[0], 1), jnp.float32)], axis=1),
         vrl_o=raw.vrl_o, vrl_d=vrl_d, vrl_len=vrl_len, vrl_flux=raw.vrl_flux,
         vrl_medium=raw.vrl_medium, vrl_depth=raw.vrl_depth,
         vrl_direct=raw.vrl_direct, vrl_valid=vrl_vmask,

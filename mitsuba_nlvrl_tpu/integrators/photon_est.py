@@ -8,6 +8,21 @@ TPU-native analogs of the reference PhotonMap estimators
       wp = 1 - d/r, * 3 scale/(pi r^2)
   estimate_volume   — estimateRadianceVolume (:217-271): phase-weighted,
       Epanechnikov-squared kernel 3/pi (1 - d^2/r^2)^2 / r^2
+
+Round-4 performance structure (the VRL-query recipe, see
+scripts/profile_nlvrl.py ablations):
+  * every estimator fetches a whole photon record in ONE fat-row gather
+    (maps.sp_packed / vp_packed) instead of 4-5 per-field gathers — TPU
+    gathers are priced per ROW (ops/gather.py);
+  * cell lookups are one (N, 2)-row gather from the hash grid's bucket
+    range table (ops/hashgrid.py) instead of binary searches;
+  * when every gather surface in the scene is diffuse (meta.bsdf_types),
+    f_r(wi, wo)/|cos wo| is a per-QUERY constant per hemisphere, so the
+    27 x (N, K) per-photon BSDF evaluations collapse to two per-query
+    evaluations at wo = (0,0,+-1) — bitwise-exact for diffuse (incl.
+    twosided/textured); scenes with rough gather surfaces keep the
+    per-photon path. Isotropic-phase scenes likewise skip the per-photon
+    phase evaluation in the volume/beam estimators (1/4pi constant).
 """
 from __future__ import annotations
 
@@ -17,6 +32,23 @@ from ..core import math as m
 from .. import bsdf as bsdf_mod
 from .. import phase as phase_mod
 from ..ops import hashgrid
+from ..scene.types import BSDF_TYPES, PHASE_TYPES
+
+# codes that can terminate a camera path at a SMOOTH (gathering) surface
+# with a non-diffuse lobe; anything else present means f/|cos| varies per
+# photon and the per-photon BSDF evaluation is required
+_NON_DIFFUSE_SMOOTH = tuple(
+    code for name, code in BSDF_TYPES.items()
+    if name not in ('diffuse', 'conductor', 'dielectric',
+                    'thindielectric', 'null'))
+
+
+def _gather_diffuse_only(meta) -> bool:
+    return not any(t in _NON_DIFFUSE_SMOOTH for t in meta.bsdf_types)
+
+
+def _phase_isotropic_only(meta) -> bool:
+    return all(t == PHASE_TYPES['isotropic'] for t in meta.phase_types)
 
 
 def estimate_surface(scene, meta, maps, si, active, radius, caustic: bool,
@@ -27,39 +59,54 @@ def estimate_surface(scene, meta, maps, si, active, radius, caustic: bool,
     inv_r2 = 1.0 / r2
 
     fr = si.sh_frame
+    fast = _gather_diffuse_only(meta)
+    if fast:
+        # f(wi, wo)/|cos wo| depends only on the hemisphere of wo for
+        # diffuse lobes: evaluate once per query at wo = (0,0,+-1)
+        # (|cos| folded by eval = 1). Exact, incl. twosided + textures.
+        N = si.p.shape[0]
+        up = jnp.concatenate([jnp.zeros((N, 2)), jnp.ones((N, 1))], -1)
+        f_up = bsdf_mod.eval(scene, meta, si, up)
+        f_dn = bsdf_mod.eval(scene, meta, si, -up)
 
     def fold(acc, idx, ok):
-        # idx, ok: (N, K)
-        N, K = idx.shape
-        ppos = maps.sp_pos[idx]                      # (N, K, 3)
+        # idx, ok: (N, K); ONE (N, K, 12)-row gather for the whole record
+        rows = maps.sp_packed[idx]
+        ppos = rows[..., 0:3]
         d2 = m.squared_norm(ppos - si.p[:, None, :])
-        sel = ok & (d2 <= r2) & maps.sp_valid[idx] \
-            & (maps.sp_caustic[idx] == caustic)
-        v = -maps.sp_dir[idx]                        # toward photon source
-        wo_local = jnp.stack(
-            [m.dot(v, fr.s[:, None, :]), m.dot(v, fr.t[:, None, :]),
-             m.dot(v, fr.n[:, None, :])], axis=-1)   # (N, K, 3)
-        # repeat EVERY field the BSDF layer can touch (textured lobes read
-        # uv/p/prim_index/shape_idx/valid for bitmap/3d/attribute lookups)
-        rep = lambda a: jnp.repeat(a, K, axis=0)
-        si_flat = si._replace(
-            wi=rep(si.wi), bsdf_idx=rep(si.bsdf_idx), uv=rep(si.uv),
-            p=rep(si.p), prim_index=rep(si.prim_index),
-            shape_idx=rep(si.shape_idx), valid=rep(si.valid))
-        f = bsdf_mod.eval(scene, meta, si_flat,
-                          wo_local.reshape(N * K, 3)).reshape(N, K, 3)
-        # Density estimation wants f_r alone: the photon arrival density
-        # already carries the projected-area cosine, so divide out the
-        # cos(theta_o) folded into bsdf.eval. (The reference keeps the
-        # folded cosine — photonmap.h:158-163 via mitsuba2 eval — which
-        # darkens its estimates by the mean incident cosine; validated
-        # against volpath ground truth here.)
-        cos_o = jnp.maximum(jnp.abs(wo_local[..., 2]), 1e-3)
-        f = f / cos_o[..., None]
+        sel = ok & (d2 <= r2) & (rows[..., 10] > 0.5) \
+            & ((rows[..., 9] > 0.5) == caustic)
+        v = -rows[..., 3:6]                          # toward photon source
+        power = rows[..., 6:9]
+        cos_o = m.dot(v, fr.n[:, None, :])           # (N, K)
+        if fast:
+            f = jnp.where((cos_o > 0)[..., None], f_up[:, None, :],
+                          f_dn[:, None, :])
+        else:
+            N, K = idx.shape
+            wo_local = jnp.stack(
+                [m.dot(v, fr.s[:, None, :]), m.dot(v, fr.t[:, None, :]),
+                 cos_o], axis=-1)                    # (N, K, 3)
+            # repeat EVERY field the BSDF layer can touch (textured lobes
+            # read uv/p/prim_index/shape_idx/valid for bitmap/3d lookups)
+            rep = lambda a: jnp.repeat(a, K, axis=0)
+            si_flat = si._replace(
+                wi=rep(si.wi), bsdf_idx=rep(si.bsdf_idx), uv=rep(si.uv),
+                p=rep(si.p), prim_index=rep(si.prim_index),
+                shape_idx=rep(si.shape_idx), valid=rep(si.valid))
+            f = bsdf_mod.eval(scene, meta, si_flat,
+                              wo_local.reshape(N * K, 3)).reshape(N, K, 3)
+            # Density estimation wants f_r alone: the photon arrival
+            # density already carries the projected-area cosine, so
+            # divide out the cos(theta_o) folded into bsdf.eval. (The
+            # reference keeps the folded cosine — photonmap.h:158-163 via
+            # mitsuba2 eval — which darkens its estimates by the mean
+            # incident cosine; validated against volpath ground truth.)
+            f = f / jnp.maximum(jnp.abs(cos_o), 1e-3)[..., None]
         w = jnp.ones_like(d2)
         if caustic:
             w = jnp.maximum(0.0, 1.0 - m.safe_sqrt(d2 * inv_r2))
-        contrib = maps.sp_power[idx] * f * w[..., None]
+        contrib = power * f * w[..., None]
         return acc + jnp.where(sel[..., None], contrib, 0.0).sum(axis=1)
 
     acc = hashgrid.fold_neighbors(grid, si.p, active, fold,
@@ -76,22 +123,27 @@ def estimate_volume(scene, meta, maps, x, wo, medium_idx, active, radius,
     applies getScaleFactor after the loop)."""
     # radius may be per-lane (jittered, vrl.cpp:527)
     r2 = jnp.broadcast_to(jnp.asarray(radius) ** 2, x.shape[:-1])[:, None]
+    iso = _phase_isotropic_only(meta)
 
     def fold(acc, idx, ok):
-        ppos = maps.vp_pos[idx]
+        rows = maps.vp_packed[idx]                   # ONE (N, K, 12) gather
+        ppos = rows[..., 0:3]
         d2 = m.squared_norm(ppos - x[:, None, :])
-        sel = ok & (d2 <= r2) & maps.vp_valid[idx]
-        N, K = idx.shape
-        pdir = maps.vp_dir[idx]                      # propagation dir
-        # phase(wi = -photon_dir -> wo)
-        pf = phase_mod.eval(
-            scene, meta,
-            jnp.repeat(medium_idx, K, axis=0),
-            -pdir.reshape(N * K, 3),
-            jnp.repeat(wo, K, axis=0),
-            jnp.ones((N * K,), bool)).reshape(N, K)
+        sel = ok & (d2 <= r2) & (rows[..., 10] > 0.5)
+        if iso:
+            pf = jnp.full(idx.shape, m.InvFourPi)
+        else:
+            N, K = idx.shape
+            pdir = rows[..., 3:6]                    # propagation dir
+            # phase(wi = -photon_dir -> wo)
+            pf = phase_mod.eval(
+                scene, meta,
+                jnp.repeat(medium_idx, K, axis=0),
+                -pdir.reshape(N * K, 3),
+                jnp.repeat(wo, K, axis=0),
+                jnp.ones((N * K,), bool)).reshape(N, K)
         kern = m.sqr(1.0 - d2 / r2) / r2 * m.InvPi * 3.0
-        contrib = maps.vp_power[idx] * (pf * kern)[..., None]
+        contrib = rows[..., 6:9] * (pf * kern)[..., None]
         return acc + jnp.where(sel[..., None], contrib, 0.0).sum(axis=1)
 
     return hashgrid.fold_neighbors(maps.vp_grid, x, active, fold,
@@ -117,9 +169,9 @@ def estimate_beam(scene, meta, maps, o, d, t_max, wo, medium_idx, active,
     step = 2.0 * jnp.broadcast_to(jnp.asarray(radius), (N,))
     # per-photon kNN-style radii when build_maps provided them
     # (bre.h:39-73); falls back to the caller's global radius
-    pr = getattr(maps, 'vp_radius', ())
-    per_photon = isinstance(pr, jnp.ndarray) and pr.ndim == 1 \
-        and pr.shape[0] == maps.vp_pos.shape[0]
+    per_photon = isinstance(maps.vp_packed, jnp.ndarray) \
+        and maps.vp_packed.ndim == 2
+    iso = _phase_isotropic_only(meta)
 
     def step_body(g, carry):
         tau, acc = carry
@@ -136,20 +188,24 @@ def estimate_beam(scene, meta, maps, o, d, t_max, wo, medium_idx, active,
             scene, meta, medium_idx, x, ok_step)
 
         def fold(inner, idx, okk):
-            ppos = maps.vp_pos[idx]                   # (N, K, 3)
+            rows = maps.vp_packed[idx]               # ONE (N, K, 12) gather
+            ppos = rows[..., 0:3]
             rel = ppos - o[:, None, :]
             t_p = jnp.sum(rel * d[:, None, :], -1)    # closest approach
             perp2 = m.squared_norm(rel) - t_p * t_p
-            rr2 = m.sqr(pr[idx]) if per_photon else r2[:, None]
-            sel = okk & maps.vp_valid[idx] & (perp2 <= rr2) \
+            rr2 = m.sqr(rows[..., 9]) if per_photon else r2[:, None]
+            sel = okk & (rows[..., 10] > 0.5) & (perp2 <= rr2) \
                 & (t_p >= t0[:, None]) & (t_p < t1[:, None]) \
                 & (t_p >= 0) & (t_p <= t_max[:, None])
-            K = idx.shape[1]
-            pdir = maps.vp_dir[idx]
-            pf = phase_mod.eval(
-                scene, meta, jnp.repeat(medium_idx, K, axis=0),
-                -pdir.reshape(-1, 3), jnp.repeat(wo, K, axis=0),
-                jnp.ones((idx.size,), bool)).reshape(idx.shape)
+            if iso:
+                pf = jnp.full(idx.shape, m.InvFourPi)
+            else:
+                K = idx.shape[1]
+                pdir = rows[..., 3:6]
+                pf = phase_mod.eval(
+                    scene, meta, jnp.repeat(medium_idx, K, axis=0),
+                    -pdir.reshape(-1, 3), jnp.repeat(wo, K, axis=0),
+                    jnp.ones((idx.size,), bool)).reshape(idx.shape)
             kern = m.sqr(1.0 - perp2 / rr2) / rr2 * m.InvPi * 3.0
             # Tr to the closest approach: optical depth accumulated over
             # completed steps plus the midpoint-extinction remainder
@@ -158,7 +214,7 @@ def estimate_beam(scene, meta, maps, o, d, t_max, wo, medium_idx, active,
             depth = tau[:, None, :] + jnp.maximum(
                 t_p - t0[:, None], 0.0)[..., None] * st_mid[:, None, :]
             tr = jnp.exp(-depth)
-            contrib = maps.vp_power[idx] * (pf * kern)[..., None] * tr
+            contrib = rows[..., 6:9] * (pf * kern)[..., None] * tr
             return inner + jnp.where(sel[..., None], contrib, 0.0).sum(1)
 
         acc = acc + hashgrid.fold_neighbors(

@@ -27,6 +27,15 @@ MT_HOMOGENEOUS = MEDIUM_TYPES['homogeneous']
 MT_HETEROGENEOUS = MEDIUM_TYPES['heterogeneous']
 MT_NONLINEAR = MEDIUM_TYPES['nonlinear']
 
+# Tracking events folded into each majorant-walk while_loop iteration.
+# At production wavefront sizes the walk is bound by sequential
+# while_loop iteration overhead (~0.9 ms/iteration at 32k lanes on the
+# axon v5e, vs ~50 us of actual gather traffic), so folding U masked
+# events into one iteration cuts walk wall time ~U-fold (measured:
+# see docs/PERF.md round-4 table).
+import os as _os
+WALK_UNROLL = max(1, int(_os.environ.get('MNT_WALK_UNROLL', '4')))
+
 
 def _grid_lookup(grid, bbox_lo, bbox_hi, p):
     """Trilinear lookup of a (Dz, Dy, Dx) grid over bbox (reference
@@ -477,11 +486,12 @@ def _majorant_walk(scene, meta, ray: Ray, key, channel, medium_idx,
     def cond(carry):
         return jnp.any(carry[2]) & (carry[8] < max_steps)
 
-    def body(carry):
+    def sub_step(carry, u):
+        """One tracking event (collision OR block crossing) for every
+        walking lane — fully masked, so folding several sub-steps into
+        one while_loop iteration (see body) is estimator-identical."""
         (t, w, walking, found, maj_vec, c_vec, dens_col, t_next_ax, it,
          k) = carry
-        k1 = jax.random.fold_in(k, it)
-        u = jax.random.uniform(k1, (N, 2))
         mj_loc = _ch(maj_vec, channel)
         # collision rate: the residual maj - c (== maj when track=True)
         rate = jnp.maximum(mj_loc - _ch(c_vec, channel), 0.0)
@@ -557,6 +567,19 @@ def _majorant_walk(scene, meta, ray: Ray, key, channel, medium_idx,
         return (t_new, w, walking_next, found, maj_vec, c_vec, dens_col,
                 t_next_new, it + 1, k)
 
+    # fold WALK_UNROLL tracking events into each while_loop iteration:
+    # at wavefront sizes where the walk is bound by sequential iteration
+    # overhead (not VPU/HBM throughput), U masked sub-steps per iteration
+    # cut the sequential depth ~U-fold for the same estimator (each
+    # sub-step is fully masked; finished lanes ride along as identity)
+    def body(carry):
+        it, k = carry[8], carry[9]
+        k1 = jax.random.fold_in(k, it)
+        us = jax.random.uniform(k1, (WALK_UNROLL, N, 2))
+        for s in range(WALK_UNROLL):
+            carry = sub_step(carry, us[s])
+        return carry
+
     t0 = jnp.where(walking, mint, 0.0)
     carry = (t0, jnp.ones((N, 3)), walking, jnp.zeros((N,), bool),
              maj_vec0, c_vec0, jnp.zeros((N,)), t_next0, jnp.int32(0), key)
@@ -565,8 +588,9 @@ def _majorant_walk(scene, meta, ray: Ray, key, channel, medium_idx,
         # checkpointed scan (the body is fully masked, extra trips are
         # identity)
         ck = jax.checkpoint(lambda c, _: (body(c), None))
-        carry, _ = jax.lax.scan(ck, carry, None,
-                                length=min(max_steps, 192))
+        carry, _ = jax.lax.scan(
+            ck, carry, None,
+            length=-(-min(max_steps, 192) // WALK_UNROLL))
     else:
         carry = jax.lax.while_loop(cond, body, carry)
     t, w, still, found, maj_vec_f, _, dens_col = carry[:7]

@@ -67,17 +67,22 @@ def _maps_spec(axis: str) -> PhotonMaps:
         sp_pos=P(axis, None), sp_power=P(axis, None), sp_dir=P(axis, None),
         sp_normal=P(axis, None), sp_depth=P(axis), sp_caustic=P(axis),
         sp_valid=P(axis),
-        global_grid=hashgrid.HashGrid(P(axis), P(axis), P(), P(None)),
-        caustic_grid=hashgrid.HashGrid(P(axis), P(axis), P(), P(None)),
+        # grid tables are rebuilt per shard (localize_maps); the spec only
+        # has to match shard_photon_axis's physical placement: bucket
+        # ranges (H, 2) and order (P,) both split on their leading axis
+        global_grid=hashgrid.HashGrid(P(axis, None), P(axis), P(), P(None)),
+        caustic_grid=hashgrid.HashGrid(P(axis, None), P(axis), P(),
+                                       P(None)),
         sp_scale=P(),
         vp_pos=P(axis, None), vp_power=P(axis, None), vp_dir=P(axis, None),
         vp_depth=P(axis), vp_valid=P(axis),
-        vp_grid=hashgrid.HashGrid(P(axis), P(axis), P(), P(None)),
+        vp_grid=hashgrid.HashGrid(P(axis, None), P(axis), P(), P(None)),
         vp_scale=P(), vp_radius=P(axis),
         vrl_o=P(axis, None), vrl_d=P(axis, None), vrl_len=P(axis),
         vrl_flux=P(axis, None), vrl_medium=P(axis), vrl_depth=P(axis),
         vrl_direct=P(axis), vrl_valid=P(axis), vrl_scale=P(),
         vrl_count=P(), vrl_packed=P(axis, None),
+        sp_packed=P(axis, None), vp_packed=P(axis, None),
         sp_lost=P(), vp_lost=P(), vrl_lost=P(),
         trunc_paths=P())
 
