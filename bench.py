@@ -89,13 +89,17 @@ def _run_config(key):
         # hardware-grounded weak-scaling proxy (single real chip): rays/s
         # across growing wavefronts — flat == per-chip DP load saturates
         # the chip (MULTICHIP cpu-mesh numbers are validation-only)
-        from mitsuba_nlvrl_tpu.parallel.scaling import weak_scaling_proxy
+        from mitsuba_nlvrl_tpu.parallel.scaling import weak_scaling_proxy, \
+            dp_fold_proxy
         ws = weak_scaling_proxy(scene, meta, base=32768,
                                 factors=(1, 2, 4, 8), passes=2)
         out['weak_scaling'] = {
             'backend': ws['backend'], 'sizes': ws['sizes'],
             'mrays_per_s': [round(r / 1e6, 2) for r in ws['rays_per_s']],
             'per_ray_flat': round(ws['per_ray_flat'], 3)}
+        # DP design evidence: a 32k-lane shard with 8 folded passes must
+        # reach ~the saturation wavefront's throughput (render_dist fold)
+        out['dp_fold'] = dp_fold_proxy(scene, meta, 32768, 8, passes=2)
     print(json.dumps(out))
 
 

@@ -161,6 +161,44 @@ def transmittance_to_point(scene, meta, sampler, p_ref, d, dist, medium_idx,
     return jnp.where(active[:, None], tr_out, 1.0), st.sampler
 
 
+def _nee_single_segment(meta) -> bool:
+    """Static gate for the single-segment NEE fast path: exactly one
+    medium, heterogeneous (its extent IS its grid bbox — the builder sets
+    M_BBOX from the enclosing shape, so clipping against it reproduces
+    the shell crossings), every null boundary a PURE null BSDF (unit
+    transmission), and the scene below the cluster-sweep crossover (the
+    occluder sweep uses the masked dense scan)."""
+    from ..ops.intersect import _CLUSTER_MIN_TRIS
+    from ..scene.types import BSDF_TYPES
+    return (len(meta.medium_types) == 1
+            and meta.medium_types[0] == MEDIUM_TYPES['heterogeneous']
+            and BSDF_TYPES['mask'] not in meta.bsdf_types
+            and meta.n_tris < _CLUSTER_MIN_TRIS)
+
+
+def transmittance_to_point_single(scene, meta, sampler, p_ref, d, dist,
+                                  channel, active, diff: bool = False):
+    """Single-segment NEE transmittance (fast path, gated by
+    _nee_single_segment): the general walk pays one full scene
+    intersection + one tracking-walk STARTUP per null-shell crossing
+    (volpath.cpp:275-368 structure). With a single bbox-bounded medium
+    and pure-null shells, the same estimate is ONE occluder-masked
+    any-hit (null shells skipped inside the sweep) plus ONE ratio-tracked
+    segment over the medium-bbox-clipped span — identical expectation,
+    ~3x fewer sequential kernels per NEE (docs/PERF.md round 4)."""
+    N = p_ref.shape[0]
+    seg = jnp.maximum(dist * (1.0 - m.ShadowEpsilon), 0.0)
+    ray = Ray(p_ref, d, jnp.full((N,), m.RayEpsilon), seg)
+    occ = isect.ray_test_occluders(scene, ray, seg)
+    smp = sampler.count_rays(active)
+    vis = active & ~occ
+    midx0 = jnp.zeros((N,), jnp.int32)
+    tr, smp = medium_mod.segment_tr(scene, meta, smp, p_ref, d, seg,
+                                    midx0, channel, vis, diff=diff)
+    tr = jnp.where(occ[:, None], 0.0, tr)
+    return jnp.where(active[:, None], tr, 1.0), smp
+
+
 def trace_emission(scene, meta, sampler, ray_in: Ray, medium_idx, p_ref,
                    channel, active, diff: bool = False):
     """Follow a sampled ray to the first emissive/non-null surface or the
@@ -273,6 +311,11 @@ def sample(scene, meta, sampler: Sampler, ray: Ray, active=None,
     # sampling and NEE at medium vertices; plain volpath uses NEE only
     # at medium vertices (phase-sampled emitter hits count 0 there).
     phase_mis = meta.integrator == 'volpathmis'
+    # single-segment NEE fast path (see transmittance_to_point_single);
+    # MNT_NEE_WALK=1 forces the general walk (for ablation)
+    import os
+    nee_fast = (not diff) and _nee_single_segment(meta) \
+        and os.environ.get('MNT_NEE_WALK', '') != '1'
 
     u_ch, sampler = sampler.next_1d()
     channel = jnp.minimum((u_ch * 3).astype(jnp.int32), 2)
@@ -391,9 +434,14 @@ def sample(scene, meta, sampler: Sampler, ray: Ray, active=None,
         u2, smp = smp.next_2d()
         ds, em_weight = emitter_mod.sample_direction(
             scene, meta, p_ref, u_sel, u2, nee_act)
-        tr_nee, smp = transmittance_to_point(
-            scene, meta, smp, p_ref, ds.d, ds.dist, st.medium_idx,
-            st.channel, nee_act & (ds.pdf > 0), act_real, diff=diff)
+        if nee_fast:
+            tr_nee, smp = transmittance_to_point_single(
+                scene, meta, smp, p_ref, ds.d, ds.dist, st.channel,
+                nee_act & (ds.pdf > 0), diff=diff)
+        else:
+            tr_nee, smp = transmittance_to_point(
+                scene, meta, smp, p_ref, ds.d, ds.dist, st.medium_idx,
+                st.channel, nee_act & (ds.pdf > 0), act_real, diff=diff)
         # medium arm: phase eval (NEE-only -> weight 1 unless volpathmis)
         phase_val = phase_mod.eval(scene, meta, st.medium_idx, mi.wi, ds.d,
                                    act_real)

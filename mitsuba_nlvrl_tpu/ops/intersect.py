@@ -92,8 +92,10 @@ def _sphere_hits(o, d, center, radius):
     return -b - sq, -b + sq, hit
 
 
-def _scan_tris(ray: Ray, v0, e1, e2, any_hit: bool, maxt):
-    """Chunked nearest (or any) hit over the triangle array."""
+def _scan_tris(ray: Ray, v0, e1, e2, any_hit: bool, maxt, tri_mask=None):
+    """Chunked nearest (or any) hit over the triangle array. ``tri_mask``
+    (T,) bool restricts the sweep to a primitive subset (e.g. occluders
+    only for shadow queries) at zero extra sweep cost."""
     N = ray.o.shape[0]
     T = v0.shape[0]
     # chunk adapts to the scene: lane-dim multiple of 128, capped
@@ -105,17 +107,22 @@ def _scan_tris(ray: Ray, v0, e1, e2, any_hit: bool, maxt):
         v0 = jnp.pad(v0, ((0, pad), (0, 0)))
         e1 = jnp.pad(e1, ((0, pad), (0, 0)))
         e2 = jnp.pad(e2, ((0, pad), (0, 0)))
+        if tri_mask is not None:
+            tri_mask = jnp.pad(tri_mask, (0, pad))
     v0c = v0.reshape(nchunk, chunk, 3)
     e1c = e1.reshape(nchunk, chunk, 3)
     e2c = e2.reshape(nchunk, chunk, 3)
+    maskc = (tri_mask.reshape(nchunk, chunk) if tri_mask is not None
+             else jnp.ones((nchunk, chunk), bool))
     o = ray.o[:, None, :]
     d = ray.d[:, None, :]
 
     def body(carry, chunk):
         best_t, best_i, best_u, best_v, occluded = carry
-        cv0, ce1, ce2, base = chunk
+        cv0, ce1, ce2, cmask, base = chunk
         t, u, v, hit = _moller_trumbore(o, d, cv0[None], ce1[None], ce2[None])
-        valid = hit & (t >= ray.mint[:, None]) & (t <= maxt[:, None])
+        valid = hit & (t >= ray.mint[:, None]) & (t <= maxt[:, None]) \
+            & cmask[None, :]
         if any_hit:
             occluded = occluded | jnp.any(valid, axis=1)
             return (best_t, best_i, best_u, best_v, occluded), None
@@ -138,7 +145,7 @@ def _scan_tris(ray: Ray, v0, e1, e2, any_hit: bool, maxt):
     init = (jnp.full((N,), jnp.inf), jnp.full((N,), -1, jnp.int32),
             jnp.zeros((N,)), jnp.zeros((N,)), jnp.zeros((N,), bool))
     bases = (jnp.arange(nchunk, dtype=jnp.int32) * chunk)
-    carry, _ = jax.lax.scan(body, init, (v0c, e1c, e2c, bases))
+    carry, _ = jax.lax.scan(body, init, (v0c, e1c, e2c, maskc, bases))
     return carry
 
 
@@ -241,6 +248,37 @@ def ray_test(scene, ray: Ray, maxt=None) -> jnp.ndarray:
                                    geo.sph_center[None], geo.sph_radius[None])
         ok = hit & (((tn >= ray.mint[:, None]) & (tn <= maxt[:, None]))
                     | ((tf >= ray.mint[:, None]) & (tf <= maxt[:, None])))
+        occluded = occluded | jnp.any(ok, axis=1)
+    return occluded
+
+
+def ray_test_occluders(scene, ray: Ray, maxt=None) -> jnp.ndarray:
+    """Any-hit against NON-NULL-BSDF primitives only: the shadow-query
+    core of the single-segment NEE fast path (volpath.py) — pure-null
+    boundary shells (medium containers) are skipped in the sweep itself,
+    so no surface-crossing walk is needed to pass through them. Uses the
+    chunked dense sweep with a per-triangle mask (cluster/pallas variants
+    have no mask support; callers gate the fast path to scenes below the
+    cluster crossover)."""
+    from ..scene.types import BSDF_TYPES
+    geo = scene.geo
+    maxt = ray.maxt if maxt is None else maxt
+    null_code = BSDF_TYPES['null']
+    occluded = jnp.zeros((ray.o.shape[0],), bool)
+    if geo.v0.shape[0] > 0:
+        tri_b = scene.shapes.bsdf_idx[geo.shape_idx]
+        tri_occ = scene.bsdfs.type[tri_b] != null_code
+        _, _, _, _, occ = _scan_tris(ray, geo.v0, geo.e1, geo.e2, True,
+                                     maxt, tri_mask=tri_occ)
+        occluded = occluded | occ
+    if geo.sph_center.shape[0] > 0:
+        sph_b = scene.shapes.bsdf_idx[geo.sph_shape_idx]
+        sph_occ = (scene.bsdfs.type[sph_b] != null_code)[None, :]
+        tn, tf, hit = _sphere_hits(ray.o[:, None], ray.d[:, None],
+                                   geo.sph_center[None], geo.sph_radius[None])
+        ok = hit & sph_occ \
+            & (((tn >= ray.mint[:, None]) & (tn <= maxt[:, None]))
+               | ((tf >= ray.mint[:, None]) & (tf <= maxt[:, None])))
         occluded = occluded | jnp.any(ok, axis=1)
     return occluded
 

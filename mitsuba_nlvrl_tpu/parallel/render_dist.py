@@ -52,31 +52,69 @@ def render_wavefront(scene, meta, pos, key, integrator: Optional[str] = None,
     return jnp.where(jnp.isfinite(L), L, 0.0) * sensor_weight
 
 
+# per-chip wavefront size that saturates a v5e (the weak-scaling sweep:
+# rays/s still rises to ~131k lanes and is flat beyond, docs/PERF.md) —
+# DP shards below it are dispatch-bound, so passes fold into the lane
+# dimension until each chip's shard reaches it
+SATURATION_LANES = 131072
+
+
+def dp_fold_for(meta, mesh_or_n, spp: int) -> int:
+    """Passes to fold into each sharded dispatch so the PER-CHIP shard
+    reaches the saturation wavefront. A 512x512 film over 8 chips gives
+    32k-lane shards that run at ~2% of chip throughput one pass at a
+    time (weak_scaling, docs/PERF.md); folding 4-8 passes into the lane
+    dimension restores full-chip load at identical estimator semantics
+    (every lane keeps its own jitter + RNG stream)."""
+    n_dev = mesh_or_n if isinstance(mesh_or_n, int) \
+        else mesh_or_n.shape.get('dp', 1)
+    npix = meta.film.width * meta.film.height
+    per_dev = max(1, npix // max(n_dev, 1))
+    return int(max(1, min(spp, -(-SATURATION_LANES // per_dev))))
+
+
 def render_distributed(scene, meta, mesh: Mesh, seed: int = 0,
                        spp: Optional[int] = None,
-                       integrator: Optional[str] = None):
-    """Render with the wavefront sharded across ``mesh`` ('dp' axis)."""
+                       integrator: Optional[str] = None,
+                       fold: Optional[int] = None):
+    """Render with the wavefront sharded across ``mesh`` ('dp' axis).
+
+    ``fold`` passes are folded into each dispatch's LANE dimension
+    (lane = pixel x sub-pass), the renderer analog of micro-batching:
+    the per-chip shard of a small film would otherwise be far below the
+    chip's saturation wavefront and every pass would pay the dispatch
+    floor. Default: enough passes to reach SATURATION_LANES per chip.
+    """
     spp = spp or meta.spp
+    if fold is None:
+        fold = dp_fold_for(meta, mesh, spp)
     key = jax.random.PRNGKey(seed)
     sharding = NamedSharding(mesh, P('dp', None))
     rep = NamedSharding(mesh, P())
     scene_r = jax.device_put(scene, rep)
 
-    @partial(jax.jit, static_argnames=(), out_shardings=rep)
-    def one_pass(scene, pos, key):
-        L = render_wavefront(scene, meta, pos, key)
+    @partial(jax.jit, static_argnames=('n_fold',), out_shardings=rep)
+    def one_dispatch(scene, pos, key, n_fold: int):
+        # (npix*n_fold, 2) wavefront: render_wavefront derives per-LANE
+        # jitter and sampler streams, so tiled pixels are independent
+        # sub-pass samples of the same pixel
+        posf = jnp.tile(pos, (n_fold, 1))
+        L = render_wavefront(scene, meta, posf, key)
         image = film_mod.new_image(meta.film)
-        return film_mod.splat(meta.film, pos, L,
-                              jnp.ones((pos.shape[0],)), image)
+        return film_mod.splat(meta.film, posf, L,
+                              jnp.ones((posf.shape[0],)), image)
 
     from ..integrators.common import film_sample_positions
     acc = None
-    for p in range(spp):
+    p = 0
+    while p < spp:
+        n_fold = min(fold, spp - p)
         kp = jax.random.fold_in(key, p)
         pos, _ = film_sample_positions(meta, jax.random.fold_in(kp, 0))
         pos = jax.device_put(pos, sharding)
-        img = one_pass(scene_r, pos, kp)
+        img = one_dispatch(scene_r, pos, kp, n_fold)
         acc = img if acc is None else acc + img
+        p += n_fold
     return film_mod.develop(acc)
 
 

@@ -119,6 +119,63 @@ def measure_scaling(scene, meta, n_devices: Optional[int] = None,
     }
 
 
+def dp_fold_proxy(scene, meta, shard_lanes: int = 32768, folds: int = 8,
+                  passes: int = 3, seed: int = 13) -> dict:
+    """Single-REAL-chip evidence for the DP pass-folding design
+    (render_dist.dp_fold_for): throughput of one chip running a 32k-lane
+    DP shard with ``folds`` passes folded into the lane dimension (the
+    sharded path's per-dispatch shape, lane = pixel x sub-pass) vs the
+    full saturation wavefront (shard_lanes*folds lanes, one pass). A
+    ratio ~>= 0.8 means a DP replica at 1/folds of the film can reach
+    full-chip throughput by folding — the design answer to the 2%-of-
+    chip throughput a naive one-pass 32k shard measures (weak_scaling).
+    """
+    import time as _t
+    from functools import partial
+    from ..core.rng import Sampler
+    from ..integrators import get_integrator
+    from .. import sensor as sensor_mod
+
+    integ = get_integrator(meta.integrator)
+
+    @partial(jax.jit, static_argnames=('npix', 'n_fold'))
+    def one(scene, key, npix, n_fold):
+        u = jax.random.uniform(key, (npix, 2))
+        posf = jnp.tile(u, (n_fold, 1))    # folded passes share pixels
+        n = posf.shape[0]
+        ray, w = sensor_mod.sample_ray(scene, meta, posf,
+                                       jax.random.uniform(
+                                           jax.random.fold_in(key, 1),
+                                           (n, 2)))
+        sampler = Sampler.make(jax.random.fold_in(key, 2), n)
+        L, _, sampler = integ(scene, meta, sampler, ray)
+        return jnp.sum(jnp.where(jnp.isfinite(L), L, 0.0)), sampler.rays
+
+    def rate(npix, n_fold):
+        key = jax.random.PRNGKey(seed)
+        for w in range(2):   # compile + post-compile warmup (the first
+            s, r = one(scene, jax.random.fold_in(key, 99 + w), npix,
+                       n_fold)   # run after a fresh compile measures slow
+            s.block_until_ready()
+        best = float('inf')
+        for p_i in range(passes):
+            t0 = _t.time()
+            s, r = one(scene, jax.random.fold_in(key, p_i), npix, n_fold)
+            s.block_until_ready()
+            best = min(best, (_t.time() - t0) / float(r))
+        return 1.0 / best
+
+    folded = rate(shard_lanes, folds)               # the DP-shard shape
+    full = rate(shard_lanes * folds, 1)             # saturation reference
+    return {
+        'backend': jax.default_backend(),
+        'shard_lanes': shard_lanes, 'folds': folds,
+        'folded_mrays': round(folded / 1e6, 2),
+        'full_mrays': round(full / 1e6, 2),
+        'ratio': round(folded / max(full, 1e-9), 3),
+    }
+
+
 def weak_scaling_proxy(scene, meta, base: int = 32768,
                        factors=(1, 2, 4, 8), passes: int = 3,
                        seed: int = 11) -> dict:

@@ -82,3 +82,26 @@ def test_two_process_distributed_render_matches_single():
     assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-2000:]
     ms = float(re.search(r'RESULT S ([0-9.]+)', out.stdout).group(1))
     assert abs(ms - means[0]) < 1e-9
+
+
+def test_dp_pass_folding_unbiased():
+    """render_distributed folds passes into the lane dimension
+    (render_dist.dp_fold_for); the folded estimator is the same Monte
+    Carlo sum — its mean must match the unfolded render to MC noise,
+    and fold=1 must reproduce the old one-pass-per-dispatch behavior."""
+    import numpy as np
+    import jax
+    from scenes import cornell_box
+    from mitsuba_nlvrl_tpu import build_scene
+    from mitsuba_nlvrl_tpu.parallel.render_dist import (
+        make_mesh, render_distributed, dp_fold_for)
+    scene, meta = build_scene(cornell_box(spp=8, res=32))
+    mesh = make_mesh()
+    assert dp_fold_for(meta, mesh, 8) >= 4   # small shard -> folds engage
+    img_f = np.asarray(render_distributed(scene, meta, mesh, seed=3, spp=8,
+                                          fold=4))
+    img_1 = np.asarray(render_distributed(scene, meta, mesh, seed=3, spp=8,
+                                          fold=1))
+    assert np.isfinite(img_f).all() and np.isfinite(img_1).all()
+    # same estimator, different sample layout: means agree to MC noise
+    assert abs(img_f.mean() - img_1.mean()) / img_1.mean() < 0.05

@@ -131,3 +131,32 @@ def test_hetvol_scene_loads_and_renders():
     assert m.n_media == 1 and s.media.grid_sigma_t.shape == (50, 128, 128)
     img = np.asarray(render(s, m, spp=2, seed=0))
     assert np.isfinite(img).all() and img.mean() > 0.05
+
+
+def test_nee_single_segment_matches_walk():
+    """The single-segment NEE fast path (occluder-masked any-hit + one
+    bbox-clipped ratio-tracked segment) must agree with the general
+    surface-crossing walk in expectation on the hetvol anchor."""
+    import os
+    import numpy as np
+    import jax
+    from golden_scenes import load_anchor
+    from mitsuba_nlvrl_tpu import build_scene
+    from mitsuba_nlvrl_tpu.integrators import volpath as vp
+    desc = load_anchor('hetvol')
+    desc['sensor']['film']['width'] = 64
+    desc['sensor']['film']['height'] = 48
+    scene, meta = build_scene(desc)
+    assert vp._nee_single_segment(meta)      # the gate engages on hetvol
+    from mitsuba_nlvrl_tpu.render import render
+    img_fast = np.asarray(render(scene, meta, spp=24, seed=5))
+    os.environ['MNT_NEE_WALK'] = '1'
+    try:
+        jax.clear_caches()
+        img_walk = np.asarray(render(scene, meta, spp=24, seed=5))
+    finally:
+        os.environ.pop('MNT_NEE_WALK', None)
+        jax.clear_caches()
+    # same RNG decisions except inside the NEE estimate: means agree
+    rel = abs(img_fast.mean() - img_walk.mean()) / max(img_walk.mean(), 1e-9)
+    assert rel < 0.03, (img_fast.mean(), img_walk.mean())
