@@ -51,8 +51,10 @@ def main():
 
     t_full = time_band(scene, meta, 'full')
 
-    # stub out the NEE transmittance walk
+    # stub out the NEE transmittance walk (both the general walk and the
+    # round-4 single-segment fast path)
     real_tr = volpath.transmittance_to_point
+    real_tr_s = volpath.transmittance_to_point_single
     real_em = volpath.trace_emission
     real_med = volpath.sample_real_interaction \
         if hasattr(volpath, 'sample_real_interaction') else None
@@ -61,12 +63,17 @@ def main():
                 active, on_medium, diff=False):
         return jnp.ones((p_ref.shape[0], 3)), sampler
 
+    def tr_stub_single(scene, meta, sampler, p_ref, d, dist, channel,
+                       active, diff=False):
+        return jnp.ones((p_ref.shape[0], 3)), sampler
+
     def em_stub(scene, meta, sampler, ray_in, medium_idx, p_ref, channel,
                 active, diff=False):
         N = p_ref.shape[0]
         return jnp.zeros((N, 3)), jnp.zeros((N,)), sampler
 
     volpath.transmittance_to_point = tr_stub
+    volpath.transmittance_to_point_single = tr_stub_single
     jax.clear_caches()
     t_no_tr = time_band(scene, meta, 'no NEE-transmittance walk')
 
@@ -75,6 +82,7 @@ def main():
     t_no_both = time_band(scene, meta, 'no NEE walk + no MIS walk')
 
     volpath.transmittance_to_point = real_tr
+    volpath.transmittance_to_point_single = real_tr_s
     jax.clear_caches()
     t_no_em = time_band(scene, meta, 'no MIS emission walk')
 
@@ -93,12 +101,14 @@ def main():
 
     medium_mod.sample_real_interaction = sri_stub
     volpath.transmittance_to_point = tr_stub
+    volpath.transmittance_to_point_single = tr_stub_single
     volpath.trace_emission = em_stub
     jax.clear_caches()
     t_min = time_band(scene, meta, 'walks+medium all stubbed')
 
     medium_mod.sample_real_interaction = real_sri
     volpath.transmittance_to_point = real_tr
+    volpath.transmittance_to_point_single = real_tr_s
     volpath.trace_emission = real_em
 
     print(f"\nattribution (of {t_full:.2f}s):")
