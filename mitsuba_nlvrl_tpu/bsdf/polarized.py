@@ -263,14 +263,19 @@ def spectral_conductor_terms(scene, meta, si, wo_loc, lam, mode=RADIANCE,
         Mueller structure (== spectral_conductor_structure).
     Resolves normalmap/bumpmap wrapper rows (like spectral_fresnel_ratio
     does via _perturb_si) so wrapped conductors get per-lambda structure
-    too. Returns None when the scene carries no tabulated curves."""
+    too, and blendbsdf wrappers: blend lanes resolve BOTH children,
+    compute each child's per-lambda Fresnel/Mueller, and mix them with
+    the blend weight x each child's upsampled RGB eval — the analog of
+    the reference spectral build where blendbsdf.cpp:eval sums child
+    evals that each carry fresnel_conductor at the ray's wavelengths.
+    Returns None when the scene carries no tabulated curves."""
     if not getattr(meta, 'has_conductor_spd', False):
         return None
     types = meta.bsdf_types
     if (BSDF_TYPES['conductor'] not in types
             and BSDF_TYPES['roughconductor'] not in types):
         return None
-    from . import _has_perturb, _perturb_si
+    from . import _has_perturb, _perturb_si, _blend_weight
     from ..core.fresnel import fresnel_conductor
     from ..core import spectral as sp
     from ..ops.gather import take_many, take_rows
@@ -281,48 +286,116 @@ def spectral_conductor_terms(scene, meta, si, wo_loc, lam, mode=RADIANCE,
     btype, flags, P = take_many(
         [scene.bsdfs.type, scene.bsdfs.flags, scene.bsdfs.params],
         si.bsdf_idx)
-    wi_loc, wo_l = _maybe_flip(flags, si.wi, wo_loc)
-    wo_hat = wo_l if mode == RADIANCE else wi_loc
-    wi_hat = wi_loc if mode == RADIANCE else wo_l
-    n_loc = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), wi_loc.shape)
 
-    is_rough = btype == BSDF_TYPES['roughconductor']
-    is_cond = (btype == BSDF_TYPES['conductor']) | is_rough
-    sid = P[:, 13].astype(jnp.int32) - 1
-    use = is_cond & (sid >= 0)
-    use_struct = use if null_lane is None else use & ~null_lane
+    def row_terms(btype, flags, P):
+        """(use, F_l, F_up, Mw) for one per-lane row assignment."""
+        wi_loc, wo_l = _maybe_flip(flags, si.wi, wo_loc)
+        wo_hat = wo_l if mode == RADIANCE else wi_loc
+        wi_hat = wi_loc if mode == RADIANCE else wo_l
+        n_loc = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]),
+                                 wi_loc.shape)
+        is_rough = btype == BSDF_TYPES['roughconductor']
+        is_cond = (btype == BSDF_TYPES['conductor']) | is_rough
+        sid = P[:, 13].astype(jnp.int32) - 1
+        use = is_cond & (sid >= 0)
 
-    H = _safe_dir(wi_loc + wo_l, n_loc)
-    axis = jnp.where(is_rough[:, None], H, n_loc)
-    # NOTE: for smooth (delta) conductors this cosine is only meaningful
-    # when wo is the mirror direction; on NEE lanes it is not, but those
-    # lanes are neutralized by the eval m00 == 0 of the delta lobe — do
-    # not treat the structure as valid there in a future refactor.
-    cosm = jnp.where(is_rough, m.dot(wo_hat, H), fr.cos_theta(wo_hat))
+        H = _safe_dir(wi_loc + wo_l, n_loc)
+        axis = jnp.where(is_rough[:, None], H, n_loc)
+        # NOTE: for smooth (delta) conductors this cosine is only
+        # meaningful when wo is the mirror direction; on NEE lanes it is
+        # not, but those lanes are neutralized by the eval m00 == 0 of
+        # the delta lobe — do not treat the structure as valid there in
+        # a future refactor.
+        cosm = jnp.where(is_rough, m.dot(wo_hat, H), fr.cos_theta(wo_hat))
 
-    # ONE curve gather + CIE interpolation feeds both terms
-    C = scene.conductor_spd.shape[0]
-    K = scene.conductor_spd.shape[-1]
-    curves = take_rows(scene.conductor_spd.reshape(C, 2 * K),
-                       jnp.maximum(sid, 0)).reshape(-1, 2, K)
-    eta_l = sp.cie_table_eval(curves[:, 0, :], lam)   # (N, Hλ)
-    k_l = sp.cie_table_eval(curves[:, 1, :], lam)
+        # ONE curve gather + CIE interpolation feeds both terms
+        C = scene.conductor_spd.shape[0]
+        K = scene.conductor_spd.shape[-1]
+        curves = take_rows(scene.conductor_spd.reshape(C, 2 * K),
+                           jnp.maximum(sid, 0)).reshape(-1, 2, K)
+        eta_l = sp.cie_table_eval(curves[:, 0, :], lam)   # (N, Hλ)
+        k_l = sp.cie_table_eval(curves[:, 1, :], lam)
 
-    # magnitude ratio (spectral_fresnel_ratio semantics: half-vector
-    # cosine, abs)
-    h_r = m.normalize(wi_loc + wo_l)
-    cos_h = jnp.abs(m.dot(wi_loc, h_r))
-    F_l = fresnel_conductor(cos_h, eta_l, k_l)                  # (N, L)
-    F_rgb = fresnel_conductor(cos_h, P[:, 0:3], P[:, 3:6])      # (N, 3)
-    F_up = sp.upsample_weight(F_rgb, lam)                       # (N, L)
+        # magnitude ratio terms (spectral_fresnel_ratio semantics:
+        # half-vector cosine, abs)
+        h_r = m.normalize(wi_loc + wo_l)
+        cos_h = jnp.abs(m.dot(wi_loc, h_r))
+        F_l = fresnel_conductor(cos_h, eta_l, k_l)                # (N, L)
+        F_rgb = fresnel_conductor(cos_h, P[:, 0:3], P[:, 3:6])    # (N, 3)
+        F_up = sp.upsample_weight(F_rgb, lam)                     # (N, L)
+
+        # normalized per-lambda Mueller structure
+        Mc = _norm00(mu.specular_reflection_conductor(cosm, eta_l, k_l))
+        Mc = _rot_to_implicit(Mc, axis[:, None], wo_hat[:, None],
+                              wi_hat[:, None])
+        Mw = _to_world_mueller(si, Mc, -wo_hat, wi_hat)
+        return use, F_l, F_up, F_rgb, Mw
+
+    use, F_l, F_up, _, Mw = row_terms(btype, flags, P)
     ratio = jnp.where(use[:, None] & (F_up > 1e-6),
                       F_l / jnp.maximum(F_up, 1e-6), 1.0)
 
-    # normalized per-lambda Mueller structure
-    Mc = _norm00(mu.specular_reflection_conductor(cosm, eta_l, k_l))
-    Mc = _rot_to_implicit(Mc, axis[:, None], wo_hat[:, None],
-                          wi_hat[:, None])
-    Mw = _to_world_mueller(si, Mc, -wo_hat, wi_hat)
+    _BLEND = BSDF_TYPES.get('blendbsdf')
+    if _BLEND in types:
+        from . import eval as _bsdf_eval
+        is_b = btype == _BLEND
+        ca = P[:, 0].astype(jnp.int32)
+        cb = P[:, 1].astype(jnp.int32)
+        bta, fla, Pa = take_many(
+            [scene.bsdfs.type, scene.bsdfs.flags, scene.bsdfs.params], ca)
+        btb, flb, Pb = take_many(
+            [scene.bsdfs.type, scene.bsdfs.flags, scene.bsdfs.params], cb)
+        ua, Fla, Fua, Frgba, Ma = row_terms(bta, fla, Pa)
+        ub, Flb, Fub, Frgbb, Mb = row_terms(btb, flb, Pb)
+        wgt = _blend_weight(scene, meta, si, P)
+        sh_a, sh_b = (1.0 - wgt), wgt
+        # child RGB evals weight both the ratio and the structure mix
+        # (blendbsdf.cpp eval: (1-w) f_a + w f_b); upsample each child
+        # contribution and the blend separately — upsample_weight is not
+        # linear in RGB, so the denominator uses the actual blend
+        fa = _bsdf_eval(scene, meta, si._replace(bsdf_idx=ca), wo_loc,
+                        mode, None, 1) * sh_a[:, None]
+        fb = _bsdf_eval(scene, meta, si._replace(bsdf_idx=cb), wo_loc,
+                        mode, None, 1) * sh_b[:, None]
+        up_a = sp.upsample_weight(fa, lam)                        # (N, L)
+        up_b = sp.upsample_weight(fb, lam)
+        up_blend = sp.upsample_weight(fa + fb, lam)
+        r_a = jnp.where(ua[:, None] & (Fua > 1e-6),
+                        Fla / jnp.maximum(Fua, 1e-6), 1.0)
+        r_b = jnp.where(ub[:, None] & (Fub > 1e-6),
+                        Flb / jnp.maximum(Fub, 1e-6), 1.0)
+        # SMOOTH (delta) conductor children have eval == 0 — their
+        # magnitude at the lanes where the structure is consumed (the
+        # sampled mirror direction) is share x the true per-lambda
+        # Fresnel, and their upsampled-RGB counterpart share x up(F_rgb)
+        da = ua & (bta == BSDF_TYPES['conductor'])
+        db = ub & (btb == BSDF_TYPES['conductor'])
+        mag_a = up_a * r_a + jnp.where(da[:, None],
+                                       sh_a[:, None] * Fla, 0.0)
+        mag_b = up_b * r_b + jnp.where(db[:, None],
+                                       sh_b[:, None] * Flb, 0.0)
+        den = up_blend \
+            + jnp.where(da[:, None], sh_a[:, None] * Fua, 0.0) \
+            + jnp.where(db[:, None], sh_b[:, None] * Fub, 0.0)
+        ratio_bl = jnp.where(den > 1e-9,
+                             (mag_a + mag_b) / jnp.maximum(den, 1e-9),
+                             1.0)
+        any_cond = is_b & (ua | ub)
+        ratio = jnp.where(any_cond[:, None], ratio_bl, ratio)
+        # Mueller mix: per-lambda child magnitudes x child structure;
+        # non-conductor children depolarize (diffuse.cpp:103 analog)
+        Nl = up_a.shape[0]
+        dep = jnp.broadcast_to(
+            mu.depolarizer(jnp.ones((Nl,)))[:, None],
+            Mw.shape)
+        Ma = jnp.where(ua[:, None, None, None], Ma, dep)
+        Mb = jnp.where(ub[:, None, None, None], Mb, dep)
+        Mmix = _norm00(mag_a[..., None, None] * Ma
+                       + mag_b[..., None, None] * Mb)
+        Mw = jnp.where(any_cond[:, None, None, None], Mmix, Mw)
+        use = use | any_cond
+
+    use_struct = use if null_lane is None else use & ~null_lane
     return ratio, use_struct, Mw
 
 

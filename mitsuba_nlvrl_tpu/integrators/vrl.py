@@ -15,11 +15,12 @@ TPU-native redesign of the reference ``vrl`` plugin
     (vrl_struct.h:247-360), double phase & sigma_s weights, three
     transmittances incl. an occlusion walk (getContrib,
     vrl_struct.h:584-662).
-  * acceleration: the reference default is a brute-force loop over all
-    VRLs (ENoVRLAcceleration, vrl_map.h:133-211); here each query draws
-    ``samples_per_query`` uniform VRLs and scales by the VRL count — an
-    unbiased stochastic estimator that keeps the wavefront regular
-    (lightcut clustering is a planned upgrade).
+  * acceleration: a two-level Morton-cluster hierarchy (coarse ->
+    subcluster -> member importance sampling with Tr-bounded weights),
+    the wavefront-regular analog of the reference's per-query lightcut
+    refinement (vrl_lightcut.h) — see ``VRLClusters``. 'uniform' keeps
+    the reference's no-acceleration default (ENoVRLAcceleration,
+    vrl_map.h:133-211) and 'ris' a dense resampled-importance sweep.
 """
 from __future__ import annotations
 
@@ -105,7 +106,9 @@ def preprocess(scene, meta, key, vp_all_scatters: bool = False):
                        static_argnames=('meta',))(
             scene, meta, jax.random.fold_in(key, 0xd1ce), maps)
     if bool(meta.iprop('use_light_cut', True)):
-        n_cl = int(meta.iprop('vrl_clusters', 512))
+        # default 1024 FINE clusters: the two-level hierarchy makes finer
+        # granularity CHEAPER than the old flat 512 (O(K1+K2+M) per lane)
+        n_cl = int(meta.iprop('vrl_clusters', 1024))
         clusters = jax.jit(partial(build_vrl_clusters, n_clusters=n_cl))(
             scene, maps)
         maps = maps._replace(clusters=clusters)
@@ -282,22 +285,35 @@ def vrl_contrib(scene, meta, maps, seg_o, seg_d, seg_len, cam_medium,
 
 class VRLClusters(NamedTuple):
     """TPU-native replacement for the reference's VRL lightcut
-    (vrl_lightcut.h). Instead of a binary tree refined per-query with a
-    priority queue (pointer-chasing-hostile), VRLs are Morton-sorted by
-    midpoint and chunked into K equal-count spatial clusters; a query
-    importance-samples a cluster ~ flux / centroid-distance^2 (the role
-    of getClusterUpperBound, vrl_lightcut.h:429-512), then a member
-    within the chosen cluster with EXACT per-member flux/distance^2
-    weights (M is small, so the (N, M) sweep is cheap). Dividing by the
-    exact discrete pdf keeps the estimator unbiased. Cost per draw is
-    O(K + M) per lane instead of the dense-RIS O(V), with near-RIS
-    variance."""
-    member: jnp.ndarray    # (K, M) int32 VRL indices (V = OOB pad)
-    centroid: jnp.ndarray  # (K, 3) flux-weighted member midpoint
-    radius2: jnp.ndarray   # (K,) squared cluster radius (softening)
-    lum: jnp.ndarray       # (K,) total member flux luminance
-    mid: jnp.ndarray       # (K, M, 3) member VRL midpoints
-    mlum: jnp.ndarray      # (K, M) member flux luminance (0 = invalid/pad)
+    (vrl_lightcut.h) — a TWO-LEVEL Morton hierarchy. The reference
+    refines a priority-queue cut per query until the cluster bound falls
+    below errRatio * Li (vrl_lightcut.h:243-393), which is
+    pointer-chasing-hostile on a TPU wavefront. Here the same refinement
+    happens stochastically with a fixed two-level schedule: VRLs are
+    Morton-sorted by midpoint and chunked into K1 coarse clusters of K2
+    subclusters of M members; a query importance-samples coarse -> sub ->
+    member, each stage with the reference's upper-bound terms (flux x
+    Tr-bound / d^2, getClusterUpperBound roles, vrl_lightcut.h:429-512)
+    and the member stage with EXACT per-member weights. Dividing by the
+    exact product pdf keeps the estimator unbiased. Per-lane cost is
+    O(K1 + K2 + M) (~88 weight evals at the 1024-fine-cluster default)
+    vs the flat design's O(K + M) (~528) with FINER effective
+    granularity (K1*K2 fine clusters approximate the 1/d^2 falloff that
+    the adaptive cut refines toward)."""
+    # coarse level (K1)
+    c_centroid: jnp.ndarray  # (K1, 3) flux-weighted centroid
+    c_radius2: jnp.ndarray   # (K1,) squared radius (softening / Tr face)
+    c_lum: jnp.ndarray       # (K1,) total flux luminance
+    # sub level, packed per coarse row (one K1 one-hot gather per query)
+    s_centroid: jnp.ndarray  # (K1, K2*3)
+    s_radius2: jnp.ndarray   # (K1, K2)
+    s_lum: jnp.ndarray       # (K1, K2)
+    # member tables, packed per FINE cluster row: one narrow
+    # (N, F) x (F, 5M) one-hot dot reaches the chosen subcluster's
+    # members without materializing anything fat (ops.gather.onehot_dot)
+    rows: jnp.ndarray        # (F, M*5): [mid xyz*M | mlum*M | member*M]
+    # (K1, K2, M are derived from the array shapes: c_lum (K1,),
+    # s_lum (K1, K2), rows (K1*K2, 5*M) — keeps every field a leaf)
 
 
 _LUM = jnp.asarray([0.2126, 0.7152, 0.0722])
@@ -316,13 +332,16 @@ def _morton3(q):
 
 
 def build_vrl_clusters(scene, maps, n_clusters: int) -> VRLClusters:
-    """Morton-sort VRL midpoints, chunk into K equal-count clusters, and
-    precompute per-cluster AABB + flux luminance + member CDF (the analog
-    of buildLightTree, vrl_lightcut.h:515-627, as a sort instead of an
-    agglomerative build)."""
+    """Morton-sort VRL midpoints, chunk into F = K1*K2 equal-count fine
+    clusters of M members, and aggregate fine -> coarse (the analog of
+    buildLightTree, vrl_lightcut.h:515-627, as a sort + two reduction
+    levels instead of an agglomerative binary tree)."""
     V = maps.vrl_o.shape[0]
-    K = int(max(1, min(n_clusters, max(V // 4, 1))))
-    M = -(-V // K)
+    F = int(max(1, min(n_clusters, max(V // 4, 1))))
+    K2 = int(min(16, F))
+    K1 = -(-F // K2)
+    F = K1 * K2
+    M = -(-V // F)
     mid = maps.vrl_o + maps.vrl_d * (0.5 * maps.vrl_len)[:, None]
     ext = jnp.maximum(scene.bbox_hi - scene.bbox_lo, 1e-9)
     qm = jnp.clip(((mid - scene.bbox_lo) / ext * 1023.0).astype(jnp.int32),
@@ -330,24 +349,40 @@ def build_vrl_clusters(scene, maps, n_clusters: int) -> VRLClusters:
     code = jnp.where(maps.vrl_valid, _morton3(qm), jnp.int32(0x7fffffff))
     order = jnp.argsort(code).astype(jnp.int32)
     member = jnp.concatenate(
-        [order, jnp.full((K * M - V,), V, jnp.int32)]).reshape(K, M)
+        [order, jnp.full((F * M - V,), V, jnp.int32)]).reshape(F, M)
     mi = jnp.minimum(member, V - 1)
     mvalid = (member < V) & maps.vrl_valid[mi]
 
     lum_m = jnp.where(mvalid, jnp.sum(maps.vrl_flux[mi] * _LUM, -1)
                       * jnp.maximum(maps.vrl_len[mi], 1e-6), 0.0)
-    lum = lum_m.sum(axis=1)
+    f_lum = lum_m.sum(axis=1)                                # (F,)
 
     mid_m = maps.vrl_o[mi] + maps.vrl_d[mi] \
-        * (0.5 * maps.vrl_len[mi])[..., None]               # (K, M, 3)
+        * (0.5 * maps.vrl_len[mi])[..., None]                # (F, M, 3)
     mid_m = jnp.where(mvalid[..., None], mid_m, 0.0)
-    centroid = jnp.sum(mid_m * lum_m[..., None], axis=1) \
-        * m.safe_rcp(lum)[:, None]
-    r2 = jnp.sum(jnp.where(mvalid, m.squared_norm(
-        mid_m - centroid[:, None, :]) * lum_m, 0.0), axis=1) \
-        * m.safe_rcp(lum)
-    return VRLClusters(member=member, centroid=centroid, radius2=r2,
-                       lum=lum, mid=mid_m, mlum=lum_m)
+    f_cent = jnp.sum(mid_m * lum_m[..., None], axis=1) \
+        * m.safe_rcp(f_lum)[:, None]                         # (F, 3)
+    f_r2 = jnp.sum(jnp.where(mvalid, m.squared_norm(
+        mid_m - f_cent[:, None, :]) * lum_m, 0.0), axis=1) \
+        * m.safe_rcp(f_lum)                                  # (F,)
+
+    # coarse aggregation over each run of K2 fine clusters (Morton order
+    # keeps runs spatially tight, like subtree roots of the binary tree)
+    s_lum = f_lum.reshape(K1, K2)
+    s_cent = f_cent.reshape(K1, K2, 3)
+    s_r2 = f_r2.reshape(K1, K2)
+    c_lum = s_lum.sum(axis=1)
+    c_cent = jnp.sum(s_cent * s_lum[..., None], axis=1) \
+        * m.safe_rcp(c_lum)[:, None]
+    c_r2 = jnp.sum((m.squared_norm(s_cent - c_cent[:, None, :]) + s_r2)
+                   * s_lum, axis=1) * m.safe_rcp(c_lum)
+
+    rows = jnp.concatenate(
+        [mid_m.reshape(F, M * 3), lum_m,
+         member.astype(jnp.float32)], axis=1)                # (F, 5M)
+    return VRLClusters(c_centroid=c_cent, c_radius2=c_r2, c_lum=c_lum,
+                       s_centroid=s_cent.reshape(K1, K2 * 3),
+                       s_radius2=s_r2, s_lum=s_lum, rows=rows)
 
 
 def _seg_point_dist2(seg_o, seg_d, seg_len, p):
@@ -376,70 +411,86 @@ def _sigma_min_bound(scene, meta, medium_idx):
     return jnp.where(medium_idx >= 0, sig, 0.0)
 
 
-def _cluster_weights(clusters: VRLClusters, seg_o, seg_d, seg_len,
-                     sig_min=None):
-    """(N, K) cluster selection weights: flux luminance x a transmittance
-    upper bound exp(-sig_min*d) over squared segment-to-centroid distance,
-    softened by the cluster radius (the importance roles of
-    getClusterUpperBound, vrl_lightcut.h:441-476: flux, 1/d^2, Tr bound;
-    the phase bound is a constant across clusters of one medium and
-    cancels in the normalized pdf)."""
-    d2 = _seg_point_dist2(seg_o, seg_d, seg_len,
-                          clusters.centroid[None, :, :])
-    w = clusters.lum[None, :] / (d2 + clusters.radius2[None, :] + 1e-4)
+def _lc_stage_weights(lum, cent, r2, seg_o, seg_d, seg_len, sig_min):
+    """Per-stage lightcut selection weights: flux luminance x a
+    transmittance upper bound exp(-sig_min*d_near) over squared
+    segment-to-centroid distance, softened by the cluster radius (the
+    importance roles of getClusterUpperBound, vrl_lightcut.h:441-476:
+    flux, 1/d^2, Tr bound; the phase bound is a constant across clusters
+    of one medium and cancels in the normalized pdf). ``lum``/``r2`` are
+    (..., K) and ``cent`` (..., K, 3), broadcast against (N,) lanes."""
+    d2 = _seg_point_dist2(seg_o, seg_d, seg_len, cent)
+    w = lum / (d2 + r2 + 1e-4)
     if sig_min is not None:
         # conservative: distance to the cluster FACE (centroid minus
         # radius), keeping the factor an upper bound on any member's Tr
-        d_near = jnp.maximum(
-            m.safe_sqrt(d2) - m.safe_sqrt(clusters.radius2)[None, :], 0.0)
+        d_near = jnp.maximum(m.safe_sqrt(d2) - m.safe_sqrt(r2), 0.0)
         w = w * jnp.exp(-sig_min[:, None] * d_near)
     return w
 
 
+def _sample_discrete(w, u):
+    """Inverse-CDF draw along axis 1 of (N, K) weights. Returns
+    (index, prob, total)."""
+    cdf = jnp.cumsum(w, axis=1)
+    tot = cdf[:, -1]
+    i = jnp.sum((cdf < u[:, None] * tot[:, None]).astype(jnp.int32),
+                axis=1)
+    i = jnp.minimum(i, w.shape[1] - 1)
+    p = _selch(w, i) * m.safe_rcp(tot)
+    return i, p, tot
+
+
+def _cluster_weights(clusters: VRLClusters, seg_o, seg_d, seg_len,
+                     sig_min=None):
+    """(N, K1) COARSE selection weights (stage 1 of the two-level cut)."""
+    return _lc_stage_weights(
+        clusters.c_lum[None, :], clusters.c_centroid[None, :, :],
+        clusters.c_radius2[None, :], seg_o, seg_d, seg_len, sig_min)
+
+
 def sample_cluster_vrl(clusters: VRLClusters, w, w_cdf, seg_o, seg_d,
-                       seg_len, u_c, u_m, V: int, sig_min=None):
-    """Draw (cluster, member) per lane: cluster from the precomputed
-    (N, K) weights, member with exact per-member flux/dist^2 weights over
-    the chosen cluster's M members. Returns (vrl_index, inv_pdf, ok)."""
-    N, K = w.shape
-    # cluster pick: count of cdf entries below u (vectorized searchsorted)
+                       seg_len, u_c, u_s, u_m, V: int, sig_min=None):
+    """Draw (coarse, sub, member) per lane: coarse from the precomputed
+    (N, K1) weights, subcluster from gathered fine-centroid bounds,
+    member with exact per-member flux/dist^2 weights over the chosen
+    fine cluster's M members. The product pdf is exact, so dividing by
+    it keeps the estimator unbiased regardless of how well each stage's
+    bound approximates the integrand (the reference's cut has the same
+    property, vrl_lightcut.h:153-192). Returns (vrl_index, inv_pdf, ok)."""
+    from ..ops.gather import take_many as _take_many, onehot_dot
+    K1 = clusters.c_lum.shape[0]
+    K2 = clusters.s_lum.shape[1]
+    M_ = clusters.rows.shape[1] // 5
+    # stage 1: coarse cluster (precomputed weights/cdf)
     u = u_c[:, None] * w_cdf[:, -1:]
-    c = jnp.sum((w_cdf < u).astype(jnp.int32), axis=1)
-    c = jnp.minimum(c, K - 1)
-    from ..ops.gather import select_channel
-    w_c = select_channel(w, c)
+    c1 = jnp.minimum(jnp.sum((w_cdf < u).astype(jnp.int32), axis=1), K1 - 1)
     w_tot = w_cdf[:, -1]
-    p_c = w_c * m.safe_rcp(w_tot)
-    # exact member weights within the chosen cluster (same softened 1/d^2
-    # as the dense-RIS metric, _vrl_ris_weights). K is small, so the
-    # (N, M)/(N, M, 3) member tables come from ONE one-hot matmul instead
-    # of per-lane row gathers (~the whole VRL-query cost on TPU otherwise)
-    from ..ops.gather import take_many as _take_many
-    M_ = clusters.mid.shape[1]
-    mid_f, mlum = _take_many(
-        [clusters.mid.reshape(clusters.mid.shape[0], M_ * 3),
-         clusters.mlum], c)
-    mid = mid_f.reshape(-1, M_, 3)                          # (N, M, 3)
+    p_c = _selch(w, c1) * m.safe_rcp(w_tot)
+    # stage 2: subcluster — gather the chosen coarse row's fine-cluster
+    # table (one fused K1 one-hot matmul) and reuse the same bound terms
+    s_cent_f, s_r2, s_lum = _take_many(
+        [clusters.s_centroid, clusters.s_radius2, clusters.s_lum], c1)
+    ws = _lc_stage_weights(s_lum, s_cent_f.reshape(-1, K2, 3), s_r2,
+                           seg_o, seg_d, seg_len, sig_min)
+    c2, p_s, ws_tot = _sample_discrete(ws, u_s)
+    # stage 3: member — one narrow (N, F) x (F, 5M) one-hot dot pulls the
+    # chosen FINE cluster's packed member row (midpoints + flux + ids);
+    # exact per-member weights, the same terms as the upper stages
+    row = onehot_dot(c1 * K2 + c2, clusters.rows)            # (N, 5M)
+    mid = row[:, :M_ * 3].reshape(-1, M_, 3)
+    mlum = row[:, M_ * 3:M_ * 4]
+    midf = row[:, M_ * 4:]      # member VRL ids, kept f32 through _selch
     d2 = _seg_point_dist2(seg_o, seg_d, seg_len, mid)
-    # same importance terms as the cluster stage (flux x Tr-bound / d^2);
-    # softening uses the (gathered) cluster radius so both stages share
-    # one constant instead of unrelated magic numbers
-    r2_c = _selch(jnp.broadcast_to(clusters.radius2[None, :],
-                                   (d2.shape[0], clusters.radius2.shape[0])),
-                  c)
-    wm = mlum / (d2 + 1e-2 * r2_c[:, None] + 1e-6)
+    r2_f = _selch(s_r2, c2)                                  # fine radius^2
+    wm = mlum / (d2 + 1e-2 * r2_f[:, None] + 1e-6)
     if sig_min is not None:
         wm = wm * jnp.exp(-sig_min[:, None] * m.safe_sqrt(d2))
-    wm_cdf = jnp.cumsum(wm, axis=1)
-    wm_tot = wm_cdf[:, -1]
-    um = u_m[:, None] * wm_tot[:, None]
-    j = jnp.sum((wm_cdf < um).astype(jnp.int32), axis=1)
-    j = jnp.minimum(j, wm.shape[1] - 1)
-    p_m = _selch(wm, j) \
-        * m.safe_rcp(wm_tot)
-    vi = clusters.member[c, j]
-    ok = (vi < V) & (p_c > 0) & (p_m > 0) & (w_tot > 0) & (wm_tot > 0)
-    inv_pdf = m.safe_rcp(p_c * p_m)
+    j, p_m, wm_tot = _sample_discrete(wm, u_m)
+    vi = jnp.round(_selch(midf, j)).astype(jnp.int32)
+    ok = (vi < V) & (p_c > 0) & (p_s > 0) & (p_m > 0) \
+        & (w_tot > 0) & (ws_tot > 0) & (wm_tot > 0)
+    inv_pdf = m.safe_rcp(p_c * p_s * p_m)
     return jnp.minimum(vi, V - 1), inv_pdf, ok
 
 
@@ -495,12 +546,13 @@ def query_vrls(scene, meta, maps, seg_o, seg_d, seg_len, cam_medium, channel,
         w_cdf = jnp.cumsum(w, axis=1)
         for _ in range(samples_per_query):
             u_c, sampler = sampler.next_1d()
+            u_s, sampler = sampler.next_1d()
             u_m, sampler = sampler.next_1d()
             u1, sampler = sampler.next_1d()
             u2, sampler = sampler.next_1d()
             vi, inv_pdf, ok = sample_cluster_vrl(clusters, w, w_cdf,
                                                  seg_o, seg_d, seg_len,
-                                                 u_c, u_m, V, sig_min)
+                                                 u_c, u_s, u_m, V, sig_min)
             c, sampler = vrl_contrib(scene, meta, maps, seg_o, seg_d,
                                      seg_len, cam_medium, vi, u1, u2,
                                      channel, sampler, active & ok)

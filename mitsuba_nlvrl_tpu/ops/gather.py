@@ -76,6 +76,35 @@ def take_many(tables, idx):
     return res
 
 
+def onehot_dot(idx: jnp.ndarray, table: jnp.ndarray) -> jnp.ndarray:
+    """``table[idx]`` as an explicit one-hot matmul with NO row cap.
+
+    ``take_rows``' ONEHOT_MAX_ROWS=512 heuristic is about FAT tables
+    (many columns), where the (N, T) x (T, C) MXU traffic overtakes the
+    native gather. For NARROW tables (C small — e.g. the hierarchical
+    lightcut's (F, 5M) member rows with F~1024, 5M~40) the dot stays
+    cheap far beyond 512 rows: the one-hot operand is a fused
+    iota-compare (never materialized in HBM) and the output is only
+    (N, C). Exact at HIGHEST precision; int payloads < 2^24 survive the
+    f32 path bit-exactly. Used on TPU; falls back to a native gather on
+    CPU where gathers are fast."""
+    squeeze = table.ndim == 1
+    tab = table[:, None] if squeeze else table
+    T = tab.shape[0]
+    if jax.default_backend() != 'tpu':
+        out = tab[jnp.clip(idx, 0, T - 1)]
+        return out[..., 0] if squeeze else out
+    idx = jnp.clip(idx, 0, T - 1)
+    oh = (idx[:, None] == jnp.arange(T, dtype=idx.dtype)[None, :]) \
+        .astype(jnp.float32)
+    isint = jnp.issubdtype(tab.dtype, jnp.integer)
+    out = jax.lax.dot(oh, tab.astype(jnp.float32),
+                      precision=jax.lax.Precision.HIGHEST)
+    if isint:
+        out = jnp.round(out).astype(tab.dtype)
+    return out[..., 0] if squeeze else out
+
+
 def select_channel(spec: jnp.ndarray, channel: jnp.ndarray) -> jnp.ndarray:
     """Per-lane channel pick from (..., C) via one-hot masked reduce.
     ``take_along_axis`` lowers to a serial dynamic-gather on TPU (~2ms per

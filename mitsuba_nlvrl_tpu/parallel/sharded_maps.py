@@ -109,7 +109,7 @@ def make_sharded_vrl_render(meta, mesh: Mesh, ray_axis: str = 'dp',
         ) + (('map_psum_axis', map_axis),))
     use_pm = meta.integrator in ('photonmapper', 'photonmap')
     sample_fn = vrl_mod.make_sample(use_vrls=not use_pm)
-    n_cl = int(meta.iprop('vrl_clusters', 512))
+    n_cl = int(meta.iprop('vrl_clusters', 1024))
     use_cut = bool(meta.iprop('use_light_cut', True))
 
     def body(scene, maps_local: PhotonMaps, ray: Ray, key):
