@@ -166,6 +166,79 @@ def _dice_vrls(scene, meta, key, maps, dice: int):
                          vrl_valid=vmask, vrl_count=n)
 
 
+ANISO_CDF_KNOTS = 10     # CDF_LENGHT, vrl_struct.h:365
+
+
+def _aniso_cam_cdf(scene, meta, cam_medium, med_v, seg_o, seg_d, seg_len,
+                   p_vrl, d_v, u2, act):
+    """Anisotropic tabulated-CDF sampling of the CAMERA-segment point
+    (vrl_struct.h:361-505, the gated anisotropic branch): knots are
+    cosine-spaced in Kulla's theta space, the density at each knot is the
+    PRODUCT of both phase functions, and the piecewise-linear CDF is
+    inverted exactly. For isotropic phases the density is constant and
+    this reduces bit-near to the atan sampler.
+
+    Deviation (documented): the reference renormalizes u uniformly inside
+    the chosen bin but divides by the LERPED density
+    (vrl_struct.h:488-496, flagged "not sure that linear interpolation is
+    a good choice") — an inconsistent pair that biases the estimator; we
+    invert the trapezoid exactly so pdf(theta) = lerp(ph)/total matches
+    the sampling distribution. Returns (t_cam, inv_pdf_c, ok)."""
+    N = seg_o.shape[0]
+    K = ANISO_CDF_KNOTS
+    u_hat = m.dot(seg_d, p_vrl - seg_o)
+    u0_hat = -u_hat
+    u1_hat = seg_len + u0_hat
+    h = jnp.maximum(m.norm(seg_o + seg_d * u_hat[:, None] - p_vrl), 1e-7)
+    th0 = jnp.arctan(u0_hat / h)
+    th1 = jnp.arctan(u1_hat / h)
+    # cosine-spaced knots (eq. 19 role; the peak-insertion branch is
+    # behind USE_PEAK_SAMPLING in the reference and not replicated)
+    frac = 0.5 * (1.0 - jnp.cos(jnp.pi * jnp.arange(K) / (K - 1)))
+    th = th0[:, None] + (th1 - th0)[:, None] * frac[None, :]   # (N, K)
+    t_k = h[:, None] * jnp.tan(th) - u0_hat[:, None]           # (N, K)
+    p_k = seg_o[:, None, :] + seg_d[:, None, :] * t_k[..., None]
+    dir_k = p_vrl[:, None, :] - p_k
+    dir_k = dir_k * m.safe_rcp(m.norm(dir_k))[..., None]       # (N, K, 3)
+    # phase products at the knots (one flattened eval per side)
+    rep = lambda x: jnp.repeat(x, K, axis=0)
+    dflat = dir_k.reshape(N * K, 3)
+    ph_ray = phase_mod.eval(scene, meta, rep(cam_medium), rep(-seg_d),
+                            dflat, rep(act)).reshape(N, K)
+    ph_vrl = phase_mod.eval(scene, meta, rep(med_v), rep(-d_v),
+                            -dflat, rep(act)).reshape(N, K)
+    ph = jnp.maximum(ph_ray * ph_vrl, 0.0)                     # (N, K)
+    dth = th[:, 1:] - th[:, :-1]                               # (N, K-1)
+    area = 0.5 * (ph[:, 1:] + ph[:, :-1]) * dth
+    cdf = jnp.cumsum(area, axis=1)                             # (N, K-1)
+    total = cdf[:, -1]
+    ok = act & (total > 1e-12) & jnp.isfinite(total)
+    uu = u2 * total
+    j = jnp.minimum(jnp.sum((cdf < uu[:, None]).astype(jnp.int32), axis=1),
+                    K - 2)
+    cdf0 = jnp.concatenate([jnp.zeros((N, 1)), cdf], axis=1)
+    from ..ops.gather import select_row
+    pa = select_row(ph[:, :-1], j)
+    pb = select_row(ph[:, 1:], j)
+    tha = select_row(th[:, :-1], j)
+    dthj = select_row(dth, j)
+    xi = jnp.clip((uu - select_row(cdf0, j))
+                  * m.safe_rcp(select_row(area, j)), 0.0, 1.0)
+    # exact inversion of the linear density pa -> pb over the bin
+    dp = pb - pa
+    lin = jnp.abs(dp) > 1e-9 * jnp.maximum(pa, pb)
+    s = jnp.where(lin,
+                  (m.safe_sqrt(pa * pa + xi * (pb * pb - pa * pa)) - pa)
+                  * m.safe_rcp(dp), xi)
+    theta = tha + dthj * s
+    q = pa + dp * s                       # density value at the sample
+    tc = h * jnp.tan(theta)
+    inv_pdf_c = total * (h * h + tc * tc) * m.safe_rcp(q * h)
+    t_cam = jnp.clip(tc - u0_hat, 0.0, seg_len)
+    ok = ok & jnp.isfinite(inv_pdf_c) & (inv_pdf_c > 0)
+    return t_cam, inv_pdf_c, ok
+
+
 def vrl_contrib(scene, meta, maps, seg_o, seg_d, seg_len, cam_medium,
                 vi, u1, u2, channel, sampler, active):
     """Single-VRL contribution to a camera segment (getContrib,
@@ -233,6 +306,16 @@ def vrl_contrib(scene, meta, maps, seg_o, seg_d, seg_len, cam_medium,
     uu = h_pt * jnp.tan(m.lerp(th_a, th_b, u2))
     inv_pdf_c = (th_b - th_a) * (h_pt * h_pt + uu * uu) / h_pt
     t_cam = jnp.clip(uu - u0_hat, 0.0, seg_len)
+
+    # optional anisotropic tabulated-CDF camera sampling: the density in
+    # theta space is the PRODUCT of both phase functions instead of a
+    # constant (vrl_struct.h:361-505; gated there too — ships off)
+    if bool(meta.iprop('vrl_aniso_cdf', False)):
+        t_cam_a, inv_a, ok_a = _aniso_cam_cdf(
+            scene, meta, cam_medium, med_v, seg_o, seg_d, seg_len,
+            p_vrl, d_v, u2, act & ~degenerate)
+        t_cam = jnp.where(ok_a, t_cam_a, t_cam)
+        inv_pdf_c = jnp.where(ok_a, inv_a, inv_pdf_c)
     p_cam = seg_o + seg_d * t_cam[:, None]
 
     # degenerate fallback: uniform MC (sampleMC, vrl_struct.h:239-243);

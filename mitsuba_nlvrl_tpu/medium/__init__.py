@@ -443,7 +443,19 @@ def _majorant_walk(scene, meta, ray: Ray, key, channel, medium_idx,
 
     track=False (transmittance, volpath.cpp:275-368 ratio tracking):
       every collision is null: w *= sigma_n_loc / mj_loc.
-    track=True (delta tracking to the next REAL collision):
+    track=True (DECOMPOSITION-tracked delta tracking to the next REAL
+      collision, volpath.cpp:123-151 semantics): per block the extinction
+      splits into a constant control c = sigma_unit*block_min plus a
+      residual. The next control collision is drawn ANALYTICALLY once per
+      block (exponential at rate c_h) and is always real; the loop only
+      iterates RESIDUAL events at rate mj_loc - c_h — in dense smooth
+      blocks (maj ~ min) that is near zero, so the serialized
+      gather-per-event count collapses while the estimator is unchanged:
+      marginalized over event type, real collisions keep density
+      sigma_t_ch * exp(-mj_loc*dt) and nulls sigma_n_ch * exp(-mj_loc*dt),
+      exactly the plain delta-tracking pdfs, so every weight below is the
+      plain formula with rate := mj_loc (Novak et al. 2014 eq. 29 /
+      Kutz et al. 2017 decomposition tracking):
       real with prob sigma_t_ch/mj_loc; null: w *= sigma_n*mj_loc/sn_ch;
       collision step also w *= exp(-dt*(maj_vec-mj))/mj_loc (hero-channel
       telescoping; the caller applies the real-event sigma_s factor).
@@ -458,19 +470,18 @@ def _majorant_walk(scene, meta, ray: Ray, key, channel, medium_idx,
 
     def local_bounds(bmaj_b, bmin_b, bok):
         """(maj_vec, c_vec) extinction bounds of the current block.
-        c_vec is the residual-ratio-tracking control (Novak et al. 2014,
-        eq. 29): transmittance walks sample collisions at the residual
-        rate maj-c only and multiply the control's exact exponential via
-        the telescoped step factor. Delta tracking (track=True) cannot
-        use a control (real collisions classify against sigma_t/maj), so
-        c = 0 there; non-het lanes and scenes without block bounds fall
-        back to the global majorant with c = 0.."""
+        c_vec is the block-constant control (Novak et al. 2014, eq. 29):
+        transmittance walks sample collisions at the residual rate maj-c
+        only and multiply the control's exact exponential via the
+        telescoped step factor; delta-tracking walks (track=True) draw
+        the control's collision analytically per block — always real
+        since c <= sigma_t everywhere in the block — and loop only over
+        residual events. Non-het lanes and scenes without block bounds
+        fall back to the global majorant with c = 0."""
         if not bok:
             return majorant, jnp.zeros_like(majorant)
         mv = jnp.where(is_het[:, None], sigma_unit * bmaj_b[:, None],
                        majorant)
-        if track:
-            return mv, jnp.zeros_like(mv)
         cv = jnp.where(is_het[:, None],
                        sigma_unit * jnp.minimum(bmin_b, bmaj_b)[:, None],
                        0.0)
@@ -484,34 +495,56 @@ def _majorant_walk(scene, meta, ray: Ray, key, channel, medium_idx,
     maj_vec0, c_vec0 = local_bounds(bmaj0, bmin0, bok0)
 
     def cond(carry):
-        return jnp.any(carry[2]) & (carry[8] < max_steps)
+        return jnp.any(carry[2]) & (carry[9] < max_steps)
 
     def sub_step(carry, u):
-        """One tracking event (collision OR block crossing) for every
-        walking lane — fully masked, so folding several sub-steps into
-        one while_loop iteration (see body) is estimator-identical."""
-        (t, w, walking, found, maj_vec, c_vec, dens_col, t_next_ax, it,
-         k) = carry
+        """One tracking event (residual collision, analytic control
+        collision, OR block crossing) for every walking lane — fully
+        masked, so folding several sub-steps into one while_loop
+        iteration (see body) is estimator-identical."""
+        (t, w, walking, found, maj_vec, c_vec, dens_col, t_next_ax,
+         t_ctrl, it, k) = carry
         mj_loc = _ch(maj_vec, channel)
-        # collision rate: the residual maj - c (== maj when track=True)
-        rate = jnp.maximum(mj_loc - _ch(c_vec, channel), 0.0)
-        r_pos = rate > 1e-20
+        c_loc = _ch(c_vec, channel)
+        # loop-event rate: the residual maj - c in BOTH modes (the
+        # control's events are handled analytically — as the telescoped
+        # exponential for track=False, as the pending t_ctrl collision
+        # for track=True)
+        res_rate = jnp.maximum(mj_loc - c_loc, 0.0)
+        r_pos = res_rate > 1e-20
         # empty/constant blocks (rate 0) step to the boundary in one free
         # move; the constant (not 1/rate) form keeps reverse-mode NaN-free
         dt = -jnp.log1p(-jnp.clip(u[:, 0], 0.0, m.OneMinusEpsilon)) \
-            / jnp.where(r_pos, rate, 1.0)
+            / jnp.where(r_pos, res_rate, 1.0)
         dt = jnp.where(r_pos, dt, jnp.float32(3e38))
-        rate = jnp.where(r_pos, rate, 0.0)
         t_exit = jnp.min(t_next_ax, axis=-1)
         t_stop = jnp.minimum(t_exit, maxt)
-        boundary = walking & (t + dt > t_stop)
-        col = walking & ~boundary
+        if track:
+            # the next happening is the FIRST of (pending control
+            # collision, residual candidate, block boundary); both
+            # collision kinds land in `col`, with the total hero event
+            # rate mj_loc = c + residual driving every weight below
+            t_res = t + dt
+            ctrl_hit = walking & (t_ctrl <= t_res) & (t_ctrl <= t_stop)
+            boundary = walking & ~ctrl_hit & (t_res > t_stop)
+            col = walking & ~boundary
+            t_new = jnp.where(ctrl_hit, t_ctrl,
+                              jnp.where(col, t_res,
+                                        jnp.where(boundary, t_stop, t)))
+            rate = jnp.where(mj_loc > 1e-20, mj_loc, 0.0)
+        else:
+            ctrl_hit = jnp.zeros_like(walking)
+            boundary = walking & (t + dt > t_stop)
+            col = walking & ~boundary
+            t_new = jnp.where(col, t + dt,
+                              jnp.where(boundary, t_stop, t))
+            rate = jnp.where(r_pos, res_rate, 0.0)
         # hero-channel telescoped exponential ratio over the step: the
         # pdf contributes exp(-rate*dt) while the integrand carries
         # exp(-maj_vec*dt) -> factor exp(-dt*(maj_vec - rate)); for the
         # residual control this IS exp(-c*dt) * exp(-dt*(residual_vec -
         # residual_hero)) fused into one exponential
-        seg = jnp.maximum(jnp.where(col, dt, t_stop - t), 0.0)
+        seg = jnp.maximum(jnp.where(col, t_new - t, t_stop - t), 0.0)
         ratio = jnp.exp(-seg[:, None] * (maj_vec - rate[:, None]))
         if track:
             w = jnp.where(walking[:, None],
@@ -520,7 +553,6 @@ def _majorant_walk(scene, meta, ray: Ray, key, channel, medium_idx,
                                       1.0)[:, None], w)
         else:
             w = jnp.where(walking[:, None], w * ratio, w)
-        t_new = jnp.where(col, t + dt, jnp.where(boundary, t_stop, t))
         # DDA step for boundary crossings
         escaped = boundary & (t_stop >= maxt)
         crossed = boundary & ~escaped
@@ -541,8 +573,13 @@ def _majorant_walk(scene, meta, ray: Ray, key, channel, medium_idx,
         if track:
             st_ch = _ch(sigma_t_v, channel)
             sn_ch = _ch(sigma_n_loc, channel)
-            p_real = st_ch / jnp.maximum(rate, 1e-30)
-            real = col & (u[:, 1] < p_real)
+            # control collisions are real outright (c <= sigma_t in the
+            # block); residual events classify against the RESIDUAL
+            # extinction — marginalized over type, P(real | event at x)
+            # = sigma_t(x)/mj_loc, identical to plain delta tracking
+            p_real = jnp.maximum(st_ch - c_loc, 0.0) \
+                / jnp.maximum(res_rate, 1e-30)
+            real = ctrl_hit | (col & (u[:, 1] < p_real))
             null = col & ~real
             # safe_div: the VJP of x/max(y,eps) overflows f32 at y=1e-30
             w = jnp.where(null[:, None],
@@ -564,25 +601,51 @@ def _majorant_walk(scene, meta, ray: Ray, key, channel, medium_idx,
         hetc = (crossed & is_het)[:, None]
         maj_vec = jnp.where(hetc, maj_new, maj_vec)
         c_vec = jnp.where(hetc, c_new, c_vec)
+        if track:
+            # crossed lanes redraw the pending control collision from the
+            # new block's c (null lanes keep theirs — memoryless)
+            c_h_new = _ch(c_vec, channel)
+            t_ctrl_new = t_stop - jnp.log1p(
+                -jnp.clip(u[:, 2], 0.0, m.OneMinusEpsilon)) \
+                / jnp.maximum(c_h_new, 1e-30)
+            t_ctrl_new = jnp.where(c_h_new > 1e-20, t_ctrl_new,
+                                   jnp.float32(jnp.inf))
+            t_ctrl = jnp.where(crossed, t_ctrl_new, t_ctrl)
         return (t_new, w, walking_next, found, maj_vec, c_vec, dens_col,
-                t_next_new, it + 1, k)
+                t_next_new, t_ctrl, it + 1, k)
 
     # fold WALK_UNROLL tracking events into each while_loop iteration:
     # at wavefront sizes where the walk is bound by sequential iteration
     # overhead (not VPU/HBM throughput), U masked sub-steps per iteration
     # cut the sequential depth ~U-fold for the same estimator (each
     # sub-step is fully masked; finished lanes ride along as identity)
+    n_u = 3 if track else 2
+
     def body(carry):
-        it, k = carry[8], carry[9]
+        it, k = carry[9], carry[10]
         k1 = jax.random.fold_in(k, it)
-        us = jax.random.uniform(k1, (WALK_UNROLL, N, 2))
+        us = jax.random.uniform(k1, (WALK_UNROLL, N, n_u))
         for s in range(WALK_UNROLL):
             carry = sub_step(carry, us[s])
         return carry
 
     t0 = jnp.where(walking, mint, 0.0)
+    if track:
+        # pending control collision of the INITIAL block (analytic draw;
+        # fold constant is not a multiple of WALK_UNROLL so it can never
+        # collide with the per-iteration folds)
+        u_c0 = jax.random.uniform(jax.random.fold_in(key, 0x7ffffff1),
+                                  (N,))
+        c_h0 = _ch(c_vec0, channel)
+        t_ctrl0 = t0 - jnp.log1p(
+            -jnp.clip(u_c0, 0.0, m.OneMinusEpsilon)) \
+            / jnp.maximum(c_h0, 1e-30)
+        t_ctrl0 = jnp.where(c_h0 > 1e-20, t_ctrl0, jnp.float32(jnp.inf))
+    else:
+        t_ctrl0 = jnp.full((N,), jnp.inf)
     carry = (t0, jnp.ones((N, 3)), walking, jnp.zeros((N,), bool),
-             maj_vec0, c_vec0, jnp.zeros((N,)), t_next0, jnp.int32(0), key)
+             maj_vec0, c_vec0, jnp.zeros((N,)), t_next0, t_ctrl0,
+             jnp.int32(0), key)
     if diff:
         # reverse-mode cannot differentiate while_loop: bounded
         # checkpointed scan (the body is fully masked, extra trips are

@@ -327,6 +327,103 @@ def test_vrl_cluster_sampling_unbiased_and_lower_variance():
     assert var_c < 0.5 * var_u, (var_c, var_u)
 
 
+def test_vrl_aniso_cdf_sampling():
+    """Anisotropic tabulated-CDF camera sampling (vrl_struct.h:361-505,
+    prop vrl_aniso_cdf): (a) with an ISOTROPIC phase the phase product is
+    constant over the knots, so the tabulated CDF must reduce to the atan
+    sampler — same uniforms, near-identical estimates; (b) with a forward
+    HG phase it must agree with the atan sampler in expectation (both
+    divide by their exact pdfs) while concentrating samples where the
+    phase product is large."""
+    from functools import partial
+    from mitsuba_nlvrl_tpu.integrators import vrl as vrl_mod
+    from mitsuba_nlvrl_tpu.core.rng import Sampler
+
+    def build(phase, aniso):
+        desc = {
+            'integrator': {'type': 'vrl', 'target_vrls': 512,
+                           'max_depth': 6, 'min_vrl_length': 0.02,
+                           'vrl_aniso_cdf': aniso,
+                           'use_light_cut': False},
+            'sensor': {'type': 'perspective', 'fov': 45.0,
+                       'to_world': tr.look_at((0, 0, -12), (0, 0, 0),
+                                              (0, 1, 0)),
+                       'film': {'width': 8, 'height': 8,
+                                'rfilter': {'type': 'box'}},
+                       'sampler': {'type': 'independent',
+                                   'sample_count': 1}},
+            'shapes': [{'type': 'cube', 'bsdf': {'type': 'null'},
+                        'interior': {'type': 'homogeneous',
+                                     'sigma_t': 0.8, 'albedo': 0.9,
+                                     'phase': phase},
+                        'to_world': tr.scale((4.0, 1.0, 1.0))}],
+            'emitters': [{'type': 'point', 'position': (-4.6, 0.0, 0.0),
+                          'intensity': (5.0, 5.0, 5.0)}],
+        }
+        return build_scene(desc)
+
+    N = 32
+    xs = np.linspace(-3.0, 3.5, N).astype(np.float32)
+    seg_o = jnp.asarray(np.stack([xs, np.full(N, 0.0), np.full(N, -0.8)],
+                                 axis=-1))
+    seg_d = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (N, 1))
+    seg_len = jnp.full((N,), 1.6)
+    midx = jnp.zeros((N,), jnp.int32)
+    chan = jnp.zeros((N,), jnp.int32)
+    act = jnp.ones((N,), bool)
+
+    def estimates(phase, aniso, T):
+        scene, meta = build(phase, aniso)
+        maps = vrl_mod.preprocess(scene, meta, jax.random.PRNGKey(0))
+
+        @jax.jit
+        def one(key):
+            smp = Sampler.make(key, N)
+            est, _ = vrl_mod.query_vrls(scene, meta, maps, seg_o, seg_d,
+                                        seg_len, midx, chan, smp, act, 1,
+                                        strategy='uniform')
+            return est.sum(-1)
+
+        return np.stack([np.asarray(one(jax.random.PRNGKey(7 + t)))
+                         for t in range(T)])
+
+    # (a) isotropic reduction: same seeds, same draws -> near-bit parity
+    iso = {'type': 'isotropic'}
+    e_off = estimates(iso, False, 4)
+    e_on = estimates(iso, True, 4)
+    np.testing.assert_allclose(e_on, e_off, rtol=2e-3, atol=1e-8)
+
+    # (b) pdf consistency under HG g=0.7 (the unbiasedness gate): for any
+    # test function psi, E[psi(t)/pdf(t)] = integral of psi over the
+    # segment — checked for psi=1 and psi=t against the sampler's own
+    # inv_pdf (a scene-level mean comparison against the atan sampler is
+    # too heavy-tailed to converge: the atan sampler ignores the forward
+    # peak entirely)
+    scene, meta = build({'type': 'hg', 'g': 0.7}, True)
+    M = 100000
+    u2 = jax.random.uniform(jax.random.PRNGKey(3), (M,))
+    so = jnp.tile(jnp.asarray([[0.5, 0.0, -0.8]]), (M, 1))
+    sd = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (M, 1))
+    sl = jnp.full((M,), 1.6)
+    pv = jnp.tile(jnp.asarray([[-2.0, 0.3, 0.2]]), (M, 1))
+    dv = jnp.tile(jnp.asarray([[1.0, 0.0, 0.0]]), (M, 1))
+    mz = jnp.zeros((M,), jnp.int32)
+    t_c, inv_p, ok = vrl_mod._aniso_cam_cdf(
+        scene, meta, mz, mz, so, sd, sl, pv, dv, u2,
+        jnp.ones((M,), bool))
+    t_c, inv_p, ok = map(np.asarray, (t_c, inv_p, ok))
+    assert ok.all()
+    assert abs((inv_p.mean()) / 1.6 - 1.0) < 0.02, inv_p.mean()
+    assert abs((t_c * inv_p).mean() / (1.6 ** 2 / 2) - 1.0) < 0.02
+
+    # (c) milder HG g=0.4: scene-level agreement in expectation
+    hg = {'type': 'hg', 'g': 0.4}
+    r_off = estimates(hg, False, 320)
+    r_on = estimates(hg, True, 96)
+    mu_off, mu_on = r_off.mean(), r_on.mean()
+    assert abs(mu_on / mu_off - 1.0) < 0.2, (mu_on, mu_off)
+
+
 def test_bre_per_photon_radii():
     """build_maps derives per-photon BRE radii from local density (the
     kNN-radius analog of bre.h:39-73): denser neighborhoods get smaller
