@@ -469,41 +469,48 @@ def _majorant_walk(scene, meta, ray: Ray, key, channel, medium_idx,
     bidx0, t_next0, t_delta = _dda_init(scene, meta, medium_idx, ray, mint)
 
     def local_bounds(bmaj_b, bmin_b, bok):
-        """(maj_vec, c_vec) extinction bounds of the current block.
+        """(maj_vec, c_vec, D_leap) of the current block.
         c_vec is the block-constant control (Novak et al. 2014, eq. 29):
         transmittance walks sample collisions at the residual rate maj-c
         only and multiply the control's exact exponential via the
         telescoped step factor; delta-tracking walks (track=True) draw
         the control's collision analytically per block — always real
         since c <= sigma_t everywhere in the block — and loop only over
-        residual events. Non-het lanes and scenes without block bounds
-        fall back to the global majorant with c = 0."""
+        residual events. D_leap decodes the vacuum-row slot-9 encoding
+        (builder._corner_pack): a NEGATIVE block-min means the block's
+        slot-8 bound is zero and -bmin is the Chebyshev block distance to
+        the nearest occupied block — crossing lanes jump it in one event.
+        Non-het lanes and scenes without block bounds fall back to the
+        global majorant with c = 0, D = 0."""
         if not bok:
-            return majorant, jnp.zeros_like(majorant)
+            z = jnp.zeros_like(bmaj_b)
+            return majorant, jnp.zeros_like(majorant), z
         mv = jnp.where(is_het[:, None], sigma_unit * bmaj_b[:, None],
                        majorant)
+        bmin_pos = jnp.maximum(bmin_b, 0.0)
         cv = jnp.where(is_het[:, None],
-                       sigma_unit * jnp.minimum(bmin_b, bmaj_b)[:, None],
+                       sigma_unit * jnp.minimum(bmin_pos, bmaj_b)[:, None],
                        0.0)
-        return mv, cv
+        Dd = jnp.where(is_het, jnp.maximum(-bmin_b, 0.0), 0.0)
+        return mv, cv, Dd
 
     # initial interval [mint, min(exit, maxt)]: probe its midpoint
     t_exit0 = jnp.min(t_next0, axis=-1)
     mid0 = 0.5 * (mint + jnp.minimum(t_exit0, maxt))
     _, bmaj0, bmin0, bok0 = _row_eval(scene, meta, medium_idx, lo, hi,
                                       ray.at(mid0), diff)
-    maj_vec0, c_vec0 = local_bounds(bmaj0, bmin0, bok0)
+    maj_vec0, c_vec0, d_leap0 = local_bounds(bmaj0, bmin0, bok0)
 
     def cond(carry):
-        return jnp.any(carry[2]) & (carry[9] < max_steps)
+        return jnp.any(carry[2]) & (carry[10] < max_steps)
 
     def sub_step(carry, u):
         """One tracking event (residual collision, analytic control
         collision, OR block crossing) for every walking lane — fully
         masked, so folding several sub-steps into one while_loop
         iteration (see body) is estimator-identical."""
-        (t, w, walking, found, maj_vec, c_vec, dens_col, t_next_ax,
-         t_ctrl, it, k) = carry
+        (t, w, walking, found, maj_vec, c_vec, d_leap, dens_col,
+         t_next_ax, t_ctrl, it, k) = carry
         mj_loc = _ch(maj_vec, channel)
         c_loc = _ch(c_vec, channel)
         # loop-event rate: the residual maj - c in BOTH modes (the
@@ -558,10 +565,46 @@ def _majorant_walk(scene, meta, ray: Ray, key, channel, medium_idx,
         crossed = boundary & ~escaped
         step_ax = crossed[:, None] & (t_next_ax <= t_exit[:, None])
         t_next_new = t_next_ax + jnp.where(step_ax, t_delta, 0.0)
+        if _has_supervoxels(scene, meta):
+            # empty-space LEAP: the current block is vacuum with Chebyshev
+            # distance d_leap to the nearest occupied block, so every
+            # block reachable before min_axis(t_next + (d-1)*t_delta) is
+            # vacuum too — jump straight there in this one event (the
+            # traversal cost of sparse grids is crossings, not collisions)
+            t_dl = jnp.where(jnp.isfinite(t_delta), t_delta,
+                             jnp.float32(3e37))
+            leap = crossed & (d_leap >= 1.0)
+            t_safe = jnp.min(
+                t_next_ax + jnp.maximum(d_leap - 1.0, 0.0)[:, None] * t_dl,
+                axis=-1)
+            esc_leap = leap & (t_safe >= maxt)
+            escaped = escaped | esc_leap
+            crossed = crossed & ~esc_leap
+            leap = leap & ~esc_leap
+            t_new = jnp.where(leap, jnp.minimum(t_safe, maxt), t_new)
+            # re-derive the DDA state at the landing point (nudged just
+            # inside the landing block so the face rounding can't stall)
+            Sv, kv, Dv = _sup_static(scene)
+            cell = jnp.maximum(hi - lo, 1e-30) * kv / Dv
+            eps_t = 1e-3 * jnp.min(t_dl, axis=-1)
+            t_land = t_new + eps_t
+            p_land = ray.at(t_land)
+            bidx_l = jnp.clip(
+                jnp.floor((p_land - lo) / cell).astype(jnp.int32), 0,
+                (Sv - 1.0).astype(jnp.int32))
+            degen = jnp.abs(ray.d) < 1e-12
+            safe_d = jnp.where(degen,
+                               jnp.where(ray.d >= 0, 1e-12, -1e-12), ray.d)
+            face = jnp.where(safe_d > 0, (bidx_l + 1).astype(jnp.float32),
+                             bidx_l.astype(jnp.float32)) * cell + lo
+            tn_l = t_land[:, None] + (face - p_land) / safe_d
+            tn_l = jnp.where(degen, jnp.inf,
+                             jnp.maximum(tn_l, t_new[:, None]))
+            t_next_new = jnp.where(leap[:, None], tn_l, t_next_new)
         # the ONE gather: collision point, or next-interval midpoint
         t_exit_new = jnp.min(t_next_new, axis=-1)
         probe_t = jnp.where(
-            col, t_new, 0.5 * (t_stop + jnp.minimum(t_exit_new, maxt)))
+            col, t_new, 0.5 * (t_new + jnp.minimum(t_exit_new, maxt)))
         dens, bmaj, bmin, bok = _row_eval(scene, meta, medium_idx, lo, hi,
                                           ray.at(jnp.where(walking, probe_t,
                                                            0.0)),
@@ -597,22 +640,24 @@ def _majorant_walk(scene, meta, ray: Ray, key, channel, medium_idx,
             walking_next = col | crossed
         # crossing lanes adopt the new block's bounds (midpoint probe);
         # collision lanes keep theirs (same block)
-        maj_new, c_new = local_bounds(bmaj, bmin, bok)
+        maj_new, c_new, d_new = local_bounds(bmaj, bmin, bok)
         hetc = (crossed & is_het)[:, None]
         maj_vec = jnp.where(hetc, maj_new, maj_vec)
         c_vec = jnp.where(hetc, c_new, c_vec)
+        d_leap = jnp.where(crossed & is_het, d_new, d_leap)
         if track:
             # crossed lanes redraw the pending control collision from the
-            # new block's c (null lanes keep theirs — memoryless)
+            # landing point's new-block c (null lanes keep theirs —
+            # memoryless)
             c_h_new = _ch(c_vec, channel)
-            t_ctrl_new = t_stop - jnp.log1p(
+            t_ctrl_new = t_new - jnp.log1p(
                 -jnp.clip(u[:, 2], 0.0, m.OneMinusEpsilon)) \
                 / jnp.maximum(c_h_new, 1e-30)
             t_ctrl_new = jnp.where(c_h_new > 1e-20, t_ctrl_new,
                                    jnp.float32(jnp.inf))
             t_ctrl = jnp.where(crossed, t_ctrl_new, t_ctrl)
-        return (t_new, w, walking_next, found, maj_vec, c_vec, dens_col,
-                t_next_new, t_ctrl, it + 1, k)
+        return (t_new, w, walking_next, found, maj_vec, c_vec, d_leap,
+                dens_col, t_next_new, t_ctrl, it + 1, k)
 
     # fold WALK_UNROLL tracking events into each while_loop iteration:
     # at wavefront sizes where the walk is bound by sequential iteration
@@ -622,7 +667,7 @@ def _majorant_walk(scene, meta, ray: Ray, key, channel, medium_idx,
     n_u = 3 if track else 2
 
     def body(carry):
-        it, k = carry[9], carry[10]
+        it, k = carry[10], carry[11]
         k1 = jax.random.fold_in(k, it)
         us = jax.random.uniform(k1, (WALK_UNROLL, N, n_u))
         for s in range(WALK_UNROLL):
@@ -644,7 +689,7 @@ def _majorant_walk(scene, meta, ray: Ray, key, channel, medium_idx,
     else:
         t_ctrl0 = jnp.full((N,), jnp.inf)
     carry = (t0, jnp.ones((N, 3)), walking, jnp.zeros((N,), bool),
-             maj_vec0, c_vec0, jnp.zeros((N,)), t_next0, t_ctrl0,
+             maj_vec0, c_vec0, d_leap0, jnp.zeros((N,)), t_next0, t_ctrl0,
              jnp.int32(0), key)
     if diff:
         # reverse-mode cannot differentiate while_loop: bounded
@@ -656,7 +701,7 @@ def _majorant_walk(scene, meta, ray: Ray, key, channel, medium_idx,
             length=-(-min(max_steps, 192) // WALK_UNROLL))
     else:
         carry = jax.lax.while_loop(cond, body, carry)
-    t, w, still, found, maj_vec_f, _, dens_col = carry[:7]
+    t, w, still, found, maj_vec_f, _, _, dens_col = carry[:8]
     return t, w, found, dens_col, maj_vec_f, still
 
 
