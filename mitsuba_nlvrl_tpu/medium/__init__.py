@@ -570,36 +570,24 @@ def _majorant_walk(scene, meta, ray: Ray, key, channel, medium_idx,
             # distance d_leap to the nearest occupied block, so every
             # block reachable before min_axis(t_next + (d-1)*t_delta) is
             # vacuum too — jump straight there in this one event (the
-            # traversal cost of sparse grids is crossings, not collisions)
-            t_dl = jnp.where(jnp.isfinite(t_delta), t_delta,
-                             jnp.float32(3e37))
+            # traversal cost of sparse grids is crossings, not collisions).
+            # Per-axis crossing times live on the fixed lattice
+            # t_next + k*t_delta, so the post-leap DDA state is pure
+            # arithmetic on the carried state (no world-space re-derivation)
+            t_shift = jnp.maximum(d_leap - 1.0, 0.0)[:, None] \
+                * jnp.where(jnp.isfinite(t_delta), t_delta, 0.0)
             leap = crossed & (d_leap >= 1.0)
-            t_safe = jnp.min(
-                t_next_ax + jnp.maximum(d_leap - 1.0, 0.0)[:, None] * t_dl,
-                axis=-1)
+            t_safe = jnp.min(t_next_ax + t_shift, axis=-1)
             esc_leap = leap & (t_safe >= maxt)
             escaped = escaped | esc_leap
             crossed = crossed & ~esc_leap
             leap = leap & ~esc_leap
             t_new = jnp.where(leap, jnp.minimum(t_safe, maxt), t_new)
-            # re-derive the DDA state at the landing point (nudged just
-            # inside the landing block so the face rounding can't stall)
-            Sv, kv, Dv = _sup_static(scene)
-            cell = jnp.maximum(hi - lo, 1e-30) * kv / Dv
-            eps_t = 1e-3 * jnp.min(t_dl, axis=-1)
-            t_land = t_new + eps_t
-            p_land = ray.at(t_land)
-            bidx_l = jnp.clip(
-                jnp.floor((p_land - lo) / cell).astype(jnp.int32), 0,
-                (Sv - 1.0).astype(jnp.int32))
-            degen = jnp.abs(ray.d) < 1e-12
-            safe_d = jnp.where(degen,
-                               jnp.where(ray.d >= 0, 1e-12, -1e-12), ray.d)
-            face = jnp.where(safe_d > 0, (bidx_l + 1).astype(jnp.float32),
-                             bidx_l.astype(jnp.float32)) * cell + lo
-            tn_l = t_land[:, None] + (face - p_land) / safe_d
-            tn_l = jnp.where(degen, jnp.inf,
-                             jnp.maximum(tn_l, t_new[:, None]))
+            # advance every axis' lattice strictly past t_safe
+            behind = (t_next_ax <= t_safe[:, None]) & jnp.isfinite(t_delta)
+            n_a = jnp.floor(jnp.maximum(t_safe[:, None] - t_next_ax, 0.0)
+                            / jnp.where(behind, t_delta, 1.0)) + 1.0
+            tn_l = jnp.where(behind, t_next_ax + n_a * t_delta, t_next_ax)
             t_next_new = jnp.where(leap[:, None], tn_l, t_next_new)
         # the ONE gather: collision point, or next-interval midpoint
         t_exit_new = jnp.min(t_next_new, axis=-1)
