@@ -166,6 +166,13 @@ def _dice_vrls(scene, meta, key, maps, dice: int):
                          vrl_valid=vmask, vrl_count=n)
 
 
+import os as _os
+# lightcut stage-weight falloff exponent: 1 matches the Kulla
+# line-integral scaling (a VRL's expected contribution to a segment is
+# ~ flux/h, vrl_struct.h eq. 10-13 — integrating 1/(h^2+t^2) gives
+# pi/h), 2 the point-light heuristic (measured worse on bright lanes)
+_LC_FALLOFF = int(_os.environ.get('MNT_LC_FALLOFF', '1'))
+
 ANISO_CDF_KNOTS = 10     # CDF_LENGHT, vrl_struct.h:365
 
 
@@ -503,7 +510,10 @@ def _lc_stage_weights(lum, cent, r2, seg_o, seg_d, seg_len, sig_min):
     of one medium and cancels in the normalized pdf). ``lum``/``r2`` are
     (..., K) and ``cent`` (..., K, 3), broadcast against (N,) lanes."""
     d2 = _seg_point_dist2(seg_o, seg_d, seg_len, cent)
-    w = lum / (d2 + r2 + 1e-4)
+    if _LC_FALLOFF == 1:
+        w = lum * m.safe_rcp(m.safe_sqrt(d2 + r2 + 1e-4))
+    else:
+        w = lum / (d2 + r2 + 1e-4)
     if sig_min is not None:
         # conservative: distance to the cluster FACE (centroid minus
         # radius), keeping the factor an upper bound on any member's Tr
@@ -566,7 +576,10 @@ def sample_cluster_vrl(clusters: VRLClusters, w, w_cdf, seg_o, seg_d,
     midf = row[:, M_ * 4:]      # member VRL ids, kept f32 through _selch
     d2 = _seg_point_dist2(seg_o, seg_d, seg_len, mid)
     r2_f = _selch(s_r2, c2)                                  # fine radius^2
-    wm = mlum / (d2 + 1e-2 * r2_f[:, None] + 1e-6)
+    if _LC_FALLOFF == 1:
+        wm = mlum * m.safe_rcp(m.safe_sqrt(d2 + 1e-2 * r2_f[:, None] + 1e-6))
+    else:
+        wm = mlum / (d2 + 1e-2 * r2_f[:, None] + 1e-6)
     if sig_min is not None:
         wm = wm * jnp.exp(-sig_min[:, None] * m.safe_sqrt(d2))
     j, p_m, wm_tot = _sample_discrete(wm, u_m)

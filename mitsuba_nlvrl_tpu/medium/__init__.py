@@ -35,6 +35,10 @@ MT_NONLINEAR = MEDIUM_TYPES['nonlinear']
 # see docs/PERF.md round-4 table).
 import os as _os
 WALK_UNROLL = max(1, int(_os.environ.get('MNT_WALK_UNROLL', '4')))
+# transmittance-walk russian-roulette threshold (see _majorant_walk):
+# below this carried-ratio weight, collisions gamble survival at
+# p = w/THRESH — unbiased, bounds walk length at ~tau = -ln(THRESH)
+RR_TR_THRESH = float(_os.environ.get('MNT_TR_RR', '0.03'))
 
 
 def _grid_lookup(grid, bbox_lo, bbox_hi, p):
@@ -625,7 +629,23 @@ def _majorant_walk(scene, meta, ray: Ray, key, channel, medium_idx,
                           w * sigma_n_loc
                           * m.safe_rcp(jnp.maximum(rate, 1e-30))[:, None],
                           w)
-            walking_next = col | crossed
+            # Russian roulette on the carried ratio weight: a shadow walk
+            # through a tau >> 1 core otherwise grinds ~optical-depth
+            # events for a transmittance that is already ~0, and the
+            # WAVEFRONT pays the max lane (hetvol is sigma x100).
+            # Unbiased: survivors rescale by 1/p (the role of the
+            # reference's early outs in evalTransmittance-style loops).
+            # u[:, 1] is unused by the track=False arm, so RR rides the
+            # existing per-event uniforms.
+            wmax = jnp.max(w, axis=-1)
+            rr = col & (wmax < RR_TR_THRESH)
+            p_srv = jnp.clip(wmax * (1.0 / RR_TR_THRESH), 0.0, 1.0)
+            die = rr & (u[:, 1] >= p_srv)
+            w = jnp.where((rr & ~die)[:, None],
+                          w * m.safe_rcp(jnp.maximum(p_srv, 1e-30))[:, None],
+                          w)
+            w = jnp.where(die[:, None], 0.0, w)
+            walking_next = (col & ~die) | crossed
         # crossing lanes adopt the new block's bounds (midpoint probe);
         # collision lanes keep theirs (same block)
         maj_new, c_new, d_new = local_bounds(bmaj, bmin, bok)

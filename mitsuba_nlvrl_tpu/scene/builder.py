@@ -12,6 +12,7 @@ analytic. Area emitters get per-emitter triangle CDF tables for sampling.
 from __future__ import annotations
 
 import math as pymath
+import os
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
@@ -192,8 +193,14 @@ def _procedural_sky(H: int = 64, W: int = 128) -> np.ndarray:
 _PACK_MAX_VOXELS = 1 << 22
 
 
+# supervoxel block edge (voxels). 8 is the shipped default; MNT_SUP_K
+# exists so the majorant-tightness / crossing-count tradeoff can be
+# measured per scene (docs/PERF.md round-4 notes).
+_SUP_K = max(2, int(os.environ.get('MNT_SUP_K', '8')))
+
+
 def _corner_pack(grid: np.ndarray, sup2: np.ndarray = None,
-                 sup2_min: np.ndarray = None, sup_k: int = 8) -> np.ndarray:
+                 sup2_min: np.ndarray = None, sup_k: int = None) -> np.ndarray:
     """Corner-packed grid: row (z*Dy+y)*Dx+x holds the 8 trilinear corners
     of voxel (z,y,x), order dz*4+dy*2+dx, edge-clamped, PLUS (slot 8) the
     dilated supervoxel block-max and (slot 9) the eroded block-min of the
@@ -221,6 +228,7 @@ def _corner_pack(grid: np.ndarray, sup2: np.ndarray = None,
     density > 0), biasing delta tracking and the ratio-tracking
     control, while a uniform 2-voxel window would loosen the majorant
     (hence slow the walks) everywhere."""
+    sup_k = _SUP_K if sup_k is None else sup_k
     Dz, Dy, Dx = grid.shape
     zi = np.minimum(np.arange(Dz) + 1, Dz - 1)
     yi = np.minimum(np.arange(Dy) + 1, Dy - 1)
@@ -298,7 +306,7 @@ def _corner_pack(grid: np.ndarray, sup2: np.ndarray = None,
     return out.reshape(-1, 10)
 
 
-def _supervoxel_min(grid: np.ndarray, k: int = 8, dilate: int = 1,
+def _supervoxel_min(grid: np.ndarray, k: int = None, dilate: int = 1,
                     dilate_hi: int = None) -> np.ndarray:
     """Block-min density over k^3 supervoxels, ERODED by ``dilate``
     voxels on the low side and ``dilate_hi`` (default: same) on the high
@@ -309,7 +317,7 @@ def _supervoxel_min(grid: np.ndarray, k: int = 8, dilate: int = 1,
     return _supervoxel_reduce(grid, k, dilate, dilate_hi, np.min)
 
 
-def _supervoxel_max(grid: np.ndarray, k: int = 8, dilate: int = 1,
+def _supervoxel_max(grid: np.ndarray, k: int = None, dilate: int = 1,
                     dilate_hi: int = None) -> np.ndarray:
     """Block-max density over k^3 supervoxels, DILATED by ``dilate``
     voxels on the low side and ``dilate_hi`` (default: same) on the high
@@ -322,6 +330,7 @@ def _supervoxel_max(grid: np.ndarray, k: int = 8, dilate: int = 1,
 
 
 def _supervoxel_reduce(grid, k, dilate, dilate_hi, op):
+    k = _SUP_K if k is None else k
     if dilate_hi is None:
         dilate_hi = dilate
     Dz, Dy, Dx = grid.shape
