@@ -367,9 +367,19 @@ def spectral_conductor_terms(scene, meta, si, wo_loc, lam, mode=RADIANCE,
         # SMOOTH (delta) conductor children have eval == 0 — their
         # magnitude at the lanes where the structure is consumed (the
         # sampled mirror direction) is share x the true per-lambda
-        # Fresnel, and their upsampled-RGB counterpart share x up(F_rgb)
-        da = ua & (bta == BSDF_TYPES['conductor'])
-        db = ub & (btb == BSDF_TYPES['conductor'])
+        # Fresnel, and their upsampled-RGB counterpart share x up(F_rgb).
+        # The delta terms apply ONLY on mirror-aligned lanes: an NEE lane
+        # evaluating blend(diffuse, smooth conductor) has a nonzero
+        # diffuse eval, and folding the conductor's per-lambda Fresnel
+        # into its ratio would bias the diffuse-only contribution. The
+        # sample path emits wo == (-wi.x, -wi.y, wi.z) exactly (a
+        # condition invariant under the _maybe_flip sign convention), so
+        # alignment identifies consumed-delta lanes without integrator
+        # plumbing; NEE directions hit it with probability zero.
+        mir = jnp.stack([-si.wi[:, 0], -si.wi[:, 1], si.wi[:, 2]], -1)
+        mirror_lane = m.dot(wo_loc, mir) > 1.0 - 1e-5
+        da = ua & (bta == BSDF_TYPES['conductor']) & mirror_lane
+        db = ub & (btb == BSDF_TYPES['conductor']) & mirror_lane
         mag_a = up_a * r_a + jnp.where(da[:, None],
                                        sh_a[:, None] * Fla, 0.0)
         mag_b = up_b * r_b + jnp.where(db[:, None],

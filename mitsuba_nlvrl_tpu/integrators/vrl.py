@@ -427,6 +427,12 @@ def build_vrl_clusters(scene, maps, n_clusters: int) -> VRLClusters:
     buildLightTree, vrl_lightcut.h:515-627, as a sort + two reduction
     levels instead of an agglomerative binary tree)."""
     V = maps.vrl_o.shape[0]
+    # member ids ride the float32 rows table below; float32 is bit-exact
+    # for integers only below 2^24 — a silent id corruption past that
+    # would poison the onehot_dot/round decode undetected
+    assert V < (1 << 24), (
+        f"VRL map capacity {V} >= 2^24: member ids no longer round-trip "
+        "through the float32 cluster rows table")
     F = int(max(1, min(n_clusters, max(V // 4, 1))))
     K2 = int(min(16, F))
     K1 = -(-F // K2)

@@ -302,7 +302,24 @@ def _corner_pack(grid: np.ndarray, sup2: np.ndarray = None,
     if not cur.all():
         Dfield[~cur] = 127.0
     vac = out[..., 8] <= 0.0
-    out[..., 9] = np.where(vac, -Dfield[bz][:, by][:, :, bx], out[..., 9])
+    # The walk addresses this row by the trilinear BASE voxel
+    # v = floor(rel*D-0.5); a face-confined interval whose base voxel is
+    # the LAST of its block on some axis actually lies in the block of
+    # v+1 there (the same reason slots 8/9 use the wider supB window for
+    # bnd rows). The stored distance must therefore be valid for
+    # WHICHEVER candidate block the interval lies in: min(Dfield) over
+    # the voxel's own block and the blocks of v+1 along each axis
+    # (identical to the own block for interior voxels; Chebyshev
+    # 1-Lipschitz bounds the loss at one block for boundary rows).
+    bzh = np.minimum(np.arange(Dz) + 1, Dz - 1) // sup_k
+    byh = np.minimum(np.arange(Dy) + 1, Dy - 1) // sup_k
+    bxh = np.minimum(np.arange(Dx) + 1, Dx - 1) // sup_k
+    Dsafe = np.full(grid.shape, np.inf, np.float32)
+    for az in (bz, bzh):
+        for ay in (by, byh):
+            for ax in (bx, bxh):
+                Dsafe = np.minimum(Dsafe, Dfield[az][:, ay][:, :, ax])
+    out[..., 9] = np.where(vac, -Dsafe, out[..., 9])
     return out.reshape(-1, 10)
 
 

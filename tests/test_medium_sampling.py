@@ -190,7 +190,9 @@ def test_empty_space_leap_exact_transmittance():
                                 jnp.float32([1, 1, 1]),
                                 jnp.asarray(pts.reshape(-1, 3)))
     dens = np.asarray(dens).reshape(N, -1)
-    tau = np.trapezoid(dens, ts, axis=1)
+    # np.trapezoid is NumPy >= 2.0 only; fall back to trapz on 1.x
+    _trap = getattr(np, 'trapezoid', None) or np.trapz
+    tau = _trap(dens, ts, axis=1)
     tr_ref = np.exp(-tau)
 
     # many independent samples per ray: tile lanes, few jit dispatches
@@ -270,3 +272,55 @@ def test_packed_row_bounds_cover_face_confined_intervals():
                                    world(8.6, 20.0, 20.0))
     assert ok2
     assert float(np.asarray(bmin2)[0]) <= float(np.asarray(dens2)[0]) + 1e-6
+
+
+def test_leap_distance_sound_for_boundary_base_voxels():
+    """Leap-encoding soundness (advisor round-4 medium finding): the walk
+    addresses packed rows by the trilinear BASE voxel floor(rel*D-0.5),
+    which for a face-confined interval can belong to the LOWER-neighbor
+    block of the block the interval actually lies in. The stored leap
+    distance -slot9 must therefore be valid for EVERY candidate block
+    (own block, and the +1-neighbor blocks on axes where the voxel is
+    last of its block): stored <= Chebyshev distance(candidate, nearest
+    occupied block). A single occupied corner voxel makes the old
+    own-block encoding overstate the distance by 1 for boundary rows."""
+    from mitsuba_nlvrl_tpu.scene.builder import _corner_pack, \
+        _supervoxel_max
+    k = 2
+    D = 8
+    g = np.zeros((D, D, D), np.float32)
+    g[D - 1, D - 1, D - 1] = 1.0
+    packed = _corner_pack(g, sup_k=k).reshape(D, D, D, 10)
+
+    # reference occupancy/distance field over blocks (wide supB window —
+    # matches what _corner_pack leaps over)
+    occ = _supervoxel_max(g, k, dilate=1, dilate_hi=2) > 0
+    S = occ.shape[0]
+    occ_idx = np.argwhere(occ)
+
+    def cheb_dist(b):
+        if occ[tuple(b)]:
+            return 0
+        return int(np.min(np.max(np.abs(occ_idx - b), axis=1)))
+
+    viol = []
+    for z in range(D):
+        for y in range(D):
+            for x in range(D):
+                if packed[z, y, x, 8] > 0.0:
+                    continue                      # not a vacuum row
+                stored = -packed[z, y, x, 9]
+                assert stored >= 0.0
+                cands = []
+                for vz in (z, min(z + 1, D - 1)):
+                    for vy in (y, min(y + 1, D - 1)):
+                        for vx in (x, min(x + 1, D - 1)):
+                            cands.append((vz // k, vy // k, vx // k))
+                for b in set(cands):
+                    if stored > cheb_dist(np.array(b)) + 1e-6:
+                        viol.append(((z, y, x), b, stored,
+                                     cheb_dist(np.array(b))))
+    assert not viol, viol[:5]
+    # and the encoding is still useful: some far vacuum row leaps > 1
+    far = -packed[0, 0, 0, 9]
+    assert far >= 2.0, far
