@@ -15,14 +15,21 @@ hang (recovering). Each config therefore runs in its OWN SUBPROCESS under
 a hard timeout, with one retry after a recovery wait — the parent process
 never imports JAX and always prints the JSON line.
 
-Wall-time contract: the WHOLE bench fits a hard budget (default 18 min,
-MNT_BENCH_BUDGET seconds to override) regardless of how many children
-hang — every per-config timeout, retry, and recovery sleep is sized
-against the remaining budget, and the final JSON line is printed from a
-finally block. The measured happy path is ~9 min (cbox 2m40 incl. the
-weak-scaling sweep, hetvol <4m, nlvrl ~2m); the budget leaves one retry
-of headroom. Round-3 failure mode this fixes: unbounded retry ladders
-(~3h worst case) blew the driver budget -> rc 124, no artifact.
+Schedule contract (round-5 fix; rounds 3 AND 4 shipped artifacts with NO
+volumetric numbers because the cbox child carried the weak-scaling sweep
++ dp_fold proxy and exhausted the budget first):
+  * the VOLUMETRIC configs run FIRST (they are the round targets; the
+    cbox headline has been stable ~32 Mrays/s for three rounds),
+  * per-config caps are sized to the MEASURED walls under host load
+    (hetvol ~450 s, nlvrl ~535 s incl. compile — r4 verdict), and
+  * the proxies (weak-scaling sweep, dp_fold, the end-to-end
+    render_distributed fold timing) are a separate BEST-EFFORT child
+    that only runs with leftover budget.
+The whole bench fits a hard wall budget (default 32 min,
+MNT_BENCH_BUDGET seconds to override); every timeout and retry is sized
+against the remaining budget and the final JSON line prints from a
+finally block. test_bench.py pins both the hung-child arm and the
+happy-path schedule (all three *_mrays keys present).
 """
 import json
 import os
@@ -37,8 +44,8 @@ CONFIGS = {
     # headline: cbox path 512x512 (BASELINE PR1 config)
     'cbox_path': ('/root/reference/data/cbox/cbox.xml', 16, None,
                   {'max_depth': 8}),
-    # hetvol volpath (BASELINE anchor); banded — its long delta-tracking
-    # kernels are the known TPU worker-killer
+    # hetvol volpath (BASELINE anchor); its long delta-tracking kernels
+    # are the known TPU worker-killer
     'hetvol_volpath': ('/root/reference/data/hetvol/hetvol.xml', 2, 32768,
                        {}),
     # cbox-nonlinear-homo-vrl (thesis headline config)
@@ -47,11 +54,27 @@ CONFIGS = {
         2, None, {}),
 }
 
+# (key, absolute cap s, fraction-of-budget cap) in RUN ORDER —
+# volumetrics first (see module docstring)
+STAGES = (
+    ('hetvol_volpath', 600, 0.38),
+    ('cbox_nlvrl', 650, 0.38),
+    ('cbox_path', 420, 0.30),
+)
+
+
+def _fake_mode():
+    return os.environ.get('MNT_BENCH_FAKE', '')
+
 
 def _run_config(key):
     """Child mode: render one config, print one JSON line."""
     if os.environ.get('MNT_BENCH_FAKE_HANG') == key:
         time.sleep(86400)   # simulated worker hang (used by test_bench)
+    if _fake_mode() == 'fast':
+        # schedule-contract tests: instant fake result, no JAX import
+        print(json.dumps({"mrays": 1.0 + len(key) * 0.25, "mean": 0.5}))
+        return
     import numpy as np
     from mitsuba_nlvrl_tpu.scene.xml import load_file
     from mitsuba_nlvrl_tpu import build_scene
@@ -84,22 +107,52 @@ def _run_config(key):
     rays = float(np.asarray(sum(stats)))
     im = np.asarray(img)
     assert np.isfinite(im).all() and im.mean() > 0, "render invalid"
-    out = {"mrays": rays / dt / 1e6, "mean": float(im.mean())}
-    if key == 'cbox_path':
-        # hardware-grounded weak-scaling proxy (single real chip): rays/s
-        # across growing wavefronts — flat == per-chip DP load saturates
-        # the chip (MULTICHIP cpu-mesh numbers are validation-only)
-        from mitsuba_nlvrl_tpu.parallel.scaling import weak_scaling_proxy, \
-            dp_fold_proxy
-        ws = weak_scaling_proxy(scene, meta, base=32768,
-                                factors=(1, 2, 4, 8), passes=2)
-        out['weak_scaling'] = {
-            'backend': ws['backend'], 'sizes': ws['sizes'],
-            'mrays_per_s': [round(r / 1e6, 2) for r in ws['rays_per_s']],
-            'per_ray_flat': round(ws['per_ray_flat'], 3)}
-        # DP design evidence: a 32k-lane shard with 8 folded passes must
-        # reach ~the saturation wavefront's throughput (render_dist fold)
-        out['dp_fold'] = dp_fold_proxy(scene, meta, 32768, 8, passes=2)
+    print(json.dumps({"mrays": rays / dt / 1e6, "mean": float(im.mean())}))
+
+
+def _run_proxies():
+    """Best-effort child: scaling proxies + the REAL sharded-path timing.
+    Separate from the cbox child so their 6+ extra jit shapes can never
+    starve the anchor configs (the r3/r4 artifact failure)."""
+    if _fake_mode() == 'fast':
+        print(json.dumps({"weak_scaling": {"fake": True},
+                          "dp_fold": {"ratio": 1.0},
+                          "render_dist_fold": {"ratio": 1.0}}))
+        return
+    from mitsuba_nlvrl_tpu.scene.xml import load_file
+    from mitsuba_nlvrl_tpu import build_scene
+    from mitsuba_nlvrl_tpu.parallel.scaling import weak_scaling_proxy, \
+        dp_fold_proxy
+    from mitsuba_nlvrl_tpu.parallel.render_dist import measure_fold
+
+    desc = load_file(CONFIGS['cbox_path'][0])
+    desc.setdefault('integrator', {'type': 'path'}).update(
+        CONFIGS['cbox_path'][3])
+    scene, meta = build_scene(desc)
+    out = {}
+    # hardware-grounded weak-scaling proxy (single real chip): rays/s
+    # across growing wavefronts — flat == per-chip DP load saturates the
+    # chip (MULTICHIP cpu-mesh numbers are validation-only)
+    ws = weak_scaling_proxy(scene, meta, base=32768, factors=(1, 2, 4, 8),
+                            passes=2)
+    out['weak_scaling'] = {
+        'backend': ws['backend'], 'sizes': ws['sizes'],
+        'mrays_per_s': [round(r / 1e6, 2) for r in ws['rays_per_s']],
+        'per_ray_flat': round(ws['per_ray_flat'], 3)}
+    print(json.dumps(out))      # partial result: survive a later crash
+    # DP design evidence: a 32k-lane shard with 8 folded passes must
+    # reach ~the saturation wavefront's throughput
+    out['dp_fold'] = dp_fold_proxy(scene, meta, 32768, 8, passes=2)
+    print(json.dumps(out))
+    # END-TO-END sharded path (render_distributed itself: per-pass
+    # device_put + host loop + develop) at the DP-shard film shape
+    desc_s = load_file(CONFIGS['cbox_path'][0])
+    desc_s.setdefault('integrator', {'type': 'path'}).update(
+        {'max_depth': 8})
+    desc_s['sensor']['film']['width'] = 181
+    desc_s['sensor']['film']['height'] = 181     # ~32k-pixel DP shard
+    scene_s, meta_s = build_scene(desc_s)
+    out['render_dist_fold'] = measure_fold(scene_s, meta_s, folds=8)
     print(json.dumps(out))
 
 
@@ -120,8 +173,8 @@ def _spawn(key, timeout_s):
     for line in reversed(out.stdout.strip().splitlines()):
         try:
             rec = json.loads(line)
-            return rec['mrays'], rec, None
-        except (json.JSONDecodeError, KeyError, TypeError):
+            return rec.get('mrays'), rec, None
+        except (json.JSONDecodeError, TypeError):
             continue
     err = (out.stderr or out.stdout or 'no output').strip()
     return None, None, err[-200:]
@@ -131,6 +184,8 @@ def _device_alive(timeout_s):
     """Fast liveness probe: the remote TPU worker can be down for hours
     (observed 8h+ outages); a tiny matmul either completes in seconds or
     hangs on the tunnel handshake."""
+    if _fake_mode() == 'fast':
+        return True
     if timeout_s <= 0:
         return False
     try:
@@ -149,16 +204,14 @@ def main():
     # hard wall budget for the WHOLE bench — every timeout below is
     # clipped to what remains of it, so worst case (all children hang)
     # still prints the JSON line inside the budget
-    budget = float(os.environ.get('MNT_BENCH_BUDGET', 18 * 60))
+    budget = float(os.environ.get('MNT_BENCH_BUDGET', 32 * 60))
     deadline = time.time() + budget
     remaining = lambda: deadline - time.time()
-    # per-stage caps scale with the budget so a shrunk test budget still
-    # exercises every stage (incl. the child-timeout kill path)
-    head_cap = min(600, budget * 0.5)     # measured happy path ~160s
-    head_reserve = min(300, budget * 0.3)  # keep volumetrics reachable
-    vol_cap = min(420, budget * 0.4)      # hetvol ~230s, nlvrl ~140s
-    probe_cap = min(120, budget * 0.1)
+    probe_cap = min(90, budget * 0.08)
     sleep_s = min(60, budget * 0.05)      # brief worker recovery window
+    # minimum slice each LATER stage must keep reachable while an earlier
+    # one runs (a short attempt can still succeed on a healthy worker)
+    floor = {k: min(cap, budget * frac) * 0.3 for k, cap, frac in STAGES}
 
     extra = {}
     headline = None
@@ -167,36 +220,35 @@ def main():
         extra['device_alive'] = alive
         # when the worker is down, one short attempt per config (it may
         # have recovered since the probe) instead of retry ladders
-        n_head, n_vol = (2, 2) if alive else (1, 1)
-        # headline first (so a volumetric worker crash can't take it
-        # down); each attempt only gets what the budget still allows
-        for attempt in range(n_head):
-            headline, rec, err = _spawn(
-                'cbox_path', min(head_cap, remaining() - head_reserve))
-            if headline is not None:
-                if rec and 'weak_scaling' in rec:
-                    extra['weak_scaling'] = rec['weak_scaling']
-                if rec and 'dp_fold' in rec:
-                    extra['dp_fold'] = rec['dp_fold']
-                break
-            extra['cbox_path_error'] = err
-            if attempt + 1 < n_head and \
-                    remaining() > head_reserve + sleep_s + 60:
-                time.sleep(sleep_s)
-        for key in ('hetvol_volpath', 'cbox_nlvrl'):
-            # keep headroom for the configs still queued behind this one
-            reserve = vol_cap if key == 'hetvol_volpath' else 0
-            for attempt in range(n_vol):
-                mrays, rec, err = _spawn(
-                    key, min(vol_cap, remaining() - reserve * 0.5 - 10))
+        n_try = 2 if alive else 1
+        for i, (key, cap_abs, cap_frac) in enumerate(STAGES):
+            cap = min(cap_abs, budget * cap_frac)
+            later = sum(floor[k] for k, _, _ in STAGES[i + 1:])
+            for attempt in range(n_try):
+                mrays, rec, err = _spawn(key,
+                                         min(cap, remaining() - later - 5))
                 if mrays is not None:
+                    if key == 'cbox_path':
+                        headline = mrays
                     extra[key + '_mrays'] = round(mrays, 3)
                     extra.pop(key + '_error', None)
                     break
                 extra[key + '_error'] = err
-                if attempt + 1 < n_vol and \
-                        remaining() > reserve + sleep_s + 120:
+                if attempt + 1 < n_try and \
+                        remaining() > later + sleep_s + 90:
                     time.sleep(sleep_s)
+        # proxies: best-effort, leftover budget only (never starves the
+        # anchors above — they already ran)
+        if remaining() > min(120, budget * 0.25):
+            _, rec, err = _spawn('proxies', min(480, remaining() - 10))
+            if rec is not None:
+                for k in ('weak_scaling', 'dp_fold', 'render_dist_fold'):
+                    if k in rec:
+                        extra[k] = rec[k]
+            else:
+                extra['proxies_error'] = err
+        else:
+            extra['proxies_error'] = 'budget exhausted'
     except Exception as e:   # never lose the artifact to a parent bug
         extra['bench_error'] = repr(e)[:200]
     finally:
@@ -212,6 +264,9 @@ def main():
 
 if __name__ == '__main__':
     if len(sys.argv) > 2 and sys.argv[1] == '--config':
-        _run_config(sys.argv[2])
+        if sys.argv[2] == 'proxies':
+            _run_proxies()
+        else:
+            _run_config(sys.argv[2])
     else:
         main()

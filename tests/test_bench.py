@@ -56,3 +56,41 @@ def test_bench_spawn_timeout_tuple():
     # budget-exhausted guard: non-positive timeout never launches a child
     res = bench._spawn('cbox_path', 0)
     assert len(res) == 3 and res[2] == 'budget exhausted'
+
+
+def test_bench_happy_path_captures_all_three_configs():
+    """Schedule contract (r4 verdict #1): with fast children, the final
+    JSON must contain ALL THREE anchor throughputs — rounds 3 and 4 both
+    shipped driver artifacts whose volumetric keys read 'budget
+    exhausted' because the cbox child (carrying the proxy sweeps) ran
+    first and ate the budget. Volumetrics now run first and the proxies
+    are a separate best-effort child."""
+    budget = 60
+    out, dt = _run_bench({'MNT_BENCH_FAKE': 'fast'}, budget)
+    assert out.returncode == 0, out.stderr[-500:]
+    rec = json.loads(out.stdout.strip().splitlines()[-1])
+    extra = rec['extra']
+    for key in ('hetvol_volpath_mrays', 'cbox_nlvrl_mrays',
+                'cbox_path_mrays'):
+        assert key in extra, (key, extra)
+        assert extra[key] > 0
+    assert rec['value'] == extra['cbox_path_mrays']
+    # proxies ran too (leftover budget) and carry the end-to-end
+    # sharded-path timing key
+    assert 'render_dist_fold' in extra, extra
+    assert dt < 30, f'fake-fast bench took {dt:.0f}s'
+
+
+def test_bench_volumetrics_run_before_headline():
+    """The stage order itself (volumetrics first) — pinned so a refactor
+    cannot quietly restore the r3/r4 failure mode."""
+    sys.path.insert(0, REPO)
+    import importlib
+    bench = importlib.import_module('bench')
+    keys = [k for k, _, _ in bench.STAGES]
+    assert keys.index('hetvol_volpath') < keys.index('cbox_path')
+    assert keys.index('cbox_nlvrl') < keys.index('cbox_path')
+    # caps sized to the measured r4 walls (hetvol 448s, nlvrl 534s)
+    caps = {k: c for k, c, _ in bench.STAGES}
+    assert caps['hetvol_volpath'] >= 600
+    assert caps['cbox_nlvrl'] >= 600
