@@ -282,31 +282,13 @@ class VolpathState(NamedTuple):
     it: jnp.ndarray
 
 
-def sample(scene, meta, sampler: Sampler, ray: Ray, active=None,
-           diff: bool = False, aux=None):
-    """Volumetric path tracing bounce loop.
-
-    Restructured vs the reference (volpath.cpp:82-262) for TPU wall time:
-    the reference's evaluate_direct_light walk (:370-466, a dedicated
-    ratio-tracking transmittance walk per BSDF/phase sample) is replaced
-    by CARRIED MIS state — the sampled ray is followed by the next bounce
-    iteration anyway, whose delta-tracking throughput already estimates
-    the same transmittance, so emitter hits are accumulated there with
-    mis_weight(prev_pdf, em_pdf). Likewise the medium-vertex NEE and
-    surface-vertex NEE (mutually exclusive per lane) share ONE
-    transmittance walk. Estimator differences are variance-only; the
-    expectation matches the reference term by term.
-    """
-    N = ray.o.shape[0]
-    if active is None:
-        active = jnp.ones((N,), bool)
+def _opts(meta, diff: bool):
+    """Static estimator options shared by sample() and the regeneration
+    scheduler (integrators/regen.py)."""
     max_depth = meta.iprop('max_depth', -1)
     if max_depth is None or max_depth < 0:
         max_depth = 64
     rr_depth = meta.iprop('rr_depth', 5)
-    # null collisions are resolved inside the medium sampler, so outer
-    # iterations scale with real scatters + surface bounces only
-    wavefront_cap = MAX_WAVEFRONT_ITERS
     # volpathmis (reference volpathmis.cpp): full MIS between phase
     # sampling and NEE at medium vertices; plain volpath uses NEE only
     # at medium vertices (phase-sampled emitter hits count 0 there).
@@ -316,24 +298,16 @@ def sample(scene, meta, sampler: Sampler, ray: Ray, active=None,
     import os
     nee_fast = (not diff) and _nee_single_segment(meta) \
         and os.environ.get('MNT_NEE_WALK', '') != '1'
+    return max_depth, rr_depth, phase_mis, nee_fast
 
-    u_ch, sampler = sampler.next_1d()
-    channel = jnp.minimum((u_ch * 3).astype(jnp.int32), 2)
-    cam_med = jnp.full((N,), meta.camera_medium, jnp.int32)
 
-    from ..core.records import SurfaceInteraction
-    st = VolpathState(
-        sampler=sampler, ray=ray,
-        throughput=jnp.ones((N, 3)), result=jnp.zeros((N, 3)),
-        eta=jnp.ones((N,)), depth=jnp.zeros((N,), jnp.int32),
-        active=active, medium_idx=cam_med, channel=channel,
-        si=SurfaceInteraction.invalid((N,)),
-        needs_isect=jnp.ones((N,), bool),
-        em_full=jnp.ones((N,), bool), prev_pdf=jnp.zeros((N,)),
-        p_prev=ray.o, it=jnp.int32(0))
-
-    def cond(st):
-        return jnp.any(st.active) & (st.it < wavefront_cap)
+def make_body(scene, meta, N: int, diff: bool = False):
+    """One iteration of the volumetric bounce loop as a standalone
+    VolpathState -> VolpathState function — used by sample() below and
+    re-used verbatim by the persistent-wavefront regeneration scheduler
+    (integrators/regen.py), so the two schedulers run the IDENTICAL
+    estimator and differ only in how lanes are filled."""
+    max_depth, rr_depth, phase_mis, nee_fast = _opts(meta, diff)
 
     def body(st: VolpathState):
         smp = st.sampler
@@ -542,6 +516,52 @@ def sample(scene, meta, sampler: Sampler, ray: Ray, active=None,
             channel=st.channel, si=si_next, needs_isect=needs_next,
             em_full=em_full, prev_pdf=prev_pdf, p_prev=p_prev,
             it=st.it + 1)
+
+    return body
+
+
+def sample(scene, meta, sampler: Sampler, ray: Ray, active=None,
+           diff: bool = False, aux=None):
+    """Volumetric path tracing bounce loop.
+
+    Restructured vs the reference (volpath.cpp:82-262) for TPU wall time:
+    the reference's evaluate_direct_light walk (:370-466, a dedicated
+    ratio-tracking transmittance walk per BSDF/phase sample) is replaced
+    by CARRIED MIS state — the sampled ray is followed by the next bounce
+    iteration anyway, whose delta-tracking throughput already estimates
+    the same transmittance, so emitter hits are accumulated there with
+    mis_weight(prev_pdf, em_pdf). Likewise the medium-vertex NEE and
+    surface-vertex NEE (mutually exclusive per lane) share ONE
+    transmittance walk. Estimator differences are variance-only; the
+    expectation matches the reference term by term.
+    """
+    N = ray.o.shape[0]
+    if active is None:
+        active = jnp.ones((N,), bool)
+    max_depth, rr_depth, phase_mis, nee_fast = _opts(meta, diff)
+    # null collisions are resolved inside the medium sampler, so outer
+    # iterations scale with real scatters + surface bounces only
+    wavefront_cap = MAX_WAVEFRONT_ITERS
+
+    u_ch, sampler = sampler.next_1d()
+    channel = jnp.minimum((u_ch * 3).astype(jnp.int32), 2)
+    cam_med = jnp.full((N,), meta.camera_medium, jnp.int32)
+
+    from ..core.records import SurfaceInteraction
+    st = VolpathState(
+        sampler=sampler, ray=ray,
+        throughput=jnp.ones((N, 3)), result=jnp.zeros((N, 3)),
+        eta=jnp.ones((N,)), depth=jnp.zeros((N,), jnp.int32),
+        active=active, medium_idx=cam_med, channel=channel,
+        si=SurfaceInteraction.invalid((N,)),
+        needs_isect=jnp.ones((N,), bool),
+        em_full=jnp.ones((N,), bool), prev_pdf=jnp.zeros((N,)),
+        p_prev=ray.o, it=jnp.int32(0))
+
+    def cond(st):
+        return jnp.any(st.active) & (st.it < wavefront_cap)
+
+    body = make_body(scene, meta, N, diff)
 
     if diff:
         ck_body = jax.checkpoint(lambda s, _: (body(s), None))

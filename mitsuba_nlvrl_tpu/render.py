@@ -173,6 +173,34 @@ def render(scene, meta, seed: int = 0, spp: Optional[int] = None,
     if max_band_rays is None and jax.default_backend() == 'tpu':
         max_band_rays = 16384 if heavy else (32768 if volumetric else None)
 
+    # persistent-wavefront regeneration scheduler (cross-band walk
+    # compaction, integrators/regen.py): volumetric volpath renders keep
+    # one saturation-width wavefront alive and refill finished lanes with
+    # fresh paths instead of draining fixed bands to the max-lane tail.
+    # Default on TPU (the banded path's measured ceiling is the reason it
+    # exists); MNT_REGEN=1 forces it elsewhere (tests), =0 disables.
+    # Falls back to bands when per-pass hooks need pass granularity.
+    import os as _os
+    _regen_env = _os.environ.get('MNT_REGEN', '')
+    from .integrators.regen import regen_supported, render_regen
+    use_regen = (volumetric and not heavy
+                 and regen_supported(meta, name, diff=False)
+                 and should_stop is None and on_pass is None
+                 and timeout is None
+                 and _regen_env != '0'
+                 and (jax.default_backend() == 'tpu'
+                      or _regen_env == '1'))
+    if use_regen:
+        t0 = time.time()
+        acc = render_regen(scene, meta, seed=seed, spp=spp, aux=aux,
+                           ray_stats=ray_stats, verbose=verbose)
+        if info is not None:
+            info['passes_done'] = spp
+            info['stopped_early'] = False
+            info['wall_s'] = time.time() - t0
+            info['scheduler'] = 'regen'
+        return film_mod.develop(acc)
+
     acc = None
     t0 = time.time()
     W, H = meta.film.width, meta.film.height

@@ -44,16 +44,18 @@ def _vdc_u32(i):
 
 
 def _sobol2_u32(i):
-    """Second dimension of the (0,2)-sequence, traced."""
-    i = jnp.uint32(i)
+    """Second dimension of the (0,2)-sequence, traced (scalar OR array
+    pass indices — the regeneration path carries one per lane)."""
+    i = jnp.asarray(i, jnp.uint32)
 
     def body(k, carry):
         i, v, r = carry
         r = jnp.where((i & 1) > 0, r ^ v, r)
         return i >> 1, v ^ (v >> 1), r
 
-    _, _, r = jax.lax.fori_loop(0, 32, body,
-                                (i, jnp.uint32(1 << 31), jnp.uint32(0)))
+    _, _, r = jax.lax.fori_loop(
+        0, 32, body, (i, jnp.full_like(i, jnp.uint32(1 << 31)),
+                      jnp.zeros_like(i)))
     return r
 
 
@@ -128,6 +130,49 @@ def _cmj_randfloat(i, p):
     x ^= x >> 17
     x = (x * (jnp.uint32(1) | (p >> 18))) & jnp.uint32(0xFFFFFFFF)
     return x.astype(jnp.float32) * (1.0 / 4294967808.0)
+
+
+REGEN_SAMPLERS = ('independent', 'ldsampler')
+
+
+def lane_jitter(sampler_type: str, pass_lane: jnp.ndarray,
+                pix_lane: jnp.ndarray) -> jnp.ndarray:
+    """Per-lane film jitter for the REGENERATION scheduler
+    (integrators/regen.py): each lane carries its own (pass, pixel)
+    pair, so the jitter must be a pure elementwise function of both —
+    the refill-time camera ray and the splat-time reconstruction then
+    recompute the SAME offsets. Supports the decomposable samplers only
+    (REGEN_SAMPLERS); render() falls back to the banded path otherwise.
+
+    ldsampler: the same scrambled (0,2)-sequence construction as
+    film_jitter (van der Corput + Sobol' dim 2 over the pass index,
+    per-pixel XOR scramble) with the GLOBAL pixel index as the scramble
+    lane. independent: counter-hash uniforms of (pass, pixel)."""
+    pl = pass_lane.astype(jnp.uint32)
+    px = pix_lane.astype(jnp.uint32)
+    if sampler_type == 'ldsampler':
+        vx = _vdc_u32(pl)
+        vy = _sobol2_u32(pl)
+        sx = _hash_u32(px, 0x1234567)
+        sy = _hash_u32(px, 0x89abcdf)
+        x = ((vx ^ sx).astype(jnp.float32)) / 4294967296.0
+        y = ((vy ^ sy).astype(jnp.float32)) / 4294967296.0
+        return jnp.stack([x, y], axis=-1)
+    h = _hash_u32(px ^ (pl * jnp.uint32(0x9e3779b9)), 0x51ed2701)
+    x = _hash_u32(h, 0x68bc21eb).astype(jnp.float32) / 4294967296.0
+    y = _hash_u32(h, 0x02e5be93).astype(jnp.float32) / 4294967296.0
+    return jnp.stack([x, y], axis=-1)
+
+
+def lane_uniform2(pass_lane, pix_lane, salt: int) -> jnp.ndarray:
+    """Auxiliary per-lane 2D uniforms (aperture samples) on the same
+    decomposable (pass, pixel) stream, independent of lane_jitter."""
+    pl = pass_lane.astype(jnp.uint32)
+    px = pix_lane.astype(jnp.uint32)
+    h = _hash_u32(px ^ (pl * jnp.uint32(0x9e3779b9)), salt)
+    x = _hash_u32(h, 0x7feb352d).astype(jnp.float32) / 4294967296.0
+    y = _hash_u32(h, 0x846ca68b).astype(jnp.float32) / 4294967296.0
+    return jnp.stack([x, y], axis=-1)
 
 
 def film_jitter(sampler_type: str, key, pass_idx: int, spp: int, N: int):
