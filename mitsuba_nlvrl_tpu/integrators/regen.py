@@ -48,7 +48,8 @@ from . import volpath
 # outer bounce iterations folded into one dispatch: bounds single-kernel
 # runtime (the remote TPU worker kills very long kernels) while keeping
 # the dispatch count low (each iteration includes full tracking walks)
-ITERS_PER_DISPATCH = 24
+import os as _os
+ITERS_PER_DISPATCH = max(1, int(_os.environ.get('MNT_REGEN_ITERS', '24')))
 # per-lane safety cap: a path alive this long is retired with whatever
 # it accumulated (RR + max_depth terminate far earlier in practice)
 LANE_ITER_CAP = volpath.MAX_WAVEFRONT_ITERS
@@ -215,7 +216,10 @@ def render_regen(scene, meta, seed: int = 0, spp=None, aux=None,
     W, H = meta.film.width, meta.film.height
     P = W * H
     if n_lanes is None:
-        n_lanes = int(os.environ.get('MNT_REGEN_LANES', '65536'))
+        # 16k lanes measured best on the axon v5e (r5 sweep: the
+        # per-iteration compute is throughput-bound in lanes above ~16k
+        # while the pipelined dispatch hides the link latency)
+        n_lanes = int(os.environ.get('MNT_REGEN_LANES', '16384'))
         n_lanes = min(n_lanes, max(16384, P))  # small films need no more
     spp_per_chunk = max(1, min(spp, MAX_CHUNK_PATHS // P))
     key = jax.random.PRNGKey(seed)
@@ -227,15 +231,25 @@ def render_regen(scene, meta, seed: int = 0, spp=None, aux=None,
         n_paths = P * n_pass
         st = _genesis(meta, jax.random.fold_in(key, 0x7e6e + p),
                       n_lanes, n_paths)
-        # worst case every path runs to the lane cap; the +2 covers the
-        # genesis fill and the final drain iterations
+        # worst case every path runs to the lane cap; the +3 covers the
+        # genesis fill, the final drain, and the one-behind pipeline lag
         max_disp = -(-n_paths // n_lanes) * \
-            -(-LANE_ITER_CAP // ITERS_PER_DISPATCH) + 2
+            -(-LANE_ITER_CAP // ITERS_PER_DISPATCH) + 3
+        # PIPELINED dispatch: the remote-TPU link costs ~150 ms per
+        # synchronized roundtrip, which dominated the early measurement
+        # (wall flat ~1.8 s across 8-32k lanes = dispatch count x link
+        # latency). Checking the ONE-BEHIND dispatch's pending count
+        # keeps the device queue non-empty: dispatch i+1 is enqueued
+        # before dispatch i's result is read, so the device runs
+        # back-to-back and the host hides the pull latency behind
+        # compute. At most one no-op dispatch runs past completion.
+        pend_prev = None
         for _ in range(max_disp):
             st, pending = regen_chunk(scene, meta, st, n_paths,
                                       jnp.uint32(p), ITERS_PER_DISPATCH)
-            if int(pending) == 0:
+            if pend_prev is not None and int(pend_prev) == 0:
                 break
+            pend_prev = pending
         if ray_stats is not None:
             ray_stats.append(st.vp.sampler.rays)
         image = _splat_chunk(meta, st.out, jnp.uint32(p), n_pass, image)

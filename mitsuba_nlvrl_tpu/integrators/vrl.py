@@ -199,10 +199,41 @@ def _aniso_cam_cdf(scene, meta, cam_medium, med_v, seg_o, seg_d, seg_len,
     h = jnp.maximum(m.norm(seg_o + seg_d * u_hat[:, None] - p_vrl), 1e-7)
     th0 = jnp.arctan(u0_hat / h)
     th1 = jnp.arctan(u1_hat / h)
-    # cosine-spaced knots (eq. 19 role; the peak-insertion branch is
-    # behind USE_PEAK_SAMPLING in the reference and not replicated)
+    # cosine-spaced knots (eq. 19 role)
     frac = 0.5 * (1.0 - jnp.cos(jnp.pi * jnp.arange(K) / (K - 1)))
     th = th0[:, None] + (th1 - th0)[:, None] * frac[None, :]   # (N, K)
+    # PEAK-INSERTION knots (reference USE_PEAK_SAMPLING branch,
+    # vrl_struct.h:361-505): for sharp forward phases (HG g >= ~0.9) the
+    # cosine table under-resolves the interior peak of the VRL-phase
+    # factor — the sampled density then underestimates near the peak and
+    # rare giant 1/pdf weights blow the variance up (measured 50x at
+    # g=0.95 without this). The VRL phase peaks where the segment->VRL
+    # direction w(theta) = -sin(theta) seg_d + cos(theta) n_hat is
+    # closest to -d_v: maximizing dot(w, -d_v) = A sin - B cos gives
+    # theta* = atan2(B, A) + pi/2 (wrapped into (-pi/2, pi/2); the wrap
+    # lands on the antipodal minimum when the max is off-interval —
+    # harmless extra knots). Five knots at theta* +- {0,1,4} HG
+    # half-widths, clamped to the span, then one sort merges the table.
+    from ..scene.types import M_PHASE_G
+    from ..ops.gather import take_rows
+    g_v = take_rows(scene.media.params,
+                    jnp.maximum(med_v, 0))[:, M_PHASE_G]
+    foot = seg_o + seg_d * u_hat[:, None]
+    nhat = (p_vrl - foot) * m.safe_rcp(h)[:, None]
+    A = m.dot(seg_d, d_v)
+    B = m.dot(nhat, d_v)
+    th_p = jnp.arctan2(B, A) + 0.5 * jnp.pi
+    th_p = jnp.where(th_p > 0.5 * jnp.pi, th_p - jnp.pi, th_p)
+    ga = jnp.abs(g_v)
+    # HG half-width in scattering angle ~ sqrt(1-g); floor keeps the
+    # isotropic case benign and the cap keeps knots inside sharp spans
+    delta = jnp.clip(jnp.sqrt(jnp.maximum(1.0 - ga, 1e-4)) * 0.2,
+                     0.01, 0.3)
+    offs = jnp.asarray([-4.0, -1.0, 0.0, 1.0, 4.0])
+    th_pk = jnp.clip(th_p[:, None] + delta[:, None] * offs[None, :],
+                     th0[:, None], th1[:, None])
+    th = jnp.sort(jnp.concatenate([th, th_pk], axis=1), axis=1)
+    K = K + offs.shape[0]
     t_k = h[:, None] * jnp.tan(th) - u0_hat[:, None]           # (N, K)
     p_k = seg_o[:, None, :] + seg_d[:, None, :] * t_k[..., None]
     dir_k = p_vrl[:, None, :] - p_k
@@ -216,17 +247,32 @@ def _aniso_cam_cdf(scene, meta, cam_medium, med_v, seg_o, seg_d, seg_len,
                             -dflat, rep(act)).reshape(N, K)
     ph = jnp.maximum(ph_ray * ph_vrl, 0.0)                     # (N, K)
     dth = th[:, 1:] - th[:, :-1]                               # (N, K-1)
-    area = 0.5 * (ph[:, 1:] + ph[:, :-1]) * dth
-    cdf = jnp.cumsum(area, axis=1)                             # (N, K-1)
-    total = cdf[:, -1]
+    area0 = 0.5 * (ph[:, 1:] + ph[:, :-1]) * dth
+    total = jnp.sum(area0, axis=1)
     ok = act & (total > 1e-12) & jnp.isfinite(total)
-    uu = u2 * total
+    # DEFENSIVE blend with the analytic atan density (uniform in theta):
+    # the tabulated density alone under-estimates between knots wherever
+    # the table under-resolves a peak, and the resulting rare 1/pdf
+    # weights blew variance up ~50x at HG g=0.95 (peak knots or not).
+    # Blending the normalized knot densities with the constant beta/span
+    # BEFORE inversion keeps the CDF piecewise linear (one exact
+    # inversion, no branch), lower-bounds the pdf at beta x the atan
+    # sampler's — so no sample's weight exceeds 1/beta of the atan
+    # weight — and for constant densities reduces EXACTLY to the atan
+    # sampler with the same uniform (the isotropic bit-parity gate).
+    beta = 0.5
+    span = jnp.maximum(th1 - th0, 1e-9)
+    phi = (1.0 - beta) * ph * m.safe_rcp(total)[:, None] \
+        + (beta * m.safe_rcp(span))[:, None]                   # (N, K)
+    area = 0.5 * (phi[:, 1:] + phi[:, :-1]) * dth              # sums to 1
+    cdf = jnp.cumsum(area, axis=1)
+    uu = jnp.clip(u2, 0.0, m.OneMinusEpsilon) * cdf[:, -1]
     j = jnp.minimum(jnp.sum((cdf < uu[:, None]).astype(jnp.int32), axis=1),
                     K - 2)
     cdf0 = jnp.concatenate([jnp.zeros((N, 1)), cdf], axis=1)
     from ..ops.gather import select_row
-    pa = select_row(ph[:, :-1], j)
-    pb = select_row(ph[:, 1:], j)
+    pa = select_row(phi[:, :-1], j)
+    pb = select_row(phi[:, 1:], j)
     tha = select_row(th[:, :-1], j)
     dthj = select_row(dth, j)
     xi = jnp.clip((uu - select_row(cdf0, j))
@@ -238,9 +284,9 @@ def _aniso_cam_cdf(scene, meta, cam_medium, med_v, seg_o, seg_d, seg_len,
                   (m.safe_sqrt(pa * pa + xi * (pb * pb - pa * pa)) - pa)
                   * m.safe_rcp(dp), xi)
     theta = tha + dthj * s
-    q = pa + dp * s                       # density value at the sample
+    q = pa + dp * s              # blended density value at the sample
     tc = h * jnp.tan(theta)
-    inv_pdf_c = total * (h * h + tc * tc) * m.safe_rcp(q * h)
+    inv_pdf_c = (h * h + tc * tc) * m.safe_rcp(h * q)
     t_cam = jnp.clip(tc - u0_hat, 0.0, seg_len)
     ok = ok & jnp.isfinite(inv_pdf_c) & (inv_pdf_c > 0)
     return t_cam, inv_pdf_c, ok

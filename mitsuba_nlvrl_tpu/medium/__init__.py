@@ -34,7 +34,10 @@ MT_NONLINEAR = MEDIUM_TYPES['nonlinear']
 # events into one iteration cuts walk wall time ~U-fold (measured:
 # see docs/PERF.md round-4 table).
 import os as _os
-WALK_UNROLL = max(1, int(_os.environ.get('MNT_WALK_UNROLL', '4')))
+# default 8: flat on the banded path (measured 1/4/8 identical, PERF.md
+# r4) and worth ~8% on the regeneration scheduler whose walks run at
+# full occupancy (r5 lane sweep)
+WALK_UNROLL = max(1, int(_os.environ.get('MNT_WALK_UNROLL', '8')))
 # transmittance-walk russian-roulette threshold (see _majorant_walk):
 # below this carried-ratio weight, collisions gamble survival at
 # p = w/THRESH — unbiased, bounds walk length at ~tau = -ln(THRESH)

@@ -29,21 +29,25 @@ assert jax.default_backend() == "cpu", (
     "tests must run on CPU; got " + jax.default_backend())
 
 
-def pytest_collection_modifyitems(config, items):
-    """A monolithic multi-file run accumulates every compiled XLA
-    executable in one CPU client and can die with an interpreter-level
-    fatal error after ~30 min (observed in test_polarization at 33% of
-    the suite; torch+jax extension interplay). Warn loudly and point at
-    the chunked runner instead of letting the crash look like a test
-    failure. (VERDICT r3 weak #7.)"""
-    files = {i.location[0] for i in items}
-    if len(files) > 4:
-        import warnings
-        warnings.warn(
-            "Running %d test files in ONE pytest process can crash the "
-            "interpreter (compilation-cache blowup; known issue). Use "
-            "tests/run_suite.sh (one process per file) for full-suite "
-            "runs." % len(files))
+# Root cause of the r3/r4 multi-file crash (interpreter-level fatal
+# error ~30 min into a monolithic `pytest tests/` run, observed in
+# test_polarization at 33%): every compiled XLA executable of every
+# test file accumulated in ONE CPU client until an allocation failed
+# inside native code. Fix: drop all jit caches (compiled executables +
+# tracing caches) at each test-FILE boundary — each file recompiles its
+# own kernels from scratch, bounding the client's live-executable set to
+# one file's worth. run_suite.sh remains as a belt-and-braces runner for
+# CI-style isolation, but plain `pytest tests/` is supported again.
+_last_test_file = [None]
+
+
+def pytest_runtest_setup(item):
+    f = item.location[0]
+    if _last_test_file[0] is not None and f != _last_test_file[0]:
+        jax.clear_caches()
+        import gc
+        gc.collect()
+    _last_test_file[0] = f
 
 
 @pytest.fixture
