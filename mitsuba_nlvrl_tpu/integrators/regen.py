@@ -216,10 +216,13 @@ def render_regen(scene, meta, seed: int = 0, spp=None, aux=None,
     W, H = meta.film.width, meta.film.height
     P = W * H
     if n_lanes is None:
-        # 16k lanes measured best on the axon v5e (r5 sweep: the
-        # per-iteration compute is throughput-bound in lanes above ~16k
-        # while the pipelined dispatch hides the link latency)
-        n_lanes = int(os.environ.get('MNT_REGEN_LANES', '16384'))
+        # 8k lanes measured best on the axon v5e (r5 sweep, hetvol:
+        # 8k/24-iter 1.23 Mrays/s vs 16k 0.97, 32k 0.91, 65k 0.45 — the
+        # per-iteration compute is throughput-bound in lanes while the
+        # pipelined dispatch hides the link latency, so the smallest
+        # wavefront that still amortizes fixed per-iteration overhead
+        # wins)
+        n_lanes = int(os.environ.get('MNT_REGEN_LANES', '8192'))
         n_lanes = min(n_lanes, max(16384, P))  # small films need no more
     spp_per_chunk = max(1, min(spp, MAX_CHUNK_PATHS // P))
     key = jax.random.PRNGKey(seed)

@@ -42,6 +42,10 @@ WALK_UNROLL = max(1, int(_os.environ.get('MNT_WALK_UNROLL', '8')))
 # below this carried-ratio weight, collisions gamble survival at
 # p = w/THRESH — unbiased, bounds walk length at ~tau = -ln(THRESH)
 RR_TR_THRESH = float(_os.environ.get('MNT_TR_RR', '0.03'))
+# MNT_DECOMP=0 disables the block-min control of decomposition tracking
+# (the walks then run PLAIN delta/ratio tracking against the block max)
+# — ablation switch for the brain-class datum (scripts/bench_decomp.py)
+DECOMP_ENABLED = _os.environ.get('MNT_DECOMP', '1') != '0'
 
 
 def _grid_lookup(grid, bbox_lo, bbox_hi, p):
@@ -494,7 +498,8 @@ def _majorant_walk(scene, meta, ray: Ray, key, channel, medium_idx,
             return majorant, jnp.zeros_like(majorant), z
         mv = jnp.where(is_het[:, None], sigma_unit * bmaj_b[:, None],
                        majorant)
-        bmin_pos = jnp.maximum(bmin_b, 0.0)
+        bmin_pos = jnp.maximum(bmin_b, 0.0) if DECOMP_ENABLED \
+            else jnp.zeros_like(bmin_b)
         cv = jnp.where(is_het[:, None],
                        sigma_unit * jnp.minimum(bmin_pos, bmaj_b)[:, None],
                        0.0)
@@ -713,7 +718,9 @@ def _majorant_walk(scene, meta, ray: Ray, key, channel, medium_idx,
     else:
         carry = jax.lax.while_loop(cond, body, carry)
     t, w, still, found, maj_vec_f, _, _, dens_col = carry[:8]
-    return t, w, found, dens_col, maj_vec_f, still
+    # carry[10] = executed while-loop trips (x WALK_UNROLL = events) —
+    # the decomposition-tracking ablation datum (scripts/bench_decomp.py)
+    return t, w, found, dens_col, maj_vec_f, still, carry[10]
 
 
 def segment_tr(scene, meta, sampler, o, d, seg_len, medium_idx, channel,
@@ -741,7 +748,7 @@ def segment_tr(scene, meta, sampler, o, d, seg_len, medium_idx, channel,
     mint = jnp.clip(near, 0.0, seg)
     maxt = jnp.clip(far, 0.0, seg)
     walking = is_het & hit_bb & (maxt > mint)
-    _, tr_het, _, _, _, still = _majorant_walk(
+    _, tr_het, _, _, _, still, _ = _majorant_walk(
         scene, meta, ray, key, channel, medium_idx,
         mint, maxt, walking, track=False, max_steps=1024,
         diff=diff)
@@ -787,7 +794,7 @@ def sample_real_interaction(scene, meta, ray: Ray, sampler, channel,
     key = jax.random.fold_in(sampler.key, sampler.dim)
     sampler = sampler._replace(dim=sampler.dim + 1)
 
-    t, w, found, dens_col, maj_col, still = _majorant_walk(
+    t, w, found, dens_col, maj_col, still, _ = _majorant_walk(
         scene, meta, ray, key, channel, medium_idx, mint, maxt, walking,
         track=True, max_steps=max_steps, diff=diff)
 

@@ -117,6 +117,27 @@ def main():
     print(f"  medium collision loop   : {t_no_both - t_min:7.3f}s")
     print(f"  base (isect+bsdf+splat) : {t_min:7.3f}s")
 
+    # scheduler comparison (round 5): the banded path drains fixed bands
+    # to the max-lane tail; the regeneration scheduler keeps one small
+    # wavefront full and pipelines dispatches (integrators/regen.py)
+    import os
+    from mitsuba_nlvrl_tpu.render import render
+    print("\nscheduler comparison (full 768x576 film, 1 pass):")
+    for mode, label in (('0', 'banded'), ('1', 'regen')):
+        os.environ['MNT_REGEN'] = mode
+        jax.clear_caches()
+        render(scene, meta, seed=0, spp=1).block_until_ready()  # compile
+        stats = []
+        t0 = time.time()
+        render(scene, meta, seed=1, spp=1,
+               ray_stats=stats).block_until_ready()
+        dt = time.time() - t0
+        import numpy as np
+        rays = float(np.asarray(sum(stats)))
+        print(f"  {label:8s} {dt:7.2f}s  {rays / dt / 1e6:7.3f} Mrays/s",
+              flush=True)
+    os.environ.pop('MNT_REGEN', None)
+
 
 if __name__ == '__main__':
     main()
