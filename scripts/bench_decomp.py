@@ -126,7 +126,8 @@ def main():
                              capture_output=True, text=True, timeout=600,
                              env=env, cwd=REPO)
         lines = [l for l in out.stdout.splitlines() if l.startswith('{')]
-        print(lines[-1] if lines else out.stderr[-400:], flush=True)
+        for l in lines or [out.stderr[-400:]]:
+            print(l, flush=True)
 
 
 if __name__ == '__main__':
