@@ -87,18 +87,34 @@ def _get_dispatch(meta, integrator, mesh: Mesh):
         rep = NamedSharding(mesh, P())
 
         @partial(jax.jit, static_argnames=('n_fold',), out_shardings=rep)
-        def one_dispatch(scene, pos, key, n_fold: int):
-            # (npix*n_fold, 2) wavefront: render_wavefront derives
-            # per-LANE jitter and sampler streams, so tiled pixels are
-            # independent sub-pass samples of the same pixel
-            posf = jnp.tile(pos, (n_fold, 1))
+        def one_dispatch(scene, pos_base, key, n_fold: int):
+            # (npix*n_fold, 2) wavefront from CONSTANT pixel-corner
+            # coords + per-lane in-kernel jitter: the base positions
+            # upload once per render (not once per pass — the remote
+            # link's device_put roundtrip dominated the old per-chunk
+            # form), and every folded sub-pass lane gets its OWN
+            # sub-pixel offset (tiling jittered positions reused the
+            # same offsets across folds)
+            posf = jnp.tile(pos_base, (n_fold, 1))
+            n = posf.shape[0]
+            posf = posf + jax.random.uniform(
+                jax.random.fold_in(key, 0xf17), (n, 2))
             L = render_wavefront(scene, meta, posf, key, integrator)
             image = film_mod.new_image(meta.film)
             return film_mod.splat(meta.film, posf, L,
-                                  jnp.ones((posf.shape[0],)), image)
+                                  jnp.ones((n,)), image)
 
         _dispatch_cache[ck] = fn = one_dispatch
     return fn
+
+
+def _pixel_base(meta):
+    """Constant (npix, 2) pixel-corner coordinates (row-major)."""
+    W, H = meta.film.width, meta.film.height
+    xs = jnp.arange(W, dtype=jnp.float32)
+    ys = jnp.arange(H, dtype=jnp.float32)
+    gx, gy = jnp.meshgrid(xs, ys)
+    return jnp.stack([gx.ravel(), gy.ravel()], axis=-1)
 
 
 def render_distributed(scene, meta, mesh: Mesh, seed: int = 0,
@@ -122,15 +138,15 @@ def render_distributed(scene, meta, mesh: Mesh, seed: int = 0,
     scene_r = jax.device_put(scene, rep)
     one_dispatch = _get_dispatch(meta, integrator, mesh)
 
-    from ..integrators.common import film_sample_positions
+    # constant pixel base: ONE host->device upload for the whole render
+    # (jitter is derived per lane inside the dispatch)
+    pos = jax.device_put(_pixel_base(meta), sharding)
     acc = None
     p = 0
     while p < spp:
         n_fold = min(fold, spp - p)
-        kp = jax.random.fold_in(key, p)
-        pos, _ = film_sample_positions(meta, jax.random.fold_in(kp, 0))
-        pos = jax.device_put(pos, sharding)
-        img = one_dispatch(scene_r, pos, kp, n_fold)
+        img = one_dispatch(scene_r, pos, jax.random.fold_in(key, p),
+                           n_fold)
         acc = img if acc is None else acc + img
         p += n_fold
     return film_mod.develop(acc)
@@ -146,61 +162,60 @@ def measure_fold(scene, meta, folds: int = 8, seed: int = 5,
     saturation reference. The film should be sized to the per-chip DP
     shard (~32k pixels — the caller resizes it).
 
-    Returns {wall_fold_s, wall_nofold_s, kernel_s, ratio, speedup}:
+    Returns {latency_fold_s, wall_fold_s, wall_nofold_s, kernel_s,
+    ratio, speedup}: ``wall_fold_s`` is the STEADY-STATE per-render
+    wall (``reps`` back-to-back calls, one sync at the end — the
+    serving-throughput number; single-call ``latency_fold_s`` is
+    link-latency-bound on the remote tunnel and reported separately),
     ``ratio`` = kernel_s / wall_fold_s (end-to-end efficiency of the
-    shipped path vs its own raw kernel — the VERDICT r4 ask: >= 0.8
-    means device_put + host loop cost <= 20%), ``speedup`` =
-    wall_nofold_s / wall_fold_s (what pass-folding buys the sharded
-    path end-to-end)."""
+    shipped path vs its own raw dispatch — the VERDICT r4 ask: >= 0.8
+    means host loop + upload + develop cost <= 20%), ``speedup`` =
+    wall_nofold_s / wall_fold_s (what pass-folding buys end-to-end)."""
     import time as _t
     mesh1 = make_mesh(jax.devices()[:1])
     spp = folds
 
     def timed(fold):
-        render_distributed(scene, meta, mesh1, seed=seed, spp=spp,
-                           fold=fold).block_until_ready()      # compile
-        best = float('inf')
-        for i in range(reps):
-            t0 = _t.time()
-            render_distributed(scene, meta, mesh1, seed=seed + 1 + i,
-                               spp=spp, fold=fold).block_until_ready()
-            best = min(best, _t.time() - t0)
-        return best
-
-    wall_fold = timed(folds)
-    wall_nofold = timed(1)
-
-    # raw kernel reference: the SAME compiled dispatch body, no
-    # device_put / host loop / develop
-    from ..integrators.common import film_sample_positions
-    from functools import partial
-    sharding = NamedSharding(mesh1, P('dp', None))
-    rep = NamedSharding(mesh1, P())
-    scene_r = jax.device_put(scene, rep)
-
-    @partial(jax.jit, static_argnames=('n_fold',), out_shardings=rep)
-    def one_dispatch(scene, pos, key, n_fold: int):
-        posf = jnp.tile(pos, (n_fold, 1))
-        L = render_wavefront(scene, meta, posf, key)
-        image = film_mod.new_image(meta.film)
-        return film_mod.splat(meta.film, posf, L,
-                              jnp.ones((posf.shape[0],)), image)
-
-    key = jax.random.PRNGKey(seed)
-    pos, _ = film_sample_positions(meta, key)
-    pos = jax.device_put(pos, sharding)
-    one_dispatch(scene_r, pos, key, folds).block_until_ready()
-    kernel = float('inf')
-    for i in range(reps):
+        out = render_distributed(scene, meta, mesh1, seed=seed, spp=spp,
+                                 fold=fold)
+        out.block_until_ready()                                # compile
         t0 = _t.time()
-        one_dispatch(scene_r, pos, jax.random.fold_in(key, i),
-                     folds).block_until_ready()
-        kernel = min(kernel, _t.time() - t0)
+        out = render_distributed(scene, meta, mesh1, seed=seed + 1,
+                                 spp=spp, fold=fold)
+        out.block_until_ready()
+        latency = _t.time() - t0
+        # steady state: back-to-back calls, sync once — consecutive
+        # renders pipeline through the async dispatch queue
+        t0 = _t.time()
+        outs = [render_distributed(scene, meta, mesh1, seed=seed + 2 + i,
+                                   spp=spp, fold=fold)
+                for i in range(reps)]
+        jax.block_until_ready(outs)
+        return latency, (_t.time() - t0) / reps
+
+    lat_fold, wall_fold = timed(folds)
+    _, wall_nofold = timed(1)
+
+    # raw dispatch reference: the SAME compiled dispatch body, no
+    # upload / host loop / develop (back-to-back, one sync)
+    rep = NamedSharding(mesh1, P())
+    sharding = NamedSharding(mesh1, P('dp', None))
+    scene_r = jax.device_put(scene, rep)
+    one_dispatch = _get_dispatch(meta, None, mesh1)
+    key = jax.random.PRNGKey(seed)
+    pos = jax.device_put(_pixel_base(meta), sharding)
+    one_dispatch(scene_r, pos, key, folds).block_until_ready()
+    t0 = _t.time()
+    outs = [one_dispatch(scene_r, pos, jax.random.fold_in(key, i), folds)
+            for i in range(reps)]
+    jax.block_until_ready(outs)
+    kernel = (_t.time() - t0) / reps
 
     return {
         'backend': jax.default_backend(),
         'pixels': int(meta.film.width * meta.film.height),
         'folds': folds,
+        'latency_fold_s': round(lat_fold, 4),
         'wall_fold_s': round(wall_fold, 4),
         'wall_nofold_s': round(wall_nofold, 4),
         'kernel_s': round(kernel, 4),
