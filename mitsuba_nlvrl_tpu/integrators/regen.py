@@ -44,6 +44,7 @@ from .. import film as film_mod
 from .. import sensor as sensor_mod
 from ..sampler import lane_jitter, lane_uniform2, REGEN_SAMPLERS
 from . import volpath
+from . import path as path_mod
 
 # outer bounce iterations folded into one dispatch: bounds single-kernel
 # runtime (the remote TPU worker kills very long kernels) while keeping
@@ -56,17 +57,46 @@ LANE_ITER_CAP = volpath.MAX_WAVEFRONT_ITERS
 
 
 class RegenState(NamedTuple):
-    vp: volpath.VolpathState
+    vp: object              # VolpathState or PathState (family-keyed)
     pid: jnp.ndarray        # (N,) i32 chunk-local path id; -1 = empty
     lane_it: jnp.ndarray    # (N,) i32 bounce-iterations this path has run
     queue: jnp.ndarray      # scalar i32: next unissued path id
     out: jnp.ndarray        # (n_paths, 3) retired per-path radiance
 
 
-def _genesis(meta, key, n_lanes: int, n_paths: int) -> RegenState:
+def _family(name: str):
+    """Integrator family -> (make_body, genesis, refill-reset). Both
+    families share the field names the scheduler touches (sampler, ray,
+    throughput, result, active); only the reset of the family-specific
+    carried state differs."""
+    if name in ('volpath', 'volpathmis'):
+        return 'volpath'
+    if name == 'path':
+        return 'path'
+    return None
+
+
+def _genesis(meta, key, n_lanes: int, n_paths: int,
+             family: str = 'volpath') -> RegenState:
     N = n_lanes
     # every leaf gets its OWN buffer: the state is donated between
     # dispatches and XLA rejects aliased donated arguments
+    if family == 'path':
+        vp = path_mod.PathState(
+            sampler=Sampler.make(key, N),
+            ray=Ray(jnp.zeros((N, 3)),
+                    jnp.zeros((N, 3)).at[:, 2].set(1.0),
+                    jnp.zeros((N,)), jnp.full((N,), jnp.inf)),
+            throughput=jnp.ones((N, 3)), result=jnp.zeros((N, 3)),
+            eta=jnp.ones((N,)), depth=jnp.zeros((N,), jnp.int32),
+            active=jnp.zeros((N,), bool),
+            prev_pdf=jnp.ones((N,)), prev_delta=jnp.ones((N,), bool),
+            prev_p=jnp.zeros((N, 3)))
+        st = RegenState(vp=vp, pid=jnp.full((N,), -1, jnp.int32),
+                        lane_it=jnp.zeros((N,), jnp.int32),
+                        queue=jnp.int32(0),
+                        out=jnp.zeros((n_paths, 3)))
+        return jax.tree_util.tree_map(jnp.copy, st)
     vp = volpath.VolpathState(
         sampler=Sampler.make(key, N),
         ray=Ray(jnp.zeros((N, 3)),
@@ -92,7 +122,7 @@ def _genesis(meta, key, n_lanes: int, n_paths: int) -> RegenState:
 
 
 def _retire_and_refill(scene, meta, st: RegenState, n_paths: int,
-                       pass0) -> RegenState:
+                       pass0, family: str = 'volpath') -> RegenState:
     """Scatter finished paths' radiance into the out buffer, then issue
     fresh camera paths from the queue into every empty lane."""
     vp = st.vp
@@ -125,13 +155,30 @@ def _retire_and_refill(scene, meta, st: RegenState, n_paths: int,
     ray, sw = sensor_mod.sample_ray(scene, meta, pos01,
                                     lane_uniform2(pss, pix, 0x0a9e31))
 
+    i1 = issue
+    i3 = issue[:, None]
+    if family == 'path':
+        vp = vp._replace(
+            ray=Ray(jnp.where(i3, ray.o, vp.ray.o),
+                    jnp.where(i3, ray.d, vp.ray.d),
+                    jnp.where(i1, ray.mint, vp.ray.mint),
+                    jnp.where(i1, ray.maxt, vp.ray.maxt)),
+            throughput=jnp.where(i3, sw, vp.throughput),
+            result=jnp.where(i3, 0.0, vp.result),
+            eta=jnp.where(i1, 1.0, vp.eta),
+            depth=jnp.where(i1, 0, vp.depth),
+            active=vp.active | i1,
+            prev_pdf=jnp.where(i1, 1.0, vp.prev_pdf),
+            prev_delta=jnp.where(i1, True, vp.prev_delta),
+            prev_p=jnp.where(i3, ray.o, vp.prev_p))
+        return RegenState(vp=vp, pid=jnp.where(issue, new_pid, pid),
+                          lane_it=jnp.where(issue, 0, st.lane_it),
+                          queue=queue, out=out)
     smp = vp.sampler
     u_ch, smp = smp.next_1d()
     channel = jnp.minimum((u_ch * 3).astype(jnp.int32), 2)
     cam_med = jnp.full((N,), meta.camera_medium, jnp.int32)
 
-    i1 = issue
-    i3 = issue[:, None]
     vp = vp._replace(
         sampler=smp,
         ray=Ray(jnp.where(i3, ray.o, vp.ray.o),
@@ -159,18 +206,19 @@ def _retire_and_refill(scene, meta, st: RegenState, n_paths: int,
 
 
 @partial(jax.jit,
-         static_argnames=('meta', 'n_paths', 'n_iters'),
+         static_argnames=('meta', 'n_paths', 'n_iters', 'family'),
          donate_argnums=(2,))
 def regen_chunk(scene, meta, st: RegenState, n_paths: int, pass0,
-                n_iters: int):
+                n_iters: int, family: str = 'volpath'):
     """Run ``n_iters`` retire/refill + bounce iterations. Returns
     (state, pending) where pending = unissued + live paths (0 = chunk
     complete)."""
     N = st.pid.shape[0]
-    body = volpath.make_body(scene, meta, N)
+    body = (path_mod if family == 'path' else volpath).make_body(
+        scene, meta, N)
 
     def one(i, st):
-        st = _retire_and_refill(scene, meta, st, n_paths, pass0)
+        st = _retire_and_refill(scene, meta, st, n_paths, pass0, family)
         vp = body(st.vp)
         lane_it = st.lane_it + vp.active.astype(jnp.int32)
         vp = vp._replace(active=vp.active & (lane_it < LANE_ITER_CAP))
@@ -206,23 +254,26 @@ MAX_CHUNK_PATHS = 4 << 20
 
 
 def render_regen(scene, meta, seed: int = 0, spp=None, aux=None,
-                 ray_stats=None, n_lanes: int = None, verbose=False):
+                 ray_stats=None, n_lanes: int = None, verbose=False,
+                 integrator: str = None):
     """Full render via the regeneration scheduler -> (H, W, 4) premult
     accumulation image (caller develops). Drop-in for the banded loop of
-    render() for volpath-family integrators with decomposable samplers.
-    """
+    render() for the supported integrator families with decomposable
+    samplers."""
     import os
     spp = spp or meta.spp
+    family = _family(integrator or meta.integrator)
     W, H = meta.film.width, meta.film.height
     P = W * H
     if n_lanes is None:
-        # 8k lanes measured best on the axon v5e (r5 sweep, hetvol:
-        # 8k/24-iter 1.23 Mrays/s vs 16k 0.97, 32k 0.91, 65k 0.45 — the
-        # per-iteration compute is throughput-bound in lanes while the
-        # pipelined dispatch hides the link latency, so the smallest
-        # wavefront that still amortizes fixed per-iteration overhead
-        # wins)
-        n_lanes = int(os.environ.get('MNT_REGEN_LANES', '8192'))
+        # per-family defaults measured on the axon v5e (r5 sweeps):
+        # volpath walks are throughput-bound in lanes — the smallest
+        # wavefront that amortizes fixed per-iteration overhead wins
+        # (hetvol: 8k/24-iter 1.23 Mrays/s vs 16k 0.97, 32k 0.91,
+        # 65k 0.45); the path body is cheap per lane, so larger
+        # wavefronts amortize the per-iteration floor instead
+        default = '8192' if family == 'volpath' else '65536'
+        n_lanes = int(os.environ.get('MNT_REGEN_LANES', default))
         n_lanes = min(n_lanes, max(16384, P))  # small films need no more
     spp_per_chunk = max(1, min(spp, MAX_CHUNK_PATHS // P))
     key = jax.random.PRNGKey(seed)
@@ -233,7 +284,7 @@ def render_regen(scene, meta, seed: int = 0, spp=None, aux=None,
         n_pass = min(spp_per_chunk, spp - p)
         n_paths = P * n_pass
         st = _genesis(meta, jax.random.fold_in(key, 0x7e6e + p),
-                      n_lanes, n_paths)
+                      n_lanes, n_paths, family)
         # worst case every path runs to the lane cap; the +3 covers the
         # genesis fill, the final drain, and the one-behind pipeline lag
         max_disp = -(-n_paths // n_lanes) * \
@@ -249,7 +300,8 @@ def render_regen(scene, meta, seed: int = 0, spp=None, aux=None,
         pend_prev = None
         for _ in range(max_disp):
             st, pending = regen_chunk(scene, meta, st, n_paths,
-                                      jnp.uint32(p), ITERS_PER_DISPATCH)
+                                      jnp.uint32(p), ITERS_PER_DISPATCH,
+                                      family)
             if pend_prev is not None and int(pend_prev) == 0:
                 break
             pend_prev = pending
@@ -264,7 +316,9 @@ def render_regen(scene, meta, seed: int = 0, spp=None, aux=None,
 
 
 def regen_supported(meta, name: str, diff: bool) -> bool:
-    """Static gate used by render(): volpath-family integrator, a
-    decomposable film sampler, and the primal (non-diff) path."""
-    return (not diff) and name in ('volpath', 'volpathmis') \
-        and meta.sampler in REGEN_SAMPLERS
+    """Static gate used by render(): a supported integrator family, a
+    decomposable film sampler, the primal (non-diff) path, and no
+    spectral mode (path delegates spectral to a different module)."""
+    return (not diff) and _family(name) is not None \
+        and meta.sampler in REGEN_SAMPLERS \
+        and not getattr(meta, 'spectral', False)

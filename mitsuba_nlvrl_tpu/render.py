@@ -183,17 +183,24 @@ def render(scene, meta, seed: int = 0, spp: Optional[int] = None,
     import os as _os
     _regen_env = _os.environ.get('MNT_REGEN', '')
     from .integrators.regen import regen_supported, render_regen
-    use_regen = (volumetric and not heavy
-                 and regen_supported(meta, name, diff=False)
+    # path-family regen is OPT-IN only (MNT_REGEN=1): measured on cbox it
+    # LOSES to the fused multi-pass dispatch (18-22 vs 31.6 Mrays/s —
+    # short paths + 16 passes folded into one kernel already amortize
+    # the per-iteration floor, and the refill machinery costs more than
+    # the occupancy win; docs/PERF.md round-5 negative results)
+    use_regen = (regen_supported(meta, name, diff=False)
                  and should_stop is None and on_pass is None
                  and timeout is None
                  and _regen_env != '0'
-                 and (jax.default_backend() == 'tpu'
-                      or _regen_env == '1'))
+                 and ((volumetric and not heavy
+                       and (jax.default_backend() == 'tpu'
+                            or _regen_env == '1'))
+                      or (name == 'path' and _regen_env == '1')))
     if use_regen:
         t0 = time.time()
         acc = render_regen(scene, meta, seed=seed, spp=spp, aux=aux,
-                           ray_stats=ray_stats, verbose=verbose)
+                           ray_stats=ray_stats, verbose=verbose,
+                           integrator=name)
         if info is not None:
             info['passes_done'] = spp
             info['stopped_early'] = False
