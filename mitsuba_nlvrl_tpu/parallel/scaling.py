@@ -209,15 +209,19 @@ def weak_scaling_proxy(scene, meta, base: int = 32768,
     out = {}
     for f in factors:
         n = base * f
-        s, r = one(scene, key, n)           # compile
-        s.block_until_ready()
-        t0 = _t.time()
-        tot = 0.0
+        for w in range(2):   # compile + post-compile warmup (the first
+            s, r = one(scene, jax.random.fold_in(key, 90 + w), n)
+            s.block_until_ready()   # run after compile measures slow)
+        # best-of-passes: single-dispatch timing at the smallest sizes
+        # is noisy on the contended remote worker (observed 10x swings
+        # on the 32k point) — the best rate is the honest capability
+        best = float('inf')
         for p_i in range(passes):
+            t0 = _t.time()
             s, r = one(scene, jax.random.fold_in(key, p_i), n)
-            tot += float(r)
-        dt = _t.time() - t0
-        out[n] = tot / max(dt, 1e-9)
+            s.block_until_ready()
+            best = min(best, (_t.time() - t0) / float(r))
+        out[n] = 1.0 / best
     sizes = sorted(out)
     return {
         'backend': jax.default_backend(),
