@@ -149,17 +149,22 @@ def test_nee_single_segment_matches_walk():
     scene, meta = build_scene(desc)
     assert vp._nee_single_segment(meta)      # the gate engages on hetvol
     from mitsuba_nlvrl_tpu.render import render
-    img_fast = np.asarray(render(scene, meta, spp=24, seed=5))
+    seeds = (5, 6, 7)
+    img_fast = np.mean([np.asarray(render(scene, meta, spp=24, seed=s))
+                        for s in seeds], axis=0)
     os.environ['MNT_NEE_WALK'] = '1'
     try:
         jax.clear_caches()
-        img_walk = np.asarray(render(scene, meta, spp=24, seed=5))
+        img_walk = np.mean([np.asarray(render(scene, meta, spp=24, seed=s))
+                            for s in seeds], axis=0)
     finally:
         os.environ.pop('MNT_NEE_WALK', None)
         jax.clear_caches()
-    # same RNG decisions except inside the NEE estimate: means agree
+    # both estimators are unbiased for the same integral; a SINGLE seed's
+    # relative gap is MC noise (measured 1.7-3.5% at spp=24, sign
+    # flipping with the seed), so compare seed-averaged means
     rel = abs(img_fast.mean() - img_walk.mean()) / max(img_walk.mean(), 1e-9)
-    assert rel < 0.03, (img_fast.mean(), img_walk.mean())
+    assert rel < 0.02, (img_fast.mean(), img_walk.mean())
 
 
 def _mis_scene(integrator_name):
