@@ -119,6 +119,12 @@ def _run_proxies():
                           "dp_fold": {"ratio": 1.0},
                           "render_dist_fold": {"ratio": 1.0}}))
         return
+    if _fake_mode() == 'partial_hang':
+        # salvage-contract test: one measurement lands, then the worker
+        # hangs — the parent must still record the partial data
+        print(json.dumps({"weak_scaling": {"fake": True}}))
+        sys.stdout.flush()
+        time.sleep(86400)
     from mitsuba_nlvrl_tpu.scene.xml import load_file
     from mitsuba_nlvrl_tpu import build_scene
     from mitsuba_nlvrl_tpu.parallel.scaling import weak_scaling_proxy, \
@@ -168,7 +174,21 @@ def _spawn(key, timeout_s):
              '--config', key],
             capture_output=True, text=True, timeout=timeout_s, cwd=REPO,
             env=env)
-    except subprocess.TimeoutExpired:
+    except subprocess.TimeoutExpired as e:
+        # salvage the child's incremental prints: _run_proxies emits a
+        # JSON line after EACH completed measurement precisely so a
+        # later hang doesn't lose the earlier data (the r3/r4 artifact
+        # failure mode). TimeoutExpired carries the captured-so-far
+        # stdout (bytes, even under text=True).
+        so = e.stdout or b''
+        if isinstance(so, bytes):
+            so = so.decode('utf-8', 'replace')
+        for line in reversed(so.strip().splitlines()):
+            try:
+                rec = json.loads(line)
+                return rec.get('mrays'), rec, None
+            except (json.JSONDecodeError, TypeError):
+                continue
         return None, None, 'timeout'
     for line in reversed(out.stdout.strip().splitlines()):
         try:

@@ -79,8 +79,6 @@ def _family(name: str):
 def _genesis(meta, key, n_lanes: int, n_paths: int,
              family: str = 'volpath') -> RegenState:
     N = n_lanes
-    # every leaf gets its OWN buffer: the state is donated between
-    # dispatches and XLA rejects aliased donated arguments
     if family == 'path':
         vp = path_mod.PathState(
             sampler=Sampler.make(key, N),
@@ -92,25 +90,21 @@ def _genesis(meta, key, n_lanes: int, n_paths: int,
             active=jnp.zeros((N,), bool),
             prev_pdf=jnp.ones((N,)), prev_delta=jnp.ones((N,), bool),
             prev_p=jnp.zeros((N, 3)))
-        st = RegenState(vp=vp, pid=jnp.full((N,), -1, jnp.int32),
-                        lane_it=jnp.zeros((N,), jnp.int32),
-                        queue=jnp.int32(0),
-                        out=jnp.zeros((n_paths, 3)))
-        return jax.tree_util.tree_map(jnp.copy, st)
-    vp = volpath.VolpathState(
-        sampler=Sampler.make(key, N),
-        ray=Ray(jnp.zeros((N, 3)),
-                jnp.zeros((N, 3)).at[:, 2].set(1.0),
-                jnp.zeros((N,)), jnp.full((N,), jnp.inf)),
-        throughput=jnp.ones((N, 3)), result=jnp.zeros((N, 3)),
-        eta=jnp.ones((N,)), depth=jnp.zeros((N,), jnp.int32),
-        active=jnp.zeros((N,), bool),
-        medium_idx=jnp.full((N,), -1, jnp.int32),
-        channel=jnp.zeros((N,), jnp.int32),
-        si=SurfaceInteraction.invalid((N,)),
-        needs_isect=jnp.ones((N,), bool),
-        em_full=jnp.ones((N,), bool), prev_pdf=jnp.zeros((N,)),
-        p_prev=jnp.zeros((N, 3)), it=jnp.int32(0))
+    else:
+        vp = volpath.VolpathState(
+            sampler=Sampler.make(key, N),
+            ray=Ray(jnp.zeros((N, 3)),
+                    jnp.zeros((N, 3)).at[:, 2].set(1.0),
+                    jnp.zeros((N,)), jnp.full((N,), jnp.inf)),
+            throughput=jnp.ones((N, 3)), result=jnp.zeros((N, 3)),
+            eta=jnp.ones((N,)), depth=jnp.zeros((N,), jnp.int32),
+            active=jnp.zeros((N,), bool),
+            medium_idx=jnp.full((N,), -1, jnp.int32),
+            channel=jnp.zeros((N,), jnp.int32),
+            si=SurfaceInteraction.invalid((N,)),
+            needs_isect=jnp.ones((N,), bool),
+            em_full=jnp.ones((N,), bool), prev_pdf=jnp.zeros((N,)),
+            p_prev=jnp.zeros((N, 3)), it=jnp.int32(0))
     st = RegenState(vp=vp, pid=jnp.full((N,), -1, jnp.int32),
                     lane_it=jnp.zeros((N,), jnp.int32),
                     queue=jnp.int32(0),
@@ -260,7 +254,6 @@ def render_regen(scene, meta, seed: int = 0, spp=None, aux=None,
     accumulation image (caller develops). Drop-in for the banded loop of
     render() for the supported integrator families with decomposable
     samplers."""
-    import os
     spp = spp or meta.spp
     family = _family(integrator or meta.integrator)
     W, H = meta.film.width, meta.film.height
@@ -273,7 +266,7 @@ def render_regen(scene, meta, seed: int = 0, spp=None, aux=None,
         # 65k 0.45); the path body is cheap per lane, so larger
         # wavefronts amortize the per-iteration floor instead
         default = '8192' if family == 'volpath' else '65536'
-        n_lanes = int(os.environ.get('MNT_REGEN_LANES', default))
+        n_lanes = int(_os.environ.get('MNT_REGEN_LANES', default))
         n_lanes = min(n_lanes, max(16384, P))  # small films need no more
     spp_per_chunk = max(1, min(spp, MAX_CHUNK_PATHS // P))
     key = jax.random.PRNGKey(seed)

@@ -718,8 +718,10 @@ def _majorant_walk(scene, meta, ray: Ray, key, channel, medium_idx,
     else:
         carry = jax.lax.while_loop(cond, body, carry)
     t, w, still, found, maj_vec_f, _, _, dens_col = carry[:8]
-    # carry[10] = executed while-loop trips (x WALK_UNROLL = events) —
-    # the decomposition-tracking ablation datum (scripts/bench_decomp.py)
+    # carry[10] = executed tracking EVENTS (each of the WALK_UNROLL
+    # masked sub-steps folded into a while-loop trip increments it once;
+    # cond bounds it by max_steps) — the decomposition-tracking ablation
+    # datum (scripts/bench_decomp.py)
     return t, w, found, dens_col, maj_vec_f, still, carry[10]
 
 

@@ -73,39 +73,37 @@ def dp_fold_for(meta, mesh_or_n, spp: int) -> int:
     return int(max(1, min(spp, -(-SATURATION_LANES // per_dev))))
 
 
-# compiled sharded dispatches, keyed by (meta, integrator, mesh): a jit
-# wrapper defined inside render_distributed would be a NEW function
-# object per call and recompile every time (measured: ~50x wall on
-# repeat calls — the end-to-end fold timing below caught it)
-_dispatch_cache = {}
+# ONE module-scope jitted dispatch with (meta, integrator, mesh, n_fold)
+# as STATIC args: jit's own cache keys on them, so repeat calls reuse the
+# compiled executable (a jit wrapper defined inside render_distributed
+# would be a NEW function object per call and recompile every time —
+# measured ~50x wall on repeat calls; a hand-rolled module dict would
+# duplicate jit's cache and survive jax.clear_caches() as a leak).
+@partial(jax.jit,
+         static_argnames=('meta', 'integrator', 'mesh', 'n_fold'))
+def _one_dispatch(scene, pos_base, key, meta, integrator, mesh: Mesh,
+                  n_fold: int):
+    # (npix*n_fold, 2) wavefront from CONSTANT pixel-corner
+    # coords + per-lane in-kernel jitter: the base positions
+    # upload once per render (not once per pass — the remote
+    # link's device_put roundtrip dominated the old per-chunk
+    # form), and every folded sub-pass lane gets its OWN
+    # sub-pixel offset (tiling jittered positions reused the
+    # same offsets across folds)
+    posf = jnp.tile(pos_base, (n_fold, 1))
+    n = posf.shape[0]
+    posf = posf + jax.random.uniform(
+        jax.random.fold_in(key, 0xf17), (n, 2))
+    L = render_wavefront(scene, meta, posf, key, integrator)
+    image = film_mod.new_image(meta.film)
+    image = film_mod.splat(meta.film, posf, L, jnp.ones((n,)), image)
+    return jax.lax.with_sharding_constraint(
+        image, NamedSharding(mesh, P()))
 
 
 def _get_dispatch(meta, integrator, mesh: Mesh):
-    ck = (meta, integrator, mesh)
-    fn = _dispatch_cache.get(ck)
-    if fn is None:
-        rep = NamedSharding(mesh, P())
-
-        @partial(jax.jit, static_argnames=('n_fold',), out_shardings=rep)
-        def one_dispatch(scene, pos_base, key, n_fold: int):
-            # (npix*n_fold, 2) wavefront from CONSTANT pixel-corner
-            # coords + per-lane in-kernel jitter: the base positions
-            # upload once per render (not once per pass — the remote
-            # link's device_put roundtrip dominated the old per-chunk
-            # form), and every folded sub-pass lane gets its OWN
-            # sub-pixel offset (tiling jittered positions reused the
-            # same offsets across folds)
-            posf = jnp.tile(pos_base, (n_fold, 1))
-            n = posf.shape[0]
-            posf = posf + jax.random.uniform(
-                jax.random.fold_in(key, 0xf17), (n, 2))
-            L = render_wavefront(scene, meta, posf, key, integrator)
-            image = film_mod.new_image(meta.film)
-            return film_mod.splat(meta.film, posf, L,
-                                  jnp.ones((n,)), image)
-
-        _dispatch_cache[ck] = fn = one_dispatch
-    return fn
+    return partial(_one_dispatch, meta=meta, integrator=integrator,
+                   mesh=mesh)
 
 
 def _pixel_base(meta):
@@ -146,7 +144,7 @@ def render_distributed(scene, meta, mesh: Mesh, seed: int = 0,
     while p < spp:
         n_fold = min(fold, spp - p)
         img = one_dispatch(scene_r, pos, jax.random.fold_in(key, p),
-                           n_fold)
+                           n_fold=n_fold)
         acc = img if acc is None else acc + img
         p += n_fold
     return film_mod.develop(acc)
@@ -204,9 +202,10 @@ def measure_fold(scene, meta, folds: int = 8, seed: int = 5,
     one_dispatch = _get_dispatch(meta, None, mesh1)
     key = jax.random.PRNGKey(seed)
     pos = jax.device_put(_pixel_base(meta), sharding)
-    one_dispatch(scene_r, pos, key, folds).block_until_ready()
+    one_dispatch(scene_r, pos, key, n_fold=folds).block_until_ready()
     t0 = _t.time()
-    outs = [one_dispatch(scene_r, pos, jax.random.fold_in(key, i), folds)
+    outs = [one_dispatch(scene_r, pos, jax.random.fold_in(key, i),
+                         n_fold=folds)
             for i in range(reps)]
     jax.block_until_ready(outs)
     kernel = (_t.time() - t0) / reps

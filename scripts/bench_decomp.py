@@ -105,7 +105,7 @@ def walk_stats(track, scale):
         'scale': scale,
         'decomp': os.environ.get('MNT_DECOMP', '1'),
         'wall_ms_per_walk': round(dt * 1e3, 2),
-        'max_lane_events': tot_trips / R * med.WALK_UNROLL,
+        'max_lane_events': tot_trips / R,
         'found_frac': float(f) / N,
         'backend': jax.default_backend(),
     }

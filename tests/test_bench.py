@@ -94,3 +94,20 @@ def test_bench_volumetrics_run_before_headline():
     caps = {k: c for k, c, _ in bench.STAGES}
     assert caps['hetvol_volpath'] >= 600
     assert caps['cbox_nlvrl'] >= 600
+
+
+def test_spawn_salvages_partial_output_on_timeout():
+    """A child that prints a partial JSON line and THEN hangs (the real
+    r3/r4 failure mode: proxies finish weak_scaling, measure_fold hangs
+    on a dead worker) must not lose the completed measurements: _spawn
+    parses TimeoutExpired's captured stdout."""
+    sys.path.insert(0, REPO)
+    import importlib
+    bench = importlib.import_module('bench')
+    os.environ['MNT_BENCH_FAKE'] = 'partial_hang'
+    try:
+        mrays, rec, err = bench._spawn('proxies', 6)
+    finally:
+        os.environ.pop('MNT_BENCH_FAKE', None)
+    assert err is None and rec is not None, (mrays, rec, err)
+    assert rec['weak_scaling'] == {'fake': True}
