@@ -263,9 +263,12 @@ def render_regen(scene, meta, seed: int = 0, spp=None, aux=None,
         # volpath walks are throughput-bound in lanes — the smallest
         # wavefront that amortizes fixed per-iteration overhead wins
         # (hetvol: 8k/24-iter 1.23 Mrays/s vs 16k 0.97, 32k 0.91,
-        # 65k 0.45); the path body is cheap per lane, so larger
-        # wavefronts amortize the per-iteration floor instead
-        default = '8192' if family == 'volpath' else '65536'
+        # 65k 0.45; a same-run interleaved tiebreak then showed 6144
+        # consistently +2-4% over 8192 across three repetitions, with
+        # 24-vs-32 iters/dispatch inside noise); the path body is cheap
+        # per lane, so larger wavefronts amortize the per-iteration
+        # floor instead
+        default = '6144' if family == 'volpath' else '65536'
         n_lanes = int(_os.environ.get('MNT_REGEN_LANES', default))
         n_lanes = min(n_lanes, max(16384, P))  # small films need no more
     spp_per_chunk = max(1, min(spp, MAX_CHUNK_PATHS // P))
