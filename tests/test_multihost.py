@@ -105,3 +105,18 @@ def test_dp_pass_folding_unbiased():
     assert np.isfinite(img_f).all() and np.isfinite(img_1).all()
     # same estimator, different sample layout: means agree to MC noise
     assert abs(img_f.mean() - img_1.mean()) / img_1.mean() < 0.05
+
+
+def test_measure_fold_smoke():
+    """measure_fold (the end-to-end sharded-path timing the bench proxies
+    run on hardware) completes on a 1-device CPU mesh and returns the
+    full contract dict with sane values."""
+    from scenes import cornell_box
+    from mitsuba_nlvrl_tpu import build_scene
+    from mitsuba_nlvrl_tpu.parallel.render_dist import measure_fold
+    scene, meta = build_scene(cornell_box(spp=2, res=24))
+    rec = measure_fold(scene, meta, folds=2, reps=1)
+    for k in ('latency_fold_s', 'wall_fold_s', 'wall_nofold_s',
+              'kernel_s', 'ratio', 'speedup'):
+        assert k in rec and rec[k] > 0, (k, rec)
+    assert rec['pixels'] == 24 * 24 and rec['folds'] == 2
